@@ -1,0 +1,326 @@
+"""Catalog part 2: training-data-pipeline operators over ``documents`` and
+``embeddings`` — dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash),
+similarity search (brute-force and IVF), and text analysis. Registered into
+the same REGISTRY as the relational catalog.
+
+Every probabilistic operator here is *fully deterministic and
+oracle-checked*: MinHash uses the portable md5-prefix hash + universal-hash
+family (functions/hashing.py) so even signatures and LSH buckets match the
+DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import register
+from .functions import hashing, text, vector
+from .operators import dedup as dedup_ops
+from .operators import similarity as sim_ops
+from .sources.registry import load
+
+NGRAM_N = 3
+JACCARD_T = 0.5
+COSINE_NEARDUP_T = 0.40
+
+_SHINGLES_SQL = f"""
+    shingles AS (
+        SELECT DISTINCT doc_id AS id, u.shingle
+        FROM documents, unnest({text.word_ngrams_sql('text', NGRAM_N)}) u(shingle)),
+    sizes AS (SELECT id, count(*) AS n_sh FROM shingles GROUP BY id)
+"""
+
+
+@register(
+    "q30_exact_dedup",
+    """
+    SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_dupes
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup: content-digest hash-groupBy, canonical = min id.",
+)
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup_ops.exact_dedup(load(spark, sf, "documents"), "doc_id", "text")
+
+
+@register(
+    "q31_ngram_jaccard_neardup",
+    f"""
+    WITH {_SHINGLES_SQL},
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id)
+    SELECT id_a, id_b,
+           round(CAST(n_common AS DOUBLE) / (x.n_sh + y.n_sh - n_common), 4) AS jacc
+    FROM inter JOIN sizes x ON id_a = x.id JOIN sizes y ON id_b = y.id
+    WHERE CAST(n_common AS DOUBLE) / (x.n_sh + y.n_sh - n_common) >= {JACCARD_T}
+    """,
+    doc="N-gram Jaccard near-dup: shingle-co-occurrence join (only docs "
+    "sharing a shingle ever pair).",
+)
+def q31(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = dedup_ops.ngram_jaccard_pairs(
+        load(spark, sf, "documents"), "doc_id", "text", NGRAM_N, JACCARD_T
+    )
+    return pairs.select("id_a", "id_b", F.round("jacc", 4).alias("jacc"))
+
+
+def _minhash_sql() -> str:
+    seeds_values = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(hashing.MINHASH_SEEDS)
+    )
+    rows_per_band = len(hashing.MINHASH_SEEDS) // 4
+    return f"""
+    WITH {_SHINGLES_SQL},
+    seeds(i, a, b) AS (VALUES {seeds_values}),
+    sigs AS (
+        SELECT id, seeds.i AS seed_idx,
+               min(({hashing.portable_hash28_sql('shingle')} * seeds.a + seeds.b)
+                   % {hashing.MINHASH_PRIME}) AS minhash
+        FROM shingles CROSS JOIN seeds GROUP BY id, seeds.i),
+    banded AS (
+        SELECT id, CAST(seed_idx / {rows_per_band} AS INT) AS band,
+               md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed_idx)) AS bucket
+        FROM sigs GROUP BY id, CAST(seed_idx / {rows_per_band} AS INT)),
+    cands AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_common
+        FROM cands c
+        JOIN shingles sa ON sa.id = c.id_a
+        JOIN shingles sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b)
+    SELECT id_a, id_b,
+           round(CAST(n_common AS DOUBLE) / (x.n_sh + y.n_sh - n_common), 4) AS jacc
+    FROM inter JOIN sizes x ON id_a = x.id JOIN sizes y ON id_b = y.id
+    WHERE CAST(n_common AS DOUBLE) / (x.n_sh + y.n_sh - n_common) >= {JACCARD_T}
+    """
+
+
+@register(
+    "q32_minhash_lsh_neardup",
+    _minhash_sql(),
+    doc="MinHash-LSH near-dup: deterministic universal-hash signatures → "
+    "band buckets → candidate pairs → exact Jaccard verify. Sub-quadratic "
+    "at corpus scale; bit-identical to the SQL oracle.",
+)
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = dedup_ops.minhash_dedup(
+        load(spark, sf, "documents"), "doc_id", "text", NGRAM_N, bands=4, threshold=JACCARD_T
+    )
+    return pairs.select("id_a", "id_b", F.round("jacc", 4).alias("jacc"))
+
+
+_SIMHASH_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id AS id, t.tok
+        FROM documents, unnest({text.tokens_sql('text')}) t(tok)),
+    th AS (SELECT id, {hashing.portable_hash64_sql('tok')} AS h FROM toks),
+    votes AS (
+        SELECT id, bits.j AS bit,
+               sum(2 * ((h >> bits.j) & 1) - 1) AS s
+        FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) bits
+        GROUP BY id, bits.j),
+    fp AS (
+        SELECT id,
+               CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+                   AS simhash
+        FROM votes GROUP BY id)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+"""
+
+
+@register(
+    "q33_simhash_neardup",
+    _SIMHASH_SQL,
+    doc="SimHash near-dup: 32-bit frequency-weighted token-vote fingerprint, "
+    "pairs within Hamming radius 1 via 2-band pigeonhole (a pair within "
+    "radius 1 must agree on >=1 of 2 16-bit bands).",
+)
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    fp = dedup_ops.simhash_fingerprints(load(spark, sf, "documents"), "doc_id", "text", bits=32)
+    pairs = dedup_ops.simhash_pairs(fp, max_hamming=1, bits=32)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@register(
+    "q34_knn_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {vector.cosine_sql('q.q_vec', 'e.embedding')} AS cos
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="Brute-force exact top-k cosine ANN baseline: broadcast queries, "
+    "JVM-side zip_with/aggregate dot products, rank-1 window.",
+)
+def q34(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    out = sim_ops.brute_force_knn(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        F.round("cos", 6).alias("cos"),
+    )
+
+
+@register(
+    "q35_embedding_neardup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({vector.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {vector.cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_NEARDUP_T}
+    """,
+    doc="Embedding-cosine near-dup with block key (label ≈ IVF cell) so the "
+    "self-join never goes quadratic over the whole corpus.",
+)
+def q35(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    pairs = sim_ops.cosine_neardup_pairs(
+        emb, COSINE_NEARDUP_T, block_col="label"
+    )
+    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+@register(
+    "q36_language_id",
+    f"""
+    SELECT doc_id, {text.lang_id_sql('text')} AS pred_lang
+    FROM documents
+    """,
+    doc="Heuristic language ID: marker-word vote argmax (deterministic "
+    "tie-break by language code).",
+)
+def q36(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return docs.select("doc_id", text.lang_id(F.col("text")).alias("pred_lang"))
+
+
+def _q37_sql() -> str:
+    feats = text.quality_features_sql("text")
+    return f"""
+    SELECT doc_id,
+           CAST({feats['n_char']} AS BIGINT) AS n_char,
+           CAST({feats['n_tok']} AS BIGINT) AS n_tok,
+           round({feats['mean_tok_len']}, 4) AS mean_tok_len,
+           round({feats['stopword_ratio']}, 4) AS stopword_ratio,
+           round({feats['punct_ratio']}, 4) AS punct_ratio
+    FROM documents
+    """
+
+
+@register(
+    "q37_quality_score",
+    _q37_sql(),
+    doc="Document quality features: length, token stats, stopword and "
+    "punctuation ratios — all JVM-side regex/array expressions.",
+)
+def q37(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    feats = text.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_char"].cast("long").alias("n_char"),
+        feats["n_tok"].cast("long").alias("n_tok"),
+        F.round(feats["mean_tok_len"], 4).alias("mean_tok_len"),
+        F.round(feats["stopword_ratio"], 4).alias("stopword_ratio"),
+        F.round(feats["punct_ratio"], 4).alias("punct_ratio"),
+    )
+
+
+@register(
+    "q38_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST({text.token_count_sql('text')} AS BIGINT) AS n_words,
+           CAST({text.bpe_ish_token_count_sql('text')} AS BIGINT) AS n_bpe_pieces
+    FROM documents
+    """,
+    doc="Token counting: whitespace words + BPE-ish regex pieces.",
+)
+def q38(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("long").alias("n_words"),
+        text.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_pieces"),
+    )
+
+
+@register(
+    "q39_fingerprint",
+    f"""
+    SELECT doc_id, {text.normalized_fingerprint_sql('text')} AS fingerprint
+    FROM documents
+    """,
+    doc="Document fingerprint: md5 of normalized text (C8/C11 analog).",
+)
+def q39(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return docs.select("doc_id", text.normalized_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "q40_ivf_knn",
+    f"""
+    WITH cents AS (
+        SELECT label AS cell, arg_min(embedding, vec_id) AS centroid
+        FROM embeddings GROUP BY label),
+    assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {vector.cosine_sql('e.embedding', 'c.centroid')} DESC, c.cell)
+                       AS rk
+            FROM embeddings e CROSS JOIN cents c) WHERE rk = 1),
+    probes AS (
+        SELECT query_id, q_vec, cell FROM (
+            SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {vector.cosine_sql('q.embedding', 'c.centroid')} DESC, c.cell)
+                       AS rk
+            FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10) WHERE rk <= 2),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {vector.cosine_sql('p.q_vec', 'a.embedding')} AS cos
+        FROM probes p JOIN assigned a ON p.cell = a.cell
+        WHERE a.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    """,
+    doc="IVF-bucketed ANN: nearest-centroid cell assignment (build), "
+    "nprobe=2 probing (search) — the 100 TB path touching nprobe/nlist of "
+    "the corpus via a partitioned equi-join on cell.",
+)
+def q40(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    cents = emb.groupBy(F.col("label").alias("cell")).agg(
+        F.min_by("embedding", "vec_id").alias("centroid")
+    )
+    assigned = sim_ops.ivf_assign(emb.select("vec_id", "embedding"), cents)
+    out = sim_ops.ivf_knn(assigned, cents, emb.filter(F.col("vec_id") < 10), k=3, nprobe=2)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        F.round("cos", 6).alias("cos"),
+    )

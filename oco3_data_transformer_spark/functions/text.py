@@ -1,0 +1,200 @@
+"""Text-analysis column expressions for training-data pipelines.
+
+Tokenization, n-gram shingling, language-ID heuristics, quality scoring,
+token counting and document fingerprinting — all as compositions of built-in
+``pyspark.sql.functions`` (JVM-side regex/array ops, no Python in the hot
+path). Each has a matching ANSI-SQL formulation used by the DuckDB oracle so
+results are hash-comparable.
+
+The reference's only text processing is id/name munging
+(ref targets/TargetInfo.py:128-154, processors/OCO3SamProcessor.py:62-63);
+these operators extend the engine to LLM-corpus workloads per the build plan
+(SURVEY.md §7 step 8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tokenization contract shared with the oracle SQL: lowercase, split on runs
+# of non-alphanumerics, drop empty tokens.
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# Tiny marker-word lists for heuristic language ID. Deliberately small and
+# committed so the oracle can embed them verbatim.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "y", "es", "los"],
+}
+
+STOPWORDS_EN = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def tokens(col: Column) -> Column:
+    """array<string> of lowercase alphanumeric tokens."""
+    toks = F.split(F.lower(col), TOKEN_SPLIT_RE)
+    return F.filter(toks, lambda t: t != "")
+
+
+def tokens_sql(expr: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower({expr}), '{TOKEN_SPLIT_RE}'),"
+        " t -> t <> '')"
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def token_count_sql(expr: str) -> str:
+    return f"len({tokens_sql(expr)})"
+
+
+# RE2-compatible (no lookarounds/backrefs) so the DuckDB oracle can reuse it.
+BPE_PIECE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: alpha runs + digit runs + single punctuation
+    marks — a cheap proxy for BPE token counts (regex, JVM-side)."""
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(BPE_PIECE_RE), 0))
+
+
+def bpe_ish_token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all(lower({expr}), '{BPE_PIECE_RE}'))"
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """array<string> of space-joined word n-grams (shingles) of ``col``.
+
+    Expressed with transform over token indices — stays in codegen; the
+    identical semantics are reproduced in :func:`word_ngrams_sql`.
+    """
+    toks = tokens(col)
+    count = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(-1)))
+    return F.when(count < n, F.array()).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def word_ngrams_sql(expr: str, n: int) -> str:
+    toks = tokens_sql(expr)
+    return (
+        f"CASE WHEN len({toks}) < {n} THEN [] "
+        f"ELSE list_transform(generate_series(1, len({toks}) - {n} + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n} - 1), ' ')) END"
+    )
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts over the token array."""
+    toks = tokens(col)
+
+    def contains(words: list[str]):
+        # single-parameter lambda: pyspark HOFs derive arity from the
+        # signature, so extra default args would be bound to the index column
+        arr = F.array(*[F.lit(w) for w in words])
+        return lambda t: F.array_contains(arr, t)
+
+    return {
+        lang: F.size(F.filter(toks, contains(words)))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """argmax language by marker count; ties broken by language code order;
+    'und' (undetermined) when no marker hits at all."""
+    scores = lang_scores(col)
+    ordered = sorted(scores.keys())
+    expr = F.struct(F.lit(-1).alias("score"), F.lit("und").alias("lang"))
+    for lang in ordered:
+        cand_score = scores[lang]
+        expr = F.when(cand_score > expr["score"], F.struct(cand_score.alias("score"), F.lit(lang).alias("lang"))).otherwise(expr)
+    return F.when(expr["score"] <= 0, F.lit("und")).otherwise(expr["lang"])
+
+
+def lang_id_sql(expr: str) -> str:
+    toks = tokens_sql(expr)
+    ordered = sorted(LANG_MARKERS.keys())
+    score = {
+        lang: (
+            "len(list_filter({t}, t -> t IN ({w})))".format(
+                t=toks, w=", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+            )
+        )
+        for lang in ordered
+    }
+    # Fold in the same order as lang_id: strictly-greater replaces.
+    sql = "struct_pack(score := -1, lang := 'und')"
+    for lang in ordered:
+        sql = (
+            f"CASE WHEN {score[lang]} > struct_extract({sql}, 'score') "
+            f"THEN struct_pack(score := {score[lang]}, lang := '{lang}') "
+            f"ELSE {sql} END"
+        )
+    return (
+        f"CASE WHEN struct_extract({sql}, 'score') <= 0 THEN 'und' "
+        f"ELSE struct_extract({sql}, 'lang') END"
+    )
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Document quality features: char length, token count, mean token length,
+    stopword ratio, non-alnum (punctuation) ratio. All doubles rounded by the
+    caller for oracle comparison."""
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    n_char = F.length(col)
+    n_alnum = F.length(F.regexp_replace(F.lower(col), TOKEN_SPLIT_RE, ""))
+    n_stop = F.size(
+        F.filter(
+            toks,
+            lambda t: F.array_contains(F.array(*[F.lit(w) for w in STOPWORDS_EN]), t),
+        )
+    )
+    return {
+        "n_char": n_char,
+        "n_tok": n_tok,
+        "mean_tok_len": F.when(n_tok > 0, n_alnum.cast("double") / n_tok).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(F.lit(0.0)),
+        "punct_ratio": (n_char - n_alnum).cast("double") / F.greatest(n_char, F.lit(1)),
+    }
+
+
+def quality_features_sql(expr: str) -> dict[str, str]:
+    toks = tokens_sql(expr)
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    n_tok = f"len({toks})"
+    n_char = f"length({expr})"
+    n_alnum = f"length(regexp_replace(lower({expr}), '{TOKEN_SPLIT_RE}', '', 'g'))"
+    n_stop = f"len(list_filter({toks}, t -> t IN ({stop})))"
+    return {
+        "n_char": n_char,
+        "n_tok": n_tok,
+        "mean_tok_len": f"CASE WHEN {n_tok} > 0 THEN CAST({n_alnum} AS DOUBLE) / {n_tok} ELSE 0.0 END",
+        "stopword_ratio": f"CASE WHEN {n_tok} > 0 THEN CAST({n_stop} AS DOUBLE) / {n_tok} ELSE 0.0 END",
+        "punct_ratio": f"CAST({n_char} - {n_alnum} AS DOUBLE) / greatest({n_char}, 1)",
+    }
+
+
+def normalized_fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the lowercased, whitespace-run-collapsed,
+    trimmed text. (The reference also defines a char-run-collapse ``tr()``
+    regex — ref processors/OCO3SamProcessor.py:62-63 — but never uses it, and
+    its backreference is not RE2-portable; whitespace collapse is.)"""
+    norm = F.regexp_replace(F.lower(col), r"\s+", " ")
+    return F.md5(F.trim(norm))
+
+
+def normalized_fingerprint_sql(expr: str) -> str:
+    norm = f"regexp_replace(lower({expr}), '\\s+', ' ', 'g')"
+    return f"md5(trim({norm}))"

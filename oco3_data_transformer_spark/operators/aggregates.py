@@ -1,0 +1,113 @@
+"""Aggregation operators A1-A9 (SURVEY.md §2.6).
+
+All map onto Spark's partial+final hash aggregation — no custom UDAFs. The
+climatology module (``plans/climatology.py``) composes A1/A2 into the full
+tool; the primitives live here for reuse and oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def climatology_spans(
+    df: DataFrame,
+    time_col: str,
+    value_cols: list[str],
+    freq: str = "month",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """A1: temporal mean per period — monthly/annual climatology
+    (ref tools/climatology/main.py:183-250): per span, ``mean`` (skipna, the
+    SQL default) of each science var, a ``valid_count`` of non-null member
+    slices, and ``n_days`` distinct days in span.
+
+    ``freq``: 'month' | 'year' | 'season' (3-month blocks split at day 20,
+    the reference's seasonal rule ref tools/climatology/main.py:185-210).
+    """
+    keys = list(extra_keys or [])
+    t = F.col(time_col)
+    if freq == "month":
+        span = F.date_trunc("month", t)
+    elif freq == "year":
+        span = F.date_trunc("year", t)
+    elif freq == "season":
+        # Shift by 20 days back then truncate to 3-month blocks: month index
+        # floor((month-1)/3) of the shifted date.
+        shifted = F.date_sub(t.cast("date"), 19)
+        span = F.make_date(
+            F.year(shifted), (F.floor((F.month(shifted) - 1) / 3) * 3 + 1).cast("int"), F.lit(1)
+        )
+    else:
+        raise ValueError(freq)
+    aggs: list[Column] = []
+    for c in value_cols:
+        aggs.append(F.avg(c).alias(f"{c}_mean"))
+        aggs.append(F.sum(c).alias(f"{c}_sum"))
+        aggs.append(F.count(c).alias(f"{c}_valid_count"))
+    aggs.append(F.countDistinct(t.cast("date")).alias("n_days"))
+    return df.withColumn("span", span).groupBy(*keys, "span").agg(*aggs)
+
+
+def month_of_year_consolidation(
+    spans: DataFrame,
+    span_col: str = "span",
+    mean_cols: list[str] | None = None,
+    count_cols: list[str] | None = None,
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """A2: consolidate monthly slices across years by calendar month
+    (ref tools/climatology/main.py:281-329): re-mean the means, sum the
+    counts, map the span to year 1970."""
+    keys = list(extra_keys or [])
+    out = spans.withColumn("month", F.month(span_col))
+    aggs: list[Column] = []
+    for c in mean_cols or []:
+        aggs.append(F.avg(c).alias(c))
+    for c in count_cols or []:
+        aggs.append(F.sum(c).alias(c))
+    out = out.groupBy(*keys, "month").agg(*aggs)
+    return out.withColumn(
+        "span", F.make_date(F.lit(1970), F.col("month"), F.lit(1))
+    )
+
+
+def region_any_good(df: DataFrame, region_cols: list[str], good: Column) -> DataFrame:
+    """A3: per-region 'has any good sounding' gate
+    (ref processors/OCO3SamProcessor.py:455-460)."""
+    return df.groupBy(*region_cols).agg(F.max(good.cast("int")).alias("any_good"))
+
+
+def region_centroid_extent(
+    df: DataFrame, region_cols: list[str], lat: str, lon: str
+) -> DataFrame:
+    """A4: region centroid + bbox (ref processors/OCO2Processor.py:405-413)."""
+    return df.groupBy(*region_cols).agg(
+        F.avg(lat).alias("lat_c"),
+        F.avg(lon).alias("lon_c"),
+        F.min(lat).alias("min_lat"),
+        F.max(lat).alias("max_lat"),
+        F.min(lon).alias("min_lon"),
+        F.max(lon).alias("max_lon"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def rollup_totals(
+    df: DataFrame, key_cols: list[str], aggs: list[Column]
+) -> DataFrame:
+    """A6: per-key sums plus an 'all' grand-total row — the reference appends
+    a literal total row (ref tools/bbox-tools/targetsStats.py:209-240); here
+    it's ``rollup`` so Spark computes it in one pass."""
+    return df.rollup(*key_cols).agg(*aggs)
+
+
+def coverage_attrs(df: DataFrame, time_col: str) -> DataFrame:
+    """A7: min/max time coverage maintained on append
+    (ref writers/ZarrWriter.py:140-167)."""
+    return df.agg(
+        F.min(time_col).alias("coverage_start"),
+        F.max(time_col).alias("coverage_end"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -1,0 +1,184 @@
+"""Join operators J1-J7 (SURVEY.md §2.3).
+
+Physical-strategy stance for 100 TB:
+  - dimension lookups broadcast (J1, J2's target side, J3's sequence side);
+  - the spatial mask join (J4) is coarse bbox range-join + exact refine so
+    Spark's range-join / AQE machinery prunes before geometry math;
+  - day-alignment (J5) and diff (J7) are full-outer equi-joins on low-card
+    keys — map-side with AQE coalescing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def target_lookup(
+    df: DataFrame, targets: DataFrame, target_col: str = "target_id"
+) -> DataFrame:
+    """J1: equi-join soundings/regions to the target dimension; unknown
+    targets are dropped (inner-join semantics, logged by the reference —
+    ref processors/OCO3SamProcessor.py:70-78,475-476)."""
+    return df.join(F.broadcast(targets), on=target_col, how="inner")
+
+
+def nearest_centroid(
+    regions: DataFrame,
+    targets: DataFrame,
+    region_key: list[str],
+    rlat: str = "lat_c",
+    rlon: str = "lon_c",
+    tlat: str = "t_lat",
+    tlon: str = "t_lon",
+) -> DataFrame:
+    """J2 (OCO-2): associate each region with the target whose centroid is
+    nearest (Euclidean in degrees) to the region's mean lat/lon
+    (ref processors/OCO2Processor.py:400-435).
+
+    Broadcast cross join (targets are a few hundred rows) + rank-1 window —
+    the KNN-join pattern. The caller then applies the bbox-intersects guard
+    (ref :427-429) on the surviving pair.
+    """
+    dist2 = (F.col(rlat) - F.col(tlat)) ** 2 + (F.col(rlon) - F.col(tlon)) ** 2
+    paired = regions.crossJoin(F.broadcast(targets)).withColumn("__d2", dist2)
+    w = Window.partitionBy(*region_key).orderBy("__d2", *[c for c in targets.columns[:1]])
+    return paired.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") == 1).drop(
+        "__rk", "__d2"
+    )
+
+
+def sequence_index_join(
+    df: DataFrame,
+    sequences: DataFrame,
+    granule_col: str = "granule",
+    index_col: str = "SequencesIndex",
+    seq_idx_col: str = "seq_idx",
+    id_col: str = "SequencesId",
+    none_value: str = "none",
+) -> DataFrame:
+    """J3 (SIF): positional index join ``target = SequencesId[SequencesIndex]``
+    with −1 → 'none' (ref processors/OCO3SifProcessor.py:363-366).
+
+    The sequence dim is per-granule and tiny → broadcast left join +
+    ``coalesce`` for the −1 sentinel.
+    """
+    seq = F.broadcast(
+        sequences.select(
+            F.col(granule_col), F.col(seq_idx_col), F.col(id_col).alias("__seq_id")
+        )
+    )
+    out = df.join(
+        seq,
+        on=[
+            df[granule_col] == seq[granule_col],
+            F.col(index_col) == F.col(seq_idx_col),
+        ],
+        how="left",
+    ).drop(seq[granule_col]).drop(seq_idx_col)
+    return out.withColumn("target_id", F.coalesce(F.col("__seq_id"), F.lit(none_value))).drop(
+        "__seq_id"
+    )
+
+
+def bbox_prefilter_join(
+    cells: DataFrame,
+    footprints: DataFrame,
+    join_keys: list[str],
+) -> DataFrame:
+    """J4 coarse phase: join grid cells to footprint polygons on bbox
+    interval overlap — the Spark analog of the reference's ``argwhere``
+    lat/lon band prefilter (ref processors/OCO3SamProcessor.py:253-267).
+
+    ``cells`` must carry cell bounds (cell_min_lon .. cell_max_lat);
+    ``footprints`` the polygon bbox (fp_min_lon .. fp_max_lat). Equi keys
+    (granule/region) keep the join partitioned; the interval predicate is
+    evaluated as a range condition Catalyst can optimize.
+    """
+    cond = (
+        (F.col("cell_min_lon") <= F.col("fp_max_lon"))
+        & (F.col("cell_max_lon") >= F.col("fp_min_lon"))
+        & (F.col("cell_min_lat") <= F.col("fp_max_lat"))
+        & (F.col("cell_max_lat") >= F.col("fp_min_lat"))
+    )
+    for k in join_keys:
+        cond = cond & (cells[k] == footprints[k])
+    return cells.join(footprints, cond, "inner")
+
+
+def day_alignment(
+    per_mission: dict[str, DataFrame], day_col: str = "day"
+) -> DataFrame:
+    """J5: align per-mission daily frames on the data-day; missing missions
+    yield null columns to be densified by the caller (G9)
+    (ref main.py:242-320, tools/deploy/run.py:566-580)."""
+    out: DataFrame | None = None
+    for name, df in per_mission.items():
+        renamed = df.select(
+            F.col(day_col),
+            *[F.col(c).alias(f"{name}_{c}") for c in df.columns if c != day_col],
+        )
+        out = renamed if out is None else out.join(renamed, on=day_col, how="full_outer")
+    assert out is not None
+    return out
+
+
+def completeness_holdback(
+    available: DataFrame,
+    expected: DataFrame,
+    day_col: str = "day",
+    collection_col: str = "collection",
+    status_col: str = "status",
+) -> DataFrame:
+    """J6: a day is processable only when every expected collection is
+    PRESENT or EXPECTED_ABSENT (ref tools/deploy/run.py:257-305). Returns the
+    qualifying days. ``available``: (day, collection); ``expected``:
+    (collection) or (collection, gap ranges already resolved to status)."""
+    joined = expected.crossJoin(available.select(day_col).distinct()).join(
+        available.withColumn("__present", F.lit(1)),
+        on=[day_col, collection_col],
+        how="left",
+    )
+    per_day = joined.groupBy(day_col).agg(
+        F.min(
+            F.when(
+                F.col("__present").isNotNull()
+                | (F.col(status_col) == "EXPECTED_ABSENT"),
+                1,
+            ).otherwise(0)
+        ).alias("__ok")
+    )
+    return per_day.filter(F.col("__ok") == 1).select(day_col)
+
+
+def sync_diff(
+    local: DataFrame,
+    remote: DataFrame,
+    key_col: str = "key",
+    size_col: str = "size",
+    mtime_col: str = "mtime",
+) -> DataFrame:
+    """J7: incremental-sync plan — full outer join on relative key; classify
+    upload-new / upload-changed / delete-orphan / unchanged
+    (ref tools/s3Sync/sync.py:87-165)."""
+    l = local.select(
+        F.col(key_col).alias("key"),
+        F.col(size_col).alias("l_size"),
+        F.col(mtime_col).alias("l_mtime"),
+    )
+    r = remote.select(
+        F.col(key_col).alias("key"),
+        F.col(size_col).alias("r_size"),
+        F.col(mtime_col).alias("r_mtime"),
+    )
+    joined = l.join(r, on="key", how="full_outer")
+    action = (
+        F.when(F.col("r_size").isNull(), "upload_new")
+        .when(F.col("l_size").isNull(), "delete_orphan")
+        .when(
+            (F.col("l_size") != F.col("r_size")) | (F.col("l_mtime") > F.col("r_mtime")),
+            "upload_changed",
+        )
+        .otherwise("unchanged")
+    )
+    return joined.withColumn("action", action)

@@ -1,0 +1,185 @@
+"""Sessionization / island detection — the reference's signature operator.
+
+The reference scans the sounding sequence with a Python loop, splitting it
+into contiguous *regions* (runs) of constant target id within a mode pass
+(ref processors/OCO3SamProcessor.py:356-432; global variant
+processors/OCO3SamGlobalProcessor.py:460-502; OCO-2 target-only
+processors/OCO2Processor.py:353-370; SIF with 'none'-id tolerance
+processors/OCO3SifProcessor.py:368-477). Adjacent runs of the same target
+separated by a short interruption are merged — CO2 strict
+``|last.stop - item.start| < margin`` (ref processors/OCO3SamProcessor.py:365-375),
+SIF inclusive ``<= margin`` with 'none' adoption
+(ref processors/OCO3SifProcessor.py:377-405) — and the merged slice *spans*
+the interrupting rows (``slice(last.start, item.stop)``), so swallowed
+off-mode soundings become region members.
+
+Spark-first formulation (no loops, no collect):
+  1. filter to the mode pass; a *span* breaks where the dense sounding index
+     jumps (an off-mode interruption);
+  2. (SIF) resolve 'none' ids inside a span by forward- then backward-fill;
+  3. runs = islands of constant effective id within a span
+     (``lag`` + running ``sum`` over ``Window.partitionBy(granule)``);
+  4. merge pass = second island detection over the *run table* with the
+     gap predicate (runs per granule-day are few, so this window is tiny);
+  5. membership = index-range join back to all rows (swallowed rows incl.).
+
+Semantics notes, verified against the reference loop:
+  - run ``stop_excl`` is always ``max(member idx) + 1`` — for target-change
+    boundaries (``slice(start, i)``), interruption flushes, and the
+    end-of-file flush (``slice(start, i + 1)``,
+    ref processors/OCO3SamProcessor.py:397-399) alike.
+  - merges only ever chain through the immediately-previous kept slice, so
+    A,B,A never merges; same-id chains A,A,A collapse transitively — both
+    reproduced by the cumulative-sum grouping.
+  - SIF 'none' runs attach to the previous run when the gap qualifies, else
+    to the following run (the reference's left-fold replace-id behavior).
+
+Scale: one shuffle by (granule) for the row window, one tiny shuffle for the
+run table, one broadcast-range join back. Granule-days are bounded (~1e5
+rows) so per-key ordering stays in-task; granules themselves distribute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_dense_index(
+    df: DataFrame, partition_cols: list[str], order_cols: list[str], idx_col: str = "idx"
+) -> DataFrame:
+    """Dense 0-based position per partition (the 'sounding index' when the
+    source does not carry one)."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return df.withColumn(idx_col, F.row_number().over(w) - 1)
+
+
+def detect_regions(
+    df: DataFrame,
+    partition_cols: list[str],
+    idx_col: str,
+    mode_col: str,
+    mode_value,
+    target_col: str,
+    margin: int = 2,
+    merge_inclusive: bool = False,
+    none_id: str | None = None,
+    region_col: str = "region_id",
+) -> DataFrame:
+    """One mode pass of the reference's segmentation. Returns the region
+    table: ``partition_cols + [region_col, target_col, start_idx,
+    stop_excl, n_runs, n_mode_rows]`` with ``region_col`` dense from 1 per
+    partition.
+
+    ``idx_col`` must be the dense per-partition sounding position.
+    CO2: ``margin=2, merge_inclusive=False`` (gap of 0-1 rows merges).
+    SIF: ``merge_inclusive=True, none_id='none'``.
+    """
+    rows = df.filter(F.col(mode_col) == mode_value).select(
+        *partition_cols, F.col(idx_col).alias("__idx"), F.col(target_col).alias("__tid")
+    )
+
+    w = Window.partitionBy(*partition_cols).orderBy("__idx")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    # Spans: contiguous stretches of in-mode rows.
+    prev_idx = F.lag("__idx").over(w)
+    new_span = (prev_idx.isNull() | (F.col("__idx") - prev_idx > 1)).cast("int")
+    rows = rows.withColumn("__span", F.sum(new_span).over(cum))
+
+    if none_id is not None:
+        ws = Window.partitionBy(*partition_cols, "__span").orderBy("__idx")
+        non_none = F.when(F.col("__tid") != none_id, F.col("__tid"))
+        ffill = F.last(non_none, ignorenulls=True).over(
+            ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        bfill = F.first(non_none, ignorenulls=True).over(
+            ws.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        rows = rows.withColumn("__eff", F.coalesce(ffill, bfill, F.lit(none_id)))
+    else:
+        rows = rows.withColumn("__eff", F.col("__tid"))
+
+    # Runs: islands of constant effective id within a span.
+    prev_span = F.lag("__span").over(w)
+    prev_eff = F.lag("__eff").over(w)
+    new_run = (
+        prev_span.isNull()
+        | (F.col("__span") != prev_span)
+        | ~F.col("__eff").eqNullSafe(prev_eff)
+    ).cast("int")
+    rows = rows.withColumn("__run", F.sum(new_run).over(cum))
+
+    runs = rows.groupBy(*partition_cols, "__run").agg(
+        F.first("__eff").alias("__tid"),
+        F.min("__idx").alias("__start"),
+        (F.max("__idx") + 1).alias("__stop"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+
+    # Merge pass over the run table (ref merge_last_or_append).
+    wr = Window.partitionBy(*partition_cols).orderBy("__start")
+    cumr = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_prev = F.col("__start") - F.lag("__stop").over(wr)
+    gap_ok = (gap_prev <= margin) if merge_inclusive else (gap_prev < margin)
+
+    if none_id is not None:
+        # Resolve 'none' runs: adopt the previous run's id when the gap
+        # qualifies, else the following run's id when that gap qualifies
+        # (ref processors/OCO3SifProcessor.py:386-392 replace_id).
+        gap_next = F.lead("__start").over(wr) - F.col("__stop")
+        next_gap_ok = gap_next <= margin
+        runs = runs.withColumn(
+            "__rid",
+            F.when(F.col("__tid") != none_id, F.col("__tid"))
+            .when(gap_prev.isNotNull() & gap_ok, F.lag("__tid").over(wr))
+            .when(gap_next.isNotNull() & next_gap_ok, F.lead("__tid").over(wr))
+            .otherwise(F.lit(none_id)),
+        )
+        same_id = F.col("__rid").eqNullSafe(F.lag("__rid").over(wr))
+    else:
+        runs = runs.withColumn("__rid", F.col("__tid"))
+        same_id = F.col("__rid").eqNullSafe(F.lag("__rid").over(wr))
+
+    merge_prev = F.coalesce(gap_ok & same_id, F.lit(False))
+    runs = runs.withColumn(region_col, F.sum((~merge_prev).cast("int")).over(cumr))
+
+    return (
+        runs.groupBy(*partition_cols, region_col)
+        .agg(
+            F.first("__rid").alias(target_col),
+            F.min("__start").alias("start_idx"),
+            F.max("__stop").alias("stop_excl"),
+            F.count(F.lit(1)).alias("n_runs"),
+            F.sum("__n").alias("n_mode_rows"),
+        )
+    )
+
+
+def assign_rows_to_regions(
+    df: DataFrame,
+    regions: DataFrame,
+    partition_cols: list[str],
+    idx_col: str,
+    region_col: str = "region_id",
+) -> DataFrame:
+    """Membership join: every row whose index falls inside a region's
+    ``[start_idx, stop_excl)`` extent — including swallowed off-mode rows,
+    matching the reference's ``isel(sounding_id=slice)`` selection
+    (ref processors/OCO3SamProcessor.py:447).
+
+    The region table is tiny relative to the fact table; Spark's broadcast
+    range join keeps this shuffle-free on the fact side.
+    """
+    rkeys = regions.select(
+        *[F.col(c).alias(f"__r_{c}") for c in partition_cols],
+        F.col(region_col),
+        "start_idx",
+        "stop_excl",
+    )
+    cond = F.lit(True)
+    for c in partition_cols:
+        cond = cond & (F.col(c) == F.col(f"__r_{c}"))
+    cond = cond & (F.col(idx_col) >= F.col("start_idx")) & (F.col(idx_col) < F.col("stop_excl"))
+    joined = df.join(F.broadcast(rkeys), cond, "inner")
+    return joined.drop(*[f"__r_{c}" for c in partition_cols])

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale plan:
+  - brute-force top-k cosine: broadcast the (small) query set against the
+    corpus; exact, the correctness baseline. Cosine is JVM-side
+    ``zip_with``/``aggregate`` (functions/vector.py), rank via window.
+  - IVF-style bucketed search: corpus pre-partitioned by coarse centroid
+    assignment; queries probe only their nearest ``nprobe`` buckets —
+    the 100 TB path (touches 1/nlist of the corpus per query).
+
+This generalizes the reference's only similarity operator — the OCO-2
+nearest-centroid association (ref processors/OCO2Processor.py:400-435) —
+from 2-D points to d-dim embeddings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query (excluding self).
+    Returns (query_id, neighbor_id, rank). Queries are broadcast; the corpus
+    is scanned once — per-row work is O(d·|Q|) in codegen, no shuffle until
+    the final per-query top-k window over |Q|·|corpus| candidate rows,
+    pre-pruned by a rank window partitioned on query."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", vector.cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
+    With ``block_col`` (e.g. an LSH bucket or IVF cell) the self-join is
+    blocked — the scale path; without it, exact all-pairs (test scale)."""
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    base = df.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    return (
+        a.join(b, cond)
+        .withColumn("cos", vector.cosine(F.col("a.vec"), F.col("b.vec")))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cell",
+    cent_vec: str = "centroid",
+) -> DataFrame:
+    """Assign each corpus vector to its nearest centroid cell (broadcast
+    centroids + rank-1 window) — the IVF build step. Centroids typically come
+    from a sampled k-means (or, as in the oracle tests, label means)."""
+    cents = F.broadcast(centroids.select(F.col(cent_id), F.col(cent_vec)))
+    scored = corpus.crossJoin(cents).withColumn(
+        "__cos", vector.cosine(F.col(vec_col), F.col(cent_vec))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc(cent_id))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "__cos", cent_vec)
+    )
+
+
+def ivf_knn(
+    assigned_corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cell",
+    cent_vec: str = "centroid",
+) -> DataFrame:
+    """IVF search: route each query to its ``nprobe`` nearest cells, then
+    exact top-k within those cells only. Returns (query_id, neighbor_id,
+    rank, cos). At 100 TB the cell equi-join key makes this a partitioned
+    hash join touching nprobe/nlist of the corpus."""
+    cents = F.broadcast(centroids.select(F.col(cent_id), F.col(cent_vec)))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    routed = q.crossJoin(cents).withColumn(
+        "__cos_c", vector.cosine(F.col("q_vec"), F.col(cent_vec))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("__cos_c"), F.asc(cent_id))
+    probes = (
+        routed.withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") <= nprobe)
+        .select("query_id", "q_vec", cent_id)
+    )
+    c = assigned_corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), F.col(cent_id)
+    )
+    scored = (
+        probes.join(c, cent_id)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", vector.cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -1,0 +1,104 @@
+"""Self-check harness replicating the driver's DuckDB-oracle comparison:
+row count, column names, and an order-insensitive value comparison of every
+catalog query against its oracle SQL. Used by tests/test_oracle_parity.py
+and runnable standalone:
+
+    python -m oco3_data_transformer_spark.oracle_check [sf_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from .catalog import REGISTRY
+from .sources.registry import TABLES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "␀"
+    if isinstance(v, float):
+        return f"{v:.6f}"
+    if isinstance(v, pd.Timestamp):
+        # pandas renders DATE columns from DuckDB as midnight datetime64 while
+        # Spark yields datetime.date objects; normalize midnights to the date
+        # string so both sides canonicalize identically.
+        if v.time() == pd.Timestamp(0).time() and v.tzinfo is None:
+            return v.date().isoformat()
+        return v.isoformat()
+    return str(v)
+
+
+def canonical_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = [tuple(_canon_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
+    return sorted(out)
+
+
+def compare_query(
+    spark: SparkSession, con: duckdb.DuckDBPyConnection, name: str, sf_dir: str
+) -> dict:
+    qd = REGISTRY[name]
+    sdf = qd.fn(spark, sf_dir).toPandas()
+    res = {"name": name, "rows": len(sdf), "oracle": qd.sql is not None}
+    if qd.sql is None:
+        res["match"] = len(sdf) >= 0
+        return res
+    ddf = con.execute(qd.sql).fetchdf()
+    res["oracle_rows"] = len(ddf)
+    cols_s, cols_d = sorted(sdf.columns), sorted(ddf.columns)
+    if cols_s != cols_d:
+        res["match"] = False
+        res["why"] = f"columns {cols_s} != {cols_d}"
+        return res
+    if len(sdf) != len(ddf):
+        res["match"] = False
+        res["why"] = f"rowcount {len(sdf)} != {len(ddf)}"
+        return res
+    rs, rd = canonical_rows(sdf), canonical_rows(ddf)
+    if rs != rd:
+        diffs = [(a, b) for a, b in zip(rs, rd) if a != b][:3]
+        res["match"] = False
+        res["why"] = f"values differ, first diffs: {diffs}"
+        return res
+    res["match"] = True
+    return res
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+    from .session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duck_connection(sf_dir)
+    failed = []
+    for name in REGISTRY:
+        try:
+            res = compare_query(spark, con, name, sf_dir)
+        except Exception as e:  # surface per-query failures, keep going
+            res = {"name": name, "match": False, "why": f"{type(e).__name__}: {e}"}
+        status = "OK " if res.get("match") else "FAIL"
+        print(f"{status} {name} rows={res.get('rows')} {res.get('why', '')}"[:300], flush=True)
+        if not res.get("match"):
+            failed.append(name)
+    print(f"\n{len(REGISTRY) - len(failed)}/{len(REGISTRY)} queries match")
+    if failed:
+        print("failed:", failed)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))

@@ -1,0 +1,45 @@
+"""Parquet table registry for the driver's synthetic tables (TESTDATA.md).
+
+Reads are plain ``spark.read.parquet`` so Catalyst predicate pushdown /
+column pruning reach the scan. Nothing is cached here — each query declares
+its own plan end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# Columns stored as parquet TIMESTAMP(NANOS), which Spark only reads via
+# spark.sql.legacy.parquet.nanosAsLong (set in session.py) — converted back
+# to microsecond timestamps here. Integer division (`div`) avoids the
+# precision loss a double division would incur on ns-epoch magnitudes.
+NANO_TS_COLS = {"events": ["ts"]}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(name)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col, dtype in df.dtypes:
+        if name in NANO_TS_COLS and col in NANO_TS_COLS[name] and dtype == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
