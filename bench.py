@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": "..."}
+
+Execution is forced with the noop sink (full pipeline runs, nothing is
+collected to the driver), matching how a cluster job would behave.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from oco3_data_transformer_spark.catalog import REGISTRY
+from oco3_data_transformer_spark.session import get_spark
+
+# Headline set: the operators whose physical plans matter most at scale —
+# wide aggregation, broadcast-join chain, range-refine join, sessionization
+# windows, shingle/LSH dedup, vector search, climatology rollup.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_filter_pushdown_revenue",
+    "q10_broadcast_dim_join",
+    "q13_range_refine_join",
+    "q17_sessionize_islands",
+    "q18_sessionize_gap_merge",
+    "q20_climatology_monthly",
+    "q25_dedup_keep_first",
+    "q31_ngram_jaccard_neardup",
+    "q32_minhash_lsh_neardup",
+    "q33_simhash_neardup",
+    "q34_knn_bruteforce",
+    "q40_ivf_knn",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on a trivial plan (excluded from timings).
+    REGISTRY["q24_coverage_attrs"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        ),
+        flush=True,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

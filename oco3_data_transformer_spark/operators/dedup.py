@@ -5,30 +5,30 @@ each designed shuffle-lean for 100 TB corpora:
 
   - exact: hash-groupBy on a content digest — one shuffle on a 128-bit key,
     no text comparison.
-  - n-gram Jaccard: shingle-explode → pair-join on shingle → count — the
-    join key is the shingle so identical shingles co-locate; candidate pairs
-    never materialize beyond co-occurring docs.
-  - MinHash LSH: signatures via deterministic universal hashing (portable,
-    oracle-checkable, see functions/hashing.py) → band buckets → pair join on
-    (band, bucket-hash) — the classic sub-quadratic path; the final Jaccard
-    verify runs only on candidates.
-  - SimHash: weighted bit-vote fingerprint; pairs within Hamming radius via
-    band partitioning of the fingerprint.
+  - n-gram Jaccard: shingle table → group-by-shingle pair generation (only
+    documents sharing a shingle ever pair; one shuffle on the shingle, pairs
+    emitted by an in-task array transform, no self-join).
+  - MinHash LSH: all k signature mins computed in ONE pass over the shingle
+    table (k aggregate columns, no k-way row explosion) → band buckets →
+    per-band equi-joins for candidates → exact Jaccard verify on candidates
+    only. Deterministic universal hashing (functions/hashing.py) keeps it
+    bit-identical to the ANSI-SQL oracle.
+  - SimHash: all 32 bit-votes as aggregate columns in one pass (no 32-way
+    explosion); banded candidate join (pigeonhole) + exact Hamming verify.
 
-All stages are built-in expressions (explode/groupBy/join) — no Python UDFs.
+All stages are built-in expressions (groupBy/join/array ops) — no Python
+UDFs anywhere.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import hashing, text
 
 
-def exact_dedup(
-    df: DataFrame, id_col: str, text_col: str
-) -> DataFrame:
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups by md5(text); canonical doc = min id.
     Returns (digest, canonical_id, n_dupes)."""
     return (
@@ -49,28 +49,65 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
-) -> DataFrame:
-    """Near-duplicate pairs with word-n-gram Jaccard >= threshold.
+def _join_cooccurrence_pairs(sh: DataFrame, key: str = "shingle") -> DataFrame:
+    """(id_a, id_b, n_common) via self-join on the key.
 
-    Pair generation joins on the shingle itself (co-occurrence), so only
-    documents sharing at least one shingle ever pair up; Jaccard =
-    |∩| / (|A| + |B| − |∩|) from per-doc distinct-shingle counts.
-    Returns (id_a, id_b, jacc) with id_a < id_b.
+    For *hot* keys (a stop-shingle shared by thousands of docs) the join
+    spreads the k² pair work across k build rows, and AQE skew-join splits
+    oversized partitions — unlike group-and-explode, which packs one key's
+    entire k² expansion into a single unsplittable task. Use this for raw
+    shingles; use :func:`_cooccurrence_pairs` for near-unique keys (LSH
+    buckets) where grouping is cheaper than a shuffle join.
     """
-    sh = shingle_table(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    a = sh.select(F.col("id").alias("id_a"), F.col(key))
+    b = sh.select(F.col("id").alias("id_b"), F.col(key))
+    return (
+        a.join(b, [key])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+
+
+def _cooccurrence_pairs(sh: DataFrame, key: str = "shingle") -> DataFrame:
+    """(id_a, id_b, n_common) for documents sharing >= 1 key.
+
+    Group-by-key then emit C(k,2) ordered pairs per key with a nested array
+    transform (JVM-side) — one shuffle on the key, no self-join. Right for
+    keys with small group sizes (LSH buckets, simhash bands); see
+    :func:`_join_cooccurrence_pairs` for skew-prone keys.
+    """
+    grouped = sh.groupBy(key).agg(F.array_sort(F.collect_list("id")).alias("ids"))
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")).agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+
+
+def _jaccard_filter(
+    inter: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
     out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        inter.join(
+            F.broadcast(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))),
+            "id_b",
+        )
         .withColumn(
             "jacc",
             F.col("n_common").cast("double")
@@ -81,71 +118,54 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "jacc")
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Near-duplicate pairs with word-n-gram Jaccard >= threshold.
+    Returns (id_a, id_b, jacc) with id_a < id_b."""
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = _join_cooccurrence_pairs(sh)
+    return _jaccard_filter(inter, sizes, threshold)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int | None = None
 ) -> DataFrame:
-    """MinHash signature rows (id, seed_idx, minhash) — k universal-hash
-    permutations over the 28-bit shingle hash. Fully deterministic and
-    reproducible in ANSI SQL (functions/hashing.py)."""
+    """Wide MinHash signatures (id, m0..m{k-1}) — k universal-hash
+    permutation minima computed as k aggregate columns in a single pass over
+    the shingle table. Deterministic and reproducible in ANSI SQL."""
     k = k or len(hashing.MINHASH_SEEDS)
     sh = shingle_table(df, id_col, text_col, n).withColumn(
         "h", hashing.portable_hash28(F.col("shingle"))
     )
-    per_seed = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("seed_idx"),
-                    hashing.minhash_value(F.col("h"), i).alias("hv"),
-                )
-                for i in range(k)
-            ]
-        )
-    ).alias("s")
-    return (
-        sh.select("id", per_seed)
-        .select("id", F.col("s.seed_idx").alias("seed_idx"), F.col("s.hv").alias("hv"))
-        .groupBy("id", "seed_idx")
-        .agg(F.min("hv").alias("minhash"))
+    return sh.groupBy("id").agg(
+        *[F.min(hashing.minhash_value(F.col("h"), i)).alias(f"m{i}") for i in range(k)]
     )
 
 
-def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 4
-) -> DataFrame:
-    """LSH banding: rows agree on a band iff all rows/band minhashes match.
-    Band key = md5 of the joined minhash values; candidates = distinct id
-    pairs sharing any (band, key) bucket."""
-    k = len(hashing.MINHASH_SEEDS)
+def minhash_band_buckets(signatures: DataFrame, bands: int = 4) -> DataFrame:
+    """(id, band, bucket) from wide signatures: bucket = md5 of the
+    comma-joined minima of the band's rows."""
+    k = len([c for c in signatures.columns if c.startswith("m")])
     rows_per_band = k // bands
-    banded = (
-        signatures.withColumn("band", (F.col("seed_idx") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("seed_idx", "minhash"))
-                        ),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("bucket")
+    cols = []
+    for b in range(bands):
+        member = [F.col(f"m{i}").cast("string") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *member)).alias("bucket"))
         )
+    return signatures.select("id", F.explode(F.array(*cols)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+
+
+def minhash_lsh_candidates(signatures: DataFrame, bands: int = 4) -> DataFrame:
+    """Distinct candidate id pairs sharing any LSH band bucket — generated by
+    group-by-bucket pair expansion (no self-join)."""
+    banded = minhash_band_buckets(signatures, bands)
+    return _cooccurrence_pairs(banded.select("id", F.concat_ws("|", "band", "bucket").alias("bb")), "bb").select(
+        "id_a", "id_b"
     )
 
 
@@ -165,22 +185,12 @@ def minhash_dedup(
     sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
     sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (
-        cands.join(sh_a, "id_a")
+        F.broadcast(cands).join(sh_a, "id_a")
         .join(sh_b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    out = (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
-        .withColumn(
-            "jacc",
-            F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
-        .filter(F.col("jacc") >= threshold)
-    )
-    return out.select("id_a", "id_b", "jacc")
+    return _jaccard_filter(inter, sizes, threshold)
 
 
 def simhash_fingerprints(
@@ -189,74 +199,58 @@ def simhash_fingerprints(
     """SimHash: per-document ``bits``-wide fingerprint from token-hash bit
     votes weighted by occurrence count (non-distinct tokens — frequency
     weighting discriminates far better than set membership on small shared
-    vocabularies). Pure bit arithmetic on the portable hash → reproducible
-    in SQL. Returns (id, simhash)."""
+    vocabularies). All ``bits`` votes are aggregate columns of one groupBy —
+    no per-bit row explosion. Returns (id, simhash)."""
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(text.tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", hashing.portable_hash64(F.col("tok")))
-    votes = toks.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("bit"),
-                        (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(
-                            "vote"
-                        ),
-                    )
-                    for j in range(bits)
-                ]
-            )
-        ).alias("v"),
-    ).select("id", F.col("v.bit").alias("bit"), F.col("v.vote").alias("vote"))
-    bitvals = (
-        votes.groupBy("id", "bit")
-        .agg(F.sum("vote").alias("s"))
-        .withColumn(
-            "bitval",
-            # SQL shiftleft accepts a column shift amount (the Python API
-            # wrapper only takes an int)
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        )
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
+            for j in range(bits)
+        ]
     )
-    return bitvals.groupBy("id").agg(F.sum("bitval").alias("simhash"))
+    fp: Column = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select("id", fp.alias("simhash"))
 
 
 def simhash_pairs(
     fingerprints: DataFrame, max_hamming: int = 1, bits: int = 32
 ) -> DataFrame:
     """Pairs of ids whose simhash Hamming distance <= max_hamming.
-    The pair join is banded (pigeonhole: distance <= h ⇒ at least one of
-    h+1 bands equal), so candidates come from per-band equi-joins — the
-    sub-quadratic scale path — and only candidates get the exact verify."""
+    Banded candidates (pigeonhole: distance <= h ⇒ >= 1 of h+1 bands equal)
+    via group-by-band-value pair expansion, then exact Hamming verify."""
     n_bands = max_hamming + 1
     width = bits // n_bands
     mask = (1 << width) - 1
     fp = fingerprints.select(F.col("id"), F.col("simhash"))
-    band_exprs = [
-        F.shiftright(F.col("simhash"), width * i).bitwiseAND(F.lit(mask)).alias(f"b{i}")
-        for i in range(n_bands)
-    ]
-    banded = fp.select("id", "simhash", *band_exprs)
-    pairs = None
-    for i in range(n_bands):
-        a = banded.alias("a")
-        b = banded.alias("b")
-        p = a.join(
-            b,
-            (F.col(f"a.b{i}") == F.col(f"b.b{i}")) & (F.col("a.id") < F.col("b.id")),
-        ).select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.distinct()
+    band_rows = fp.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(i),
+                        F.shiftright(F.col("simhash"), width * i)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("string"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    )
+    cands = _cooccurrence_pairs(band_rows, "bb").select("id_a", "id_b")
+    withfp = (
+        cands.join(fp.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a")), "id_a")
+        .join(fp.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b")), "id_b")
+    )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+    return withfp.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
