@@ -1,0 +1,280 @@
+"""Gridding / interpolation operators G1-G9 (SURVEY.md §2.5) — the core
+transform of the reference pipeline.
+
+The reference interpolates each region's point soundings onto a fixed
+lon×lat mesh with ``scipy.interpolate.griddata`` (ref
+processors/OCO3SamProcessor.py:66-214: mesh 106-109, interp 161-182), with a
+fallback to 'nearest' when a region has < 4 points (ref :153-159).
+
+Spark-first design:
+  - the kernel is a *grouped-map pandas UDF* (``applyInPandas``) — one group
+    per (day, region), Arrow-batched, numpy-vectorized inside. Regions are
+    independent, so the operator scales linearly with executors; there is no
+    cross-region communication at all.
+  - 'nearest' is implemented exactly in numpy (argmin of squared Euclidean
+    distance in lon/lat space, matching scipy's KD-tree result up to ties).
+  - 'linear'/'cubic' use scipy when importable; scipy is absent in this
+    environment, so they fall back to 'nearest' when ``allow_fallback`` else
+    raise NotImplementedError — the Spark-side plumbing (grouping, schema,
+    batch shape) is identical either way, which is the part that matters for
+    the engine.
+  - the footprint mask (G6/J4) is a bbox range-join prefilter in pure
+    DataFrame ops + an exact numpy refine (operators/geometry.py) in an
+    Arrow-batched pandas UDF.
+  - first-writer-wins rasterization (G7) is a row_number window, with the
+    explicit deterministic region order the reference gets implicitly from
+    its Python loop (ref processors/OCO3SamGlobalProcessor.py:330-339).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # pragma: no cover - scipy absent in this environment
+    from scipy.interpolate import griddata as _scipy_griddata  # type: ignore
+
+    HAVE_SCIPY = True
+except Exception:  # pragma: no cover
+    _scipy_griddata = None
+    HAVE_SCIPY = False
+
+MIN_POINTS_FOR_LINEAR = 4  # ref processors/OCO3SamProcessor.py:153-159
+
+GLOBAL_BBOX = (-180.0, -90.0, 180.0, 90.0)  # ref utils/XI.py:86-87
+
+
+def make_mesh(
+    min_lon: float, min_lat: float, max_lon: float, max_lat: float,
+    lon_res: int, lat_res: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cell-center coordinate vectors of the target mesh (float32), matching
+    the reference's ``np.mgrid[min:max:res*1j]`` endpoint-inclusive linspace
+    (ref processors/OCO3SamProcessor.py:106-109)."""
+    lons = np.linspace(min_lon, max_lon, lon_res, dtype=np.float32)
+    lats = np.linspace(min_lat, max_lat, lat_res, dtype=np.float32)
+    return lons, lats
+
+
+def nearest_gridder(
+    pts_lon: np.ndarray, pts_lat: np.ndarray, values: np.ndarray,
+    mesh_lon: np.ndarray, mesh_lat: np.ndarray,
+) -> np.ndarray:
+    """Exact 'nearest' interpolation: for every mesh cell the value of the
+    Euclidean-nearest point (lon/lat plane). Returns (n_lat, n_lon)."""
+    glon, glat = np.meshgrid(mesh_lon.astype(np.float64), mesh_lat.astype(np.float64))
+    # (cells, points) squared distance; chunk cells to bound memory
+    flat_lon = glon.ravel()
+    flat_lat = glat.ravel()
+    out = np.empty(flat_lon.shape[0], dtype=np.float64)
+    chunk = max(1, 2_000_000 // max(1, len(pts_lon)))
+    for s in range(0, len(flat_lon), chunk):
+        e = s + chunk
+        d2 = (flat_lon[s:e, None] - pts_lon[None, :]) ** 2 + (
+            flat_lat[s:e, None] - pts_lat[None, :]
+        ) ** 2
+        out[s:e] = values[np.argmin(d2, axis=1)]
+    return out.reshape(glat.shape)
+
+
+def grid_points(
+    pts_lon: np.ndarray, pts_lat: np.ndarray, values: np.ndarray,
+    mesh_lon: np.ndarray, mesh_lat: np.ndarray,
+    method: str = "nearest", allow_fallback: bool = True,
+) -> np.ndarray:
+    """G1 kernel with G3 fallback semantics: linear/cubic need >= 4 points
+    else 'nearest' (ref processors/OCO3SamProcessor.py:153-159). NaN fill
+    outside the convex hull for linear/cubic (scipy semantics)."""
+    good = ~np.isnan(values)
+    pts_lon, pts_lat, values = pts_lon[good], pts_lat[good], values[good]
+    if len(values) == 0:
+        return np.full((len(mesh_lat), len(mesh_lon)), np.nan)
+    eff = method
+    if method in ("linear", "cubic") and len(values) < MIN_POINTS_FOR_LINEAR:
+        eff = "nearest"
+    if eff in ("linear", "cubic"):
+        if HAVE_SCIPY:
+            glon, glat = np.meshgrid(mesh_lon, mesh_lat)
+            return _scipy_griddata(
+                np.column_stack([pts_lon, pts_lat]), values, (glon, glat),
+                method=eff, fill_value=np.nan,
+            )
+        if not allow_fallback:
+            raise NotImplementedError(
+                "linear/cubic griddata requires scipy (Qhull triangulation), "
+                "which is unavailable here; pass allow_fallback=True for "
+                "'nearest' semantics"
+            )
+        eff = "nearest"
+    return nearest_gridder(pts_lon, pts_lat, values, mesh_lon, mesh_lat)
+
+
+def grid_regions(
+    soundings: DataFrame,
+    region_keys: list[str],
+    value_cols: list[str],
+    lon_col: str = "longitude",
+    lat_col: str = "latitude",
+    lon_res: int = 40,
+    lat_res: int = 40,
+    method: str = "nearest",
+    bbox_cols: tuple[str, str, str, str] | None = None,
+) -> DataFrame:
+    """G1/G2 as a grouped-map operator: one ``applyInPandas`` group per
+    region, emitting long-format grid rows (region keys..., lat_idx,
+    lon_idx, lat, lon, <value_col>... interpolated).
+
+    ``bbox_cols``: per-row target bbox columns (min_lon, min_lat, max_lon,
+    max_lat) from the J1 broadcast join; when None the global mesh bbox is
+    used (G2, ref processors/OCO3SamGlobalProcessor.py:67-205).
+
+    Scale: groups are independent; Spark hashes region keys across
+    executors. Mesh size × variables bounds each group's output
+    (lat_res·lon_res rows), so task memory is deterministic.
+    """
+    key_fields = [soundings.schema[k] for k in region_keys]
+    out_schema = T.StructType(
+        [*key_fields,
+         T.StructField("lat_idx", T.IntegerType()),
+         T.StructField("lon_idx", T.IntegerType()),
+         T.StructField("lat", T.FloatType()),
+         T.StructField("lon", T.FloatType()),
+         *[T.StructField(c, T.DoubleType()) for c in value_cols]]
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        if bbox_cols is not None:
+            b = pdf.iloc[0]
+            bbox = (b[bbox_cols[0]], b[bbox_cols[1]], b[bbox_cols[2]], b[bbox_cols[3]])
+        else:
+            bbox = GLOBAL_BBOX
+        mesh_lon, mesh_lat = make_mesh(bbox[0], bbox[1], bbox[2], bbox[3], lon_res, lat_res)
+        plon = pdf[lon_col].to_numpy(dtype=np.float64)
+        plat = pdf[lat_col].to_numpy(dtype=np.float64)
+        lat_idx, lon_idx = np.meshgrid(
+            np.arange(lat_res, dtype=np.int32), np.arange(lon_res, dtype=np.int32),
+            indexing="ij",
+        )
+        out = {
+            "lat_idx": lat_idx.ravel(),
+            "lon_idx": lon_idx.ravel(),
+            "lat": np.repeat(mesh_lat, lon_res),
+            "lon": np.tile(mesh_lon, lat_res),
+        }
+        for k in region_keys:
+            out[k] = np.repeat(pdf[k].iloc[0], lat_res * lon_res)
+        for c in value_cols:
+            vals = pdf[c].to_numpy(dtype=np.float64)
+            out[c] = grid_points(plon, plat, vals, mesh_lon, mesh_lat, method).ravel()
+        return pd.DataFrame(out)[[f.name for f in out_schema.fields]]
+
+    return soundings.groupBy(*region_keys).applyInPandas(fit, out_schema)
+
+
+_REFINE_SCHEMA = T.BooleanType()
+
+
+def mask_cells_by_footprints(
+    cells: DataFrame,
+    footprints: DataFrame,
+    region_keys: list[str],
+    cell_half_lon: float,
+    cell_half_lat: float,
+    scale_factor: float = 1.0,
+) -> DataFrame:
+    """G6/J4: keep grid cells whose cell box intersects >= 1 sounding
+    footprint of the same region.
+
+    Phase 1 (coarse, pure DataFrame): equi-join on region keys + bbox
+    interval overlap — the reference's ``argwhere`` band prefilter
+    (ref processors/OCO3SamProcessor.py:253-267) as a range-join condition.
+    Phase 2 (exact): Arrow-batched pandas UDF over the surviving pairs using
+    the numpy box×polygon predicate (ref :279-295 ``intersects``).
+    Left-semi at the end: one surviving footprint is enough.
+
+    ``footprints`` columns: region keys + ``v_lon`` / ``v_lat``
+    (array<float>, unclosed ring). ``cells``: region keys + lat/lon centers
+    + lat_idx/lon_idx.
+    """
+    from ..operators.geometry import boxes_intersect_polygons, scale_footprint
+
+    fp = footprints.select(
+        *[F.col(k).alias(f"__f_{k}") for k in region_keys],
+        F.col("v_lon"),
+        F.col("v_lat"),
+        F.array_min("v_lon").alias("fp_min_lon"),
+        F.array_max("v_lon").alias("fp_max_lon"),
+        F.array_min("v_lat").alias("fp_min_lat"),
+        F.array_max("v_lat").alias("fp_max_lat"),
+    )
+    cond = F.lit(True)
+    for k in region_keys:
+        cond = cond & (F.col(k) == F.col(f"__f_{k}"))
+    cond = (
+        cond
+        & (F.col("lon") - cell_half_lon <= F.col("fp_max_lon"))
+        & (F.col("lon") + cell_half_lon >= F.col("fp_min_lon"))
+        & (F.col("lat") - cell_half_lat <= F.col("fp_max_lat"))
+        & (F.col("lat") + cell_half_lat >= F.col("fp_min_lat"))
+    )
+    paired = cells.join(fp, cond, "inner")
+
+    @F.pandas_udf(_REFINE_SCHEMA)
+    def refine(
+        lon: pd.Series, lat: pd.Series, v_lon: pd.Series, v_lat: pd.Series
+    ) -> pd.Series:
+        if len(lon) == 0:
+            return pd.Series([], dtype=bool)
+        px = np.stack(v_lon.to_numpy()).astype(np.float64)
+        py = np.stack(v_lat.to_numpy()).astype(np.float64)
+        if scale_factor != 1.0:
+            px, py = scale_footprint(px, py, scale_factor)
+        res = boxes_intersect_polygons(
+            lon.to_numpy(dtype=np.float64) - cell_half_lon,
+            lat.to_numpy(dtype=np.float64) - cell_half_lat,
+            lon.to_numpy(dtype=np.float64) + cell_half_lon,
+            lat.to_numpy(dtype=np.float64) + cell_half_lat,
+            px,
+            py,
+        )
+        return pd.Series(res)
+
+    hits = paired.filter(refine(F.col("lon"), F.col("lat"), F.col("v_lon"), F.col("v_lat")))
+    mask_cells = hits.select(*region_keys, "lat_idx", "lon_idx").distinct()
+    return cells.join(mask_cells, [*region_keys, "lat_idx", "lon_idx"], "left_semi")
+
+
+def first_wins_rasterize(
+    masked_cells: DataFrame,
+    pixel_keys: list[str],
+    order_col: str,
+    meta_cols: list[str],
+) -> DataFrame:
+    """G7: per global pixel keep the metadata of the first-writing region —
+    deterministic via explicit ordering (region index), which the reference
+    gets implicitly from loop order (ref
+    processors/OCO3SamGlobalProcessor.py:270-412)."""
+    w = Window.partitionBy(*pixel_keys).orderBy(order_col)
+    return (
+        masked_cells.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(*pixel_keys, *meta_cols)
+    )
+
+
+def densify_empty_day(
+    spark_df_template: DataFrame,
+    day_value,
+    fill: float | None = None,
+) -> DataFrame:
+    """G9: synthesize a full fill-value grid for a mission-day with no data
+    (ref processors/Processor.py:51-76, OCO3SamGlobalProcessor.py:639-718).
+    ``spark_df_template`` supplies the (lat_idx, lon_idx, lat, lon) cells;
+    value columns become the fill literal."""
+    out = spark_df_template.withColumn("time", F.lit(day_value).cast("timestamp"))
+    return out.withColumn("value", F.lit(fill).cast("double"))

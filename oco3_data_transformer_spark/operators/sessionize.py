@@ -162,11 +162,15 @@ def assign_rows_to_regions(
     partition_cols: list[str],
     idx_col: str,
     region_col: str = "region_id",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Membership join: every row whose index falls inside a region's
     ``[start_idx, stop_excl)`` extent — including swallowed off-mode rows,
     matching the reference's ``isel(sounding_id=slice)`` selection
     (ref processors/OCO3SamProcessor.py:447).
+
+    ``carry_cols``: extra region-table columns to propagate onto the member
+    rows (e.g. the region's resolved target id, the mode pass).
 
     The region table is tiny relative to the fact table; Spark's broadcast
     range join keeps this shuffle-free on the fact side.
@@ -176,6 +180,7 @@ def assign_rows_to_regions(
         F.col(region_col),
         "start_idx",
         "stop_excl",
+        *(carry_cols or []),
     )
     cond = F.lit(True)
     for c in partition_cols:

@@ -1,0 +1,14 @@
+"""Shared SparkSession for the test suite (local mode, AQE + Arrow on)."""
+
+from __future__ import annotations
+
+import pytest
+
+from oco3_data_transformer_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
