@@ -947,6 +947,8 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# Part 2 of the catalog (documents/embeddings: dedup, similarity search,
-# text analysis) registers itself into the same REGISTRY on import.
+# Parts 2 and 3 of the catalog (documents/embeddings: dedup, similarity
+# search, text analysis; pandas-UDF kernels: gridding, mission pipeline,
+# multimodal) register themselves into the same REGISTRY on import.
 from . import catalog_text  # noqa: E402,F401  (import-time registration)
+from . import catalog_kernels  # noqa: E402,F401  (import-time registration)

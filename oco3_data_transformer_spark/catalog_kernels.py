@@ -1,0 +1,169 @@
+"""Catalog part 3: the pandas-UDF kernels (gridding, mission pipeline,
+multimodal) exposed to the driver.
+
+q41 oracle-checks the *actual grouped-map gridding kernel* (applyInPandas →
+numpy argmin) against a DuckDB replica of its math: the float32 linspace
+mesh is reproduced with ``CAST(i*step AS REAL)`` (np.linspace computes
+float64 ``i*step``, forces the endpoint, then casts), distances in float64.
+Coordinates are CRT-unique per region (custkey mod 5/97/89) so no two
+points share a coordinate and exact distance ties cannot occur.
+
+q42/q43 are genuinely non-SQL-expressible (multi-stage pipeline with
+geometry refine; binary decode) → rows-only checks, unit-tested in
+tests/test_pipeline.py and tests/test_multimodal.py.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import register
+from .operators import grid as grid_ops
+from .operators import multimodal as mm
+from .plans import pipeline as pipe
+from .schemas import TARGETS_OCO3
+from .sources.registry import load
+
+GRID_RES = 8
+
+
+def _mesh_sql(idx_name: str, res: int, lo: float, hi: float) -> str:
+    step = f"(CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE)) / {res - 1}"
+    return f"""
+        SELECT i AS {idx_name},
+               CASE WHEN i = {res - 1} THEN CAST({hi} AS REAL)
+                    ELSE CAST(CAST({lo} AS DOUBLE) + i * {step} AS REAL) END AS coord
+        FROM (SELECT unnest(generate_series(0, {res - 1})) AS i)
+    """
+
+
+_Q41_SQL = f"""
+    WITH pts AS (
+        SELECT c_custkey % 5 AS region,
+               (c_custkey % 97) / CAST(9.7 AS DOUBLE) AS lon,
+               (c_custkey % 89) / CAST(8.9 AS DOUBLE) AS lat,
+               c_acctbal AS v
+        FROM customer),
+    lons AS ({_mesh_sql('lon_idx', GRID_RES, 0.0, 10.0)}),
+    lats AS ({_mesh_sql('lat_idx', GRID_RES, 0.0, 10.0)}),
+    scored AS (
+        SELECT p.region, la.lat_idx, lo.lon_idx, p.v,
+               (CAST(lo.coord AS DOUBLE) - p.lon) * (CAST(lo.coord AS DOUBLE) - p.lon)
+             + (CAST(la.coord AS DOUBLE) - p.lat) * (CAST(la.coord AS DOUBLE) - p.lat) AS d2
+        FROM lons lo CROSS JOIN lats la CROSS JOIN pts p),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY region, lat_idx, lon_idx ORDER BY d2) AS rk
+        FROM scored)
+    SELECT CAST(region AS BIGINT) AS region, lat_idx, lon_idx,
+           round(v, 2) AS xco2
+    FROM ranked WHERE rk = 1
+"""
+
+
+@register(
+    "q41_grid_kernel",
+    _Q41_SQL,
+    doc="G1/G2 grouped-map gridding kernel (applyInPandas, 'nearest'): "
+    "per-region point clouds onto an 8x8 float32 mesh; the DuckDB oracle "
+    "replicates the linspace/argmin math bit-for-bit. "
+    "ref processors/OCO3SamProcessor.py:66-214.",
+)
+def q41(spark: SparkSession, sf: str) -> DataFrame:
+    cu = load(spark, sf, "customer")
+    pts = cu.select(
+        (F.col("c_custkey") % 5).alias("region"),
+        (F.col("c_custkey") % 97 / F.lit(9.7)).alias("longitude"),
+        (F.col("c_custkey") % 89 / F.lit(8.9)).alias("latitude"),
+        F.col("c_acctbal").alias("xco2"),
+        F.lit(0.0).alias("min_lon"), F.lit(0.0).alias("min_lat"),
+        F.lit(10.0).alias("max_lon"), F.lit(10.0).alias("max_lat"),
+    )
+    out = grid_ops.grid_regions(
+        pts, ["region", "min_lon", "min_lat", "max_lon", "max_lat"], ["xco2"],
+        lon_res=GRID_RES, lat_res=GRID_RES, method="nearest",
+        bbox_cols=("min_lon", "min_lat", "max_lon", "max_lat"),
+    )
+    return out.select(
+        "region", "lat_idx", "lon_idx", F.round("xco2", 2).alias("xco2")
+    )
+
+
+@register(
+    "q42_oco3_pipeline",
+    None,
+    doc="§3.1 end-to-end OCO-3 pipeline (segment → QF split → J1 → grid → "
+    "footprint mask) over soundings synthesized deterministically from the "
+    "events table; geometry refine + grouped-map kernel make it "
+    "non-SQL-expressible (unit goldens in tests/test_pipeline.py).",
+)
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    soundings = ev.select(
+        F.concat(F.lit("g"), (F.col("user_id") % 4).cast("string")).alias("granule"),
+        F.col("event_id").alias("sounding_id"),
+        F.col("ts"),
+        (F.col("user_id") % 3).cast("string").alias("tkey"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    w_idx = F.row_number().over(
+        Window.partitionBy("granule").orderBy("ts", "sounding_id")
+    ) - 1
+    lat = (F.col("value") % 8).cast("float")
+    lon = (F.col("value") * 3 % 8).cast("float")
+    d = F.lit(0.05)
+    soundings = soundings.select(
+        "granule",
+        w_idx.cast("long").alias("sounding_idx"),
+        F.col("sounding_id").cast("long"),
+        F.date_trunc("DAY", "ts").alias("time"),
+        lat.alias("latitude"),
+        lon.alias("longitude"),
+        F.array(lat - d, lat - d, lat + d, lat + d).alias("vertex_latitude"),
+        F.array(lon - d, lon + d, lon + d, lon - d).alias("vertex_longitude"),
+        F.when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type").isin("click", "view"), 4)
+        .otherwise(0).cast("byte").alias("operation_mode"),
+        F.concat(F.lit("t"), F.col("tkey")).alias("target_id"),
+        F.concat(F.lit("name-t"), F.col("tkey")).alias("target_name"),
+        (F.col("value") < 5).cast("byte").alias("xco2_quality_flag"),
+        F.col("value").cast("double").alias("xco2"),
+        (F.col("value") / 10).cast("double").alias("xco2_uncertainty"),
+    )
+    targets = spark.createDataFrame(
+        [
+            ("t0", "Target Zero", -0.5, -0.5, 8.5, 8.5),
+            ("t1", "Target One", -0.5, -0.5, 8.5, 8.5),
+            # t2 ABSENT -> unknown-target regions dropped by J1
+        ],
+        TARGETS_OCO3,
+    )
+    out = pipe.process_oco3_granules(
+        soundings, targets, lon_res=6, lat_res=6, method="nearest"
+    )
+    return out.groupBy("qf", "target_id", "mode").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("region_id").alias("n_regions"),
+    )
+
+
+@register(
+    "q43_image_features",
+    None,
+    doc="Multimodal: synthetic raw-codec image corpus → mapInPandas "
+    "decode + intensity features → relational rollup; binary decode is "
+    "non-SQL-expressible (goldens in tests/test_multimodal.py).",
+)
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    n = 200 if "0.1" in sf else 50
+    imgs = mm.synthetic_images(spark, n)
+    feats = mm.image_features(imgs)
+    return feats.groupBy((F.col("item_id") % 4).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
+        F.round(F.sum("n_bytes"), 0).cast("long").alias("total_bytes"),
+    )

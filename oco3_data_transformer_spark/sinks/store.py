@@ -1,0 +1,164 @@
+"""The gridded time-series store (S6/S7/S10, SURVEY.md §2.1) as partitioned
+Parquet with idempotent-append / upsert / verify semantics.
+
+The reference appends to Zarr along ``time`` and then *verifies* the store
+(monotonic time, no duplicate slices) with auto-sort/dedup/rewrite plus a
+backup/restore machinery around every write (ref writers/ZarrWriter.py:82-408,
+utils/ZarrUtils.py:115-344, tools/repair/repair.py:65-312). A columnar table
+store makes most of that machinery unnecessary:
+
+  - rows are long-format ``(mission, target_id, qf, time, lat_idx, lon_idx,
+    variable, value)`` slices (schemas.STORE_SLICE);
+  - *append* is idempotent: slices whose key already exists are anti-joined
+    away first (the reference's keep-first duplicate semantics, ref
+    writers/ZarrWriter.py:374-378 ``drop_duplicates(keep='first')``);
+  - *upsert* replaces whole slice-partitions via dynamic partition overwrite
+    (the late-data "repair" path, ref tools/deploy/run.py:315-331) — an
+    ACID-table MERGE on a Delta/Iceberg catalog in production, expressed
+    here over plain Parquet partitions;
+  - *verify* reports (and repair rewrites) the invariants the reference
+    enforces post-append; sort order is irrelevant to a relational store, so
+    only duplicate keys are a real defect.
+
+Partition layout ``(mission, qf, date(time))`` keeps time-range queries
+partition-pruned (F8) and makes upsert touch only the affected days —
+at 100 TB each day×mission×qf partition is rewritten independently, no
+store-wide lock or backup copy.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# The identity of one stored raster cell (ref ZarrWriter dedups on `time`
+# alone because one store holds one mission×target×qf; the unified table
+# carries them as columns).
+SLICE_KEY = ["mission", "target_id", "qf", "time", "lat_idx", "lon_idx", "variable"]
+PARTITION_COLS = ["mission", "qf", "day"]
+
+
+def _with_day(df: DataFrame) -> DataFrame:
+    return df.withColumn("day", F.to_date("time"))
+
+
+def store_exists(spark: SparkSession, path: str) -> bool:
+    try:
+        spark.read.parquet(path).limit(1).collect()
+        return True
+    except Exception:
+        return False
+
+
+def append(spark: SparkSession, df: DataFrame, path: str) -> int:
+    """Idempotent append: drop incoming rows whose slice key is already
+    present (keep-first, ref writers/ZarrWriter.py:374-378), then append.
+    Returns the number of rows written.
+
+    The existing-key anti-join reads only the partitions the incoming batch
+    touches (partition filter on day/mission/qf), not the whole store.
+    """
+    new = _with_day(df.dropDuplicates(SLICE_KEY))
+    if store_exists(spark, path):
+        existing = spark.read.parquet(path)
+        days = [r.day for r in new.select("day").distinct().collect()]
+        existing = existing.filter(F.col("day").isin(days)).select(*SLICE_KEY)
+        new = new.join(existing, on=SLICE_KEY, how="left_anti")
+    n = new.count()
+    if n:
+        new.write.mode("append").partitionBy(*PARTITION_COLS).parquet(path)
+    return n
+
+
+def upsert(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """Late-data repair path: replace every (mission, qf, day) partition the
+    batch touches with the batch's rows for it (ref tools/deploy/run.py:315-331
+    — a new granule for an already-processed day reprocesses that day).
+    Dynamic partition overwrite = partition-scoped MERGE."""
+    new = _with_day(df.dropDuplicates(SLICE_KEY))
+    (
+        new.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*PARTITION_COLS)
+        .parquet(path)
+    )
+
+
+def verify(spark: SparkSession, path: str) -> dict:
+    """S7: post-append invariants — no duplicate slice keys, per-store time
+    coverage (A7). Returns a report dict (the reference logs + auto-repairs;
+    ref writers/ZarrWriter.py:328-408)."""
+    df = spark.read.parquet(path)
+    dupes = (
+        df.groupBy(*SLICE_KEY).agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    cov = df.agg(
+        F.min("time").alias("start"), F.max("time").alias("end"),
+        F.count(F.lit(1)).alias("rows"),
+    ).collect()[0]
+    return {
+        "duplicate_keys": dupes.count(),
+        "coverage_start": cov["start"],
+        "coverage_end": cov["end"],
+        "rows": cov["rows"],
+    }
+
+
+def repair(spark: SparkSession, path: str) -> int:
+    """Dedup-rewrite repair (replaces backup/restore S10): keep one row per
+    slice key (deterministic min value — the reference keeps the first
+    written; Parquet row order is not a contract, so pick by value), rewrite
+    only the affected partitions."""
+    df = spark.read.parquet(path)
+    w = Window.partitionBy(*SLICE_KEY).orderBy(F.col("value").asc_nulls_last())
+    bad_days = (
+        df.groupBy(*PARTITION_COLS).agg(F.count(F.lit(1)).alias("n"))
+        .join(
+            df.dropDuplicates(SLICE_KEY).groupBy(*PARTITION_COLS)
+            .agg(F.count(F.lit(1)).alias("m")),
+            on=PARTITION_COLS,
+        )
+        .filter(F.col("n") > F.col("m"))
+        .select(*PARTITION_COLS)
+    )
+    fixed = (
+        df.join(F.broadcast(bad_days), on=PARTITION_COLS, how="left_semi")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    n = fixed.count()
+    if n:
+        (
+            fixed.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*PARTITION_COLS)
+            .parquet(path)
+        )
+    return n
+
+
+def coverage(spark: SparkSession, path: str) -> dict:
+    """A7 store coverage attrs."""
+    row = (
+        spark.read.parquet(path)
+        .agg(F.min("time").alias("s"), F.max("time").alias("e"))
+        .collect()[0]
+    )
+    return {"coverage_start": row["s"], "coverage_end": row["e"]}
+
+
+def checksum(spark: SparkSession, path: str) -> str:
+    """S12: deterministic whole-store digest — sorted per-row md5 folded
+    into one (the reference's Merkle-fold over files,
+    ref tools/zarrChecksum/checksum.py:142-189). Engine-side it is a
+    tree-aggregated md5-of-sorted-md5s over rows, stable across partitioning."""
+    df = spark.read.parquet(path)
+    row_digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in sorted(df.columns)]))
+    out = df.select(row_digest.alias("d")).agg(
+        F.md5(F.concat_ws("", F.sort_array(F.collect_list("d")))).alias("digest")
+    )
+    return out.collect()[0]["digest"]

@@ -1,0 +1,79 @@
+"""Store sink (S6/S7/S10/S12) tests: idempotent append, upsert-repair,
+verify/repair invariants, coverage, checksum stability."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from oco3_data_transformer_spark.schemas import STORE_SLICE
+from oco3_data_transformer_spark.sinks import store
+
+D1 = dt.datetime(2024, 3, 1)
+D2 = dt.datetime(2024, 3, 2)
+
+
+def _slices(spark, day, values, target="t1", qf="pre"):
+    rows = [
+        ("oco3", target, qf, day, i, i, "xco2", float(v))
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(rows, STORE_SLICE)
+
+
+def test_append_then_idempotent_reappend(spark, tmp_path):
+    path = str(tmp_path / "store")
+    n1 = store.append(spark, _slices(spark, D1, [1, 2, 3]), path)
+    assert n1 == 3
+    # identical batch again: nothing new (keep-first duplicate semantics)
+    n2 = store.append(spark, _slices(spark, D1, [9, 9, 9]).withColumn(
+        "value", F.lit(9.0)
+    ), path)
+    assert n2 == 0
+    df = spark.read.parquet(path)
+    assert df.count() == 3
+    assert {r.value for r in df.collect()} == {1.0, 2.0, 3.0}  # first write won
+
+
+def test_append_new_day_and_verify(spark, tmp_path):
+    path = str(tmp_path / "store")
+    store.append(spark, _slices(spark, D1, [1, 2]), path)
+    store.append(spark, _slices(spark, D2, [5]), path)
+    rep = store.verify(spark, path)
+    assert rep["duplicate_keys"] == 0
+    assert rep["rows"] == 3
+    assert rep["coverage_start"] == D1 and rep["coverage_end"] == D2
+
+
+def test_upsert_replaces_partition(spark, tmp_path):
+    path = str(tmp_path / "store")
+    store.append(spark, _slices(spark, D1, [1, 2, 3]), path)
+    # late-data repair: same day arrives reprocessed with 2 cells only
+    store.upsert(spark, _slices(spark, D1, [7, 8]), path)
+    df = spark.read.parquet(path)
+    assert df.count() == 2
+    assert {r.value for r in df.collect()} == {7.0, 8.0}
+
+
+def test_repair_removes_duplicates(spark, tmp_path):
+    path = str(tmp_path / "store")
+    # write duplicates directly (bypassing append's guard)
+    bad = _slices(spark, D1, [1, 2]).unionAll(_slices(spark, D1, [1, 2]))
+    bad.withColumn("day", F.to_date("time")).write.partitionBy(
+        "mission", "qf", "day"
+    ).parquet(path)
+    assert store.verify(spark, path)["duplicate_keys"] == 2
+    store.repair(spark, path)
+    rep = store.verify(spark, path)
+    assert rep["duplicate_keys"] == 0 and rep["rows"] == 2
+
+
+def test_checksum_stable_across_partitioning(spark, tmp_path):
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    data = _slices(spark, D1, [1, 2, 3, 4])
+    store.append(spark, data, p1)
+    store.append(spark, data.repartition(7), p2)
+    assert store.checksum(spark, p1) == store.checksum(spark, p2)
+    store.append(spark, _slices(spark, D2, [9]), p2)
+    assert store.checksum(spark, p1) != store.checksum(spark, p2)

@@ -1,0 +1,130 @@
+"""Streaming ingest (S5, §2.10): file-drop source → foreachBatch with
+completeness hold-back, idempotent append, late-data repair, ledger, and
+dead-letter split — driven with Trigger.AvailableNow batches."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from oco3_data_transformer_spark.sinks import store
+from oco3_data_transformer_spark.streaming import ingest
+
+RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("granule", T.StringType()),
+        T.StructField("mission", T.StringType()),
+        T.StructField("sounding_idx", T.LongType()),
+        T.StructField("time", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+D1 = dt.datetime(2024, 3, 1)
+D2 = dt.datetime(2024, 3, 2)
+
+
+def _transform(rows):
+    """Toy slice transform: one store row per sounding."""
+    return rows.select(
+        F.col("mission"),
+        F.lit("t1").alias("target_id"),
+        F.lit("pre").alias("qf"),
+        F.date_trunc("DAY", "time").alias("time"),
+        F.col("sounding_idx").cast("int").alias("lat_idx"),
+        F.col("sounding_idx").cast("int").alias("lon_idx"),
+        F.lit("xco2").alias("variable"),
+        F.col("value"),
+    )
+
+
+@pytest.fixture()
+def cfg(tmp_path):
+    return ingest.IngestConfig(
+        input_dir=str(tmp_path / "drop"),
+        store_path=str(tmp_path / "store"),
+        ledger_path=str(tmp_path / "ledger"),
+        dead_letter_path=str(tmp_path / "dead"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        expected_missions=("oco3", "oco2"),
+        expected_absent=(("oco2", "2024-03-02"),),
+    )
+
+
+def _drop(spark, cfg, rows, subdir):
+    df = spark.createDataFrame(rows, RAW_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(cfg.input_dir)
+
+
+def _run(spark, cfg):
+    q = ingest.start_ingest(spark, cfg, RAW_SCHEMA, _transform, available_now=True)
+    q.awaitTermination(120)
+
+
+def test_holdback_then_complete_then_repair(spark, cfg, tmp_path):
+    # Batch 1: D1 has only oco3 (incomplete — held back);
+    #          D2 has oco3 and oco2 is EXPECTED_ABSENT (complete).
+    _drop(
+        spark, cfg,
+        [
+            ("g1", "oco3", 0, D1, 1.0),
+            ("g1", "oco3", 1, D1, 2.0),
+            ("g2", "oco3", 0, D2, 5.0),
+        ],
+        "b1",
+    )
+    _run(spark, cfg)
+    stored = spark.read.parquet(cfg.store_path)
+    days = {r.day for r in stored.select(F.to_date("time").alias("day")).distinct().collect()}
+    assert days == {D2.date()}  # D1 deferred
+
+    # Batch 2: oco2 for D1 arrives -> D1 becomes complete... but the
+    # oco3 D1 rows were consumed by batch 1. The orchestrator's contract is
+    # at-least-once: re-drop the full D1 day (the reference re-stages all
+    # granules of a repair day, ref tools/deploy/run.py:315-331).
+    _drop(
+        spark, cfg,
+        [
+            ("g1", "oco3", 0, D1, 1.0),
+            ("g1", "oco3", 1, D1, 2.0),
+            ("g3", "oco2", 0, D1, 9.0),
+        ],
+        "b2",
+    )
+    _run(spark, cfg)
+    stored = spark.read.parquet(cfg.store_path)
+    days = {r.day for r in stored.select(F.to_date("time").alias("day")).distinct().collect()}
+    assert days == {D1.date(), D2.date()}
+
+    ledger = spark.read.parquet(cfg.ledger_path)
+    assert {r.granule for r in ledger.select("granule").distinct().collect()} == {
+        "g1", "g2", "g3"
+    }
+
+    # Batch 3: late data for processed D2 -> upsert (repair) replaces the day
+    _drop(spark, cfg, [("g4", "oco3", 0, D2, 7.0)], "b3")
+    _run(spark, cfg)
+    d2_vals = {
+        r.value
+        for r in spark.read.parquet(cfg.store_path)
+        .filter(F.to_date("time") == D2.date()).collect()
+    }
+    assert d2_vals == {7.0}
+
+
+def test_poison_rows_dead_lettered(spark, cfg):
+    _drop(
+        spark, cfg,
+        [
+            ("g1", "oco3", 0, D1, 1.0),
+            (None, "oco3", None, D1, 2.0),  # poison: no granule/idx
+        ],
+        "b1",
+    )
+    _run(spark, cfg)
+    dead = spark.read.parquet(cfg.dead_letter_path)
+    assert dead.count() == 1
+    assert dead.collect()[0].value == 2.0
