@@ -71,18 +71,23 @@ def bpe_ish_token_count_sql(expr: str) -> str:
 def word_ngrams(col: Column, n: int) -> Column:
     """array<string> of space-joined word n-grams (shingles) of ``col``.
 
-    Expressed with transform over token indices — stays in codegen; the
-    identical semantics are reproduced in :func:`word_ngrams_sql`.
+    The token array is *lambda-bound* (wrapped in a 1-element array and
+    consumed through ``transform``) so the regex tokenizer runs exactly once
+    per row. A naive formulation references ``tokens(col)`` from inside the
+    per-index lambda, and Spark's higher-order functions re-evaluate
+    non-lambda-bound subtrees on every lambda invocation — re-tokenizing
+    the document once per shingle (~50× slower on real text).
+    Identical semantics are reproduced in :func:`word_ngrams_sql`.
     """
-    toks = tokens(col)
-    count = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(-1)))
-    return F.when(count < n, F.array()).otherwise(
-        F.transform(
-            idx,
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+
+    def build(toks: Column) -> Column:
+        count = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(-1)))
+        return F.when(count < n, F.array().cast("array<string>")).otherwise(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
         )
-    )
+
+    return F.element_at(F.transform(F.array(tokens(col)), build), 1)
 
 
 def word_ngrams_sql(expr: str, n: int) -> str:

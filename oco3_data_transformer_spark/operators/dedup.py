@@ -49,6 +49,30 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     )
 
 
+def hashed_shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, with_h28: bool = False
+) -> DataFrame:
+    """(id, h[, h28]) distinct shingles with the *string replaced by a 64-bit
+    hash before the distinct shuffle* — the join/distinct key is 8 bytes
+    instead of a ~20-40 byte string, and every downstream consumer (pair
+    join, sizes, MinHash signatures) reuses this single exchange.
+
+    xxhash64 collisions would merge two distinct shingles; at corpus scale
+    (10^9 shingles) the expected number of colliding pairs is ~0.03 — far
+    below any Jaccard-threshold sensitivity. ``with_h28`` adds the portable
+    md5-based 28-bit hash (the MinHash base domain, which the SQL oracle
+    defines over the shingle *string* — so it must be computed before the
+    string is dropped)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(text.word_ngrams(F.col(text_col), n)).alias("shingle"),
+    )
+    cols = [F.xxhash64("shingle").alias("h")]
+    if with_h28:
+        cols.append(hashing.portable_hash28(F.col("shingle")).alias("h28"))
+    return base.select("id", *cols).dropDuplicates(["id", "h"])
+
+
 def _join_cooccurrence_pairs(sh: DataFrame, key: str = "shingle") -> DataFrame:
     """(id_a, id_b, n_common) via self-join on the key.
 
@@ -122,10 +146,13 @@ def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
     """Near-duplicate pairs with word-n-gram Jaccard >= threshold.
-    Returns (id_a, id_b, jacc) with id_a < id_b."""
-    sh = shingle_table(df, id_col, text_col, n)
+    Returns (id_a, id_b, jacc) with id_a < id_b.
+
+    One shuffle builds the hashed shingle table; sizes and the pair join
+    both hang off it (ReusedExchange — verify with .explain)."""
+    sh = hashed_shingle_table(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = _join_cooccurrence_pairs(sh)
+    inter = _join_cooccurrence_pairs(sh, key="h")
     return _jaccard_filter(inter, sizes, threshold)
 
 
@@ -136,11 +163,17 @@ def minhash_signatures(
     permutation minima computed as k aggregate columns in a single pass over
     the shingle table. Deterministic and reproducible in ANSI SQL."""
     k = k or len(hashing.MINHASH_SEEDS)
-    sh = shingle_table(df, id_col, text_col, n).withColumn(
-        "h", hashing.portable_hash28(F.col("shingle"))
-    )
-    return sh.groupBy("id").agg(
-        *[F.min(hashing.minhash_value(F.col("h"), i)).alias(f"m{i}") for i in range(k)]
+    sh = hashed_shingle_table(df, id_col, text_col, n, with_h28=True)
+    return _signatures_from(sh, k)
+
+
+def _signatures_from(hashed_sh: DataFrame, k: int | None = None) -> DataFrame:
+    k = k or len(hashing.MINHASH_SEEDS)
+    return hashed_sh.groupBy("id").agg(
+        *[
+            F.min(hashing.minhash_value(F.col("h28"), i)).alias(f"m{i}")
+            for i in range(k)
+        ]
     )
 
 
@@ -178,15 +211,19 @@ def minhash_dedup(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup: LSH candidates verified with exact
-    n-gram Jaccard. Returns (id_a, id_b, jacc)."""
-    cands = minhash_lsh_candidates(minhash_signatures(df, id_col, text_col, n), bands)
-    sh = shingle_table(df, id_col, text_col, n)
+    n-gram Jaccard. Returns (id_a, id_b, jacc).
+
+    Every stage — signatures, candidate generation, Jaccard verify, sizes —
+    hangs off ONE hashed-shingle exchange (ReusedExchange in the plan): the
+    corpus is tokenized and shuffled exactly once."""
+    sh = hashed_shingle_table(df, id_col, text_col, n, with_h28=True)
+    cands = minhash_lsh_candidates(_signatures_from(sh), bands)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
-    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    sh_a = sh.select(F.col("id").alias("id_a"), "h")
+    sh_b = sh.select(F.col("id").alias("id_b"), "h")
     inter = (
         F.broadcast(cands).join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "shingle"])
+        .join(sh_b, ["id_b", "h"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
