@@ -233,14 +233,18 @@ def _q37_sql() -> str:
 )
 def q37(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
-    feats = text.quality_features(F.col("text"))
-    return docs.select(
+    # explode(array(struct)) = Generate barrier: features computed once per
+    # row, field extraction cannot re-expand the expression per column
+    qs = docs.select(
+        "doc_id", F.explode(F.array(text.quality_struct(F.col("text")))).alias("q")
+    )
+    return qs.select(
         "doc_id",
-        feats["n_char"].cast("long").alias("n_char"),
-        feats["n_tok"].cast("long").alias("n_tok"),
-        F.round(feats["mean_tok_len"], 4).alias("mean_tok_len"),
-        F.round(feats["stopword_ratio"], 4).alias("stopword_ratio"),
-        F.round(feats["punct_ratio"], 4).alias("punct_ratio"),
+        F.col("q.n_char").cast("long").alias("n_char"),
+        F.col("q.n_tok").cast("long").alias("n_tok"),
+        F.round("q.mean_tok_len", 4).alias("mean_tok_len"),
+        F.round("q.stopword_ratio", 4).alias("stopword_ratio"),
+        F.round("q.punct_ratio", 4).alias("punct_ratio"),
     )
 
 

@@ -117,14 +117,42 @@ def lang_scores(col: Column) -> dict[str, Column]:
 
 def lang_id(col: Column) -> Column:
     """argmax language by marker count; ties broken by language code order;
-    'und' (undetermined) when no marker hits at all."""
-    scores = lang_scores(col)
-    ordered = sorted(scores.keys())
-    expr = F.struct(F.lit(-1).alias("score"), F.lit("und").alias("lang"))
-    for lang in ordered:
-        cand_score = scores[lang]
-        expr = F.when(cand_score > expr["score"], F.struct(cand_score.alias("score"), F.lit(lang).alias("lang"))).otherwise(expr)
-    return F.when(expr["score"] <= 0, F.lit("und")).otherwise(expr["lang"])
+    'und' (undetermined) when no marker hits at all.
+
+    The token array is lambda-bound (see :func:`word_ngrams`) so the text is
+    tokenized once per row, and the argmax is an ``aggregate`` fold whose
+    accumulator is a bound *variable* — a ``when``-chain fold would double
+    the expression tree per language (2^n subtrees), which interpreted
+    higher-order functions evaluate literally (no codegen CSE)."""
+
+    def pick(toks: Column) -> Column:
+        def contains(words: list[str]):
+            arr = F.array(*[F.lit(w) for w in words])
+            return lambda t: F.array_contains(arr, t)
+
+        entries = F.array(
+            *[
+                F.struct(
+                    F.size(F.filter(toks, contains(LANG_MARKERS[lang]))).alias("score"),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang in sorted(LANG_MARKERS)
+            ]
+        )
+        best = F.aggregate(
+            entries,
+            F.struct(F.lit(-1).alias("score"), F.lit("und").alias("lang")),
+            lambda acc, s: F.when(s["score"] > acc["score"], s).otherwise(acc),
+        )
+        return F.element_at(
+            F.transform(
+                F.array(best),
+                lambda b: F.when(b["score"] <= 0, F.lit("und")).otherwise(b["lang"]),
+            ),
+            1,
+        )
+
+    return F.element_at(F.transform(F.array(tokens(col)), pick), 1)
 
 
 def lang_id_sql(expr: str) -> str:
@@ -152,27 +180,47 @@ def lang_id_sql(expr: str) -> str:
     )
 
 
-def quality_features(col: Column) -> dict[str, Column]:
-    """Document quality features: char length, token count, mean token length,
-    stopword ratio, non-alnum (punctuation) ratio. All doubles rounded by the
-    caller for oracle comparison."""
-    toks = tokens(col)
-    n_tok = F.size(toks)
-    n_char = F.length(col)
-    n_alnum = F.length(F.regexp_replace(F.lower(col), TOKEN_SPLIT_RE, ""))
-    n_stop = F.size(
-        F.filter(
-            toks,
-            lambda t: F.array_contains(F.array(*[F.lit(w) for w in STOPWORDS_EN]), t),
-        )
+def quality_struct(col: Column) -> Column:
+    """Document quality features as ONE struct column computed in a single
+    pass: char length, token count, mean token length, stopword ratio,
+    non-alnum (punctuation) ratio. The tokenizer and the alnum-strip regex
+    are lambda-bound so each runs once per row; consume via
+    ``explode(array(quality_struct(...)))`` (a Generate barrier) so field
+    extraction doesn't re-expand the expression per output column."""
+    pre = F.struct(
+        tokens(col).alias("toks"),
+        F.length(col).alias("n_char"),
+        F.length(F.regexp_replace(F.lower(col), TOKEN_SPLIT_RE, "")).alias("n_alnum"),
     )
-    return {
-        "n_char": n_char,
-        "n_tok": n_tok,
-        "mean_tok_len": F.when(n_tok > 0, n_alnum.cast("double") / n_tok).otherwise(F.lit(0.0)),
-        "stopword_ratio": F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(F.lit(0.0)),
-        "punct_ratio": (n_char - n_alnum).cast("double") / F.greatest(n_char, F.lit(1)),
-    }
+
+    def build(p: Column) -> Column:
+        toks, n_char, n_alnum = p["toks"], p["n_char"], p["n_alnum"]
+        n_tok = F.size(toks)
+        n_stop = F.size(
+            F.filter(
+                toks,
+                lambda t: F.array_contains(F.array(*[F.lit(w) for w in STOPWORDS_EN]), t),
+            )
+        )
+        return F.struct(
+            n_char.alias("n_char"),
+            n_tok.alias("n_tok"),
+            F.when(n_tok > 0, n_alnum.cast("double") / n_tok)
+            .otherwise(F.lit(0.0)).alias("mean_tok_len"),
+            F.when(n_tok > 0, n_stop.cast("double") / n_tok)
+            .otherwise(F.lit(0.0)).alias("stopword_ratio"),
+            ((n_char - n_alnum).cast("double") / F.greatest(n_char, F.lit(1)))
+            .alias("punct_ratio"),
+        )
+
+    return F.element_at(F.transform(F.array(pre), build), 1)
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Dict view of :func:`quality_struct` (each entry is an independent
+    expression — prefer quality_struct + explode when selecting several)."""
+    qs = quality_struct(col)
+    return {k: qs[k] for k in ("n_char", "n_tok", "mean_tok_len", "stopword_ratio", "punct_ratio")}
 
 
 def quality_features_sql(expr: str) -> dict[str, str]:
