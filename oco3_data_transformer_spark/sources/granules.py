@@ -1,0 +1,128 @@
+"""Granule sources (S1/S2/S4, SURVEY.md §2.1): NetCDF-like mission granule
+files → sounding DataFrames.
+
+The reference opens each granule with h5netcdf, projects the configured
+variable groups, eagerly loads them, and normalizes fill values to NaN
+(ref readers/GranuleReader.py:45-155); S3 objects are fetched with MD5 +
+content-length verification (ref :157-236); batch inputs arrive as
+validated YAML file lists (ref runconfig.py:106-114, main.py:102-123).
+
+Spark-first design:
+  - file listing is a ``binaryFile`` scan (or a work-item DataFrame for
+    pre-signed paths): Spark distributes the *files*, one decode task per
+    granule — the analog of the reference's granule thread pool, minus the
+    pool (S2's integrity/download concerns are the s3a committer's job).
+  - decode is ``mapInPandas`` with a pluggable per-format decoder; column
+    projection (F1) is passed INTO the decoder so only requested variables
+    are materialized (the reference's projection pushdown,
+    ref readers/GranuleReader.py:115-117) — with a DataSource V2 this would
+    be ``requiredSchema``; the pragmatic reader achieves the same pruning
+    one layer up.
+  - h5netcdf/xarray are not in this container, so the NetCDF decoder raises
+    ``NotImplementedError`` at the format boundary; the 'npz' decoder (numpy
+    archives, one array per variable — structurally a NetCDF group) is fully
+    implemented and exercises every part of the harness.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FILL_VALUE_DEFAULT = -999999.0  # normalized to NaN on decode (ref GranuleReader _FillValue)
+
+
+def decode_npz(payload: bytes, variables: list[str] | None) -> pd.DataFrame:
+    """Decode a .npz granule: each entry is a 1-D array column over the
+    sounding dimension (2-D entries become array columns, e.g. vertex
+    corners). Float fill values are normalized to NaN
+    (ref readers/GranuleReader.py:151-153 mask_and_scale)."""
+    with np.load(io.BytesIO(payload)) as z:
+        names = [n for n in z.files if variables is None or n in variables]
+        cols = {}
+        for n in names:
+            arr = z[n]
+            if arr.dtype.kind == "f":
+                arr = np.where(arr == FILL_VALUE_DEFAULT, np.nan, arr)
+            if arr.ndim == 1:
+                cols[n] = arr
+            elif arr.ndim == 2:
+                cols[n] = list(arr)
+            else:
+                raise ValueError(f"variable {n}: ndim {arr.ndim} unsupported")
+    return pd.DataFrame(cols)
+
+
+def decode_netcdf(payload: bytes, variables: list[str] | None) -> pd.DataFrame:
+    """NetCDF4/HDF5 granule decode — requires h5netcdf/xarray
+    (unavailable in this container; the harness, projection, and schema
+    handling are format-independent and tested via decode_npz)."""
+    try:  # pragma: no cover - optional dependency
+        import xarray  # type: ignore  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "NetCDF decoding requires xarray+h5netcdf; plug decode_netcdf in "
+            "when available — the Spark-side reader is decoder-agnostic"
+        ) from e
+    raise NotImplementedError("wire xarray.open_dataset(BytesIO) here")
+
+
+DECODERS: dict[str, Callable[[bytes, list[str] | None], pd.DataFrame]] = {
+    "npz": decode_npz,
+    "nc4": decode_netcdf,
+}
+
+
+def read_granules(
+    spark: SparkSession,
+    path_glob: str,
+    schema: T.StructType,
+    fmt: str = "npz",
+    variables: list[str] | None = None,
+) -> DataFrame:
+    """S1: distributed granule scan → sounding rows.
+
+    ``schema`` is the projected output schema (must include ``granule``,
+    the source-file identity column the segmentation partitions on).
+    ``variables`` defaults to the schema's columns — the F1 projection
+    pushdown: the decoder never materializes unselected variables.
+
+    Scale: one file = one Arrow batch stream; `binaryFile` splits the
+    *listing* across executors, decode is embarrassingly parallel, and no
+    shuffle happens until the first keyed operator downstream.
+    """
+    decoder = DECODERS[fmt]
+    out_cols = [f.name for f in schema.fields]
+    wanted = variables or [c for c in out_cols if c != "granule"]
+
+    files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                cols = decoder(row.content, wanted)
+                cols["granule"] = row.path.rsplit("/", 1)[-1]
+                missing = [c for c in out_cols if c not in cols.columns]
+                for c in missing:
+                    cols[c] = None
+                yield cols[out_cols]
+
+    return files.mapInPandas(run, schema)
+
+
+def file_list_input(spark: SparkSession, entries: list[dict]) -> DataFrame:
+    """S4: validated batch file-list input → work-item DataFrame
+    (ref runconfig.py:106-114; schema check main.py:102-123). Each entry:
+    ``{path, mission[, day]}``; bad entries raise ValueError (the
+    reference's reject path)."""
+    for e in entries:
+        if not isinstance(e.get("path"), str) or not isinstance(e.get("mission"), str):
+            raise ValueError(f"invalid file-list entry: {e!r}")
+    rows = [(e["path"], e["mission"], e.get("day")) for e in entries]
+    return spark.createDataFrame(rows, "path string, mission string, day string")
