@@ -37,6 +37,7 @@ HEADLINE = [
     "q33_simhash_neardup",
     "q34_knn_bruteforce",
     "q40_ivf_knn",
+    "q41_grid_kernel",
 ]
 
 

@@ -587,6 +587,7 @@ def q17(spark: SparkSession, sf: str) -> DataFrame:
         mode_value=1,
         target_col="event_type",
         margin=0,  # no gaps exist (single span), merge disabled
+        order_cols=["ts", "event_id"],  # reuse the index window's sort
     )
     return regions.select(
         "user_id",
@@ -661,6 +662,7 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
         target_col="event_type",
         margin=2,
         merge_inclusive=False,
+        order_cols=["ts", "event_id"],  # reuse the index window's sort
     )
     return regions.select(
         "user_id", "region_id", "event_type", "start_idx", "stop_excl", "n_runs", "n_mode_rows"

@@ -101,6 +101,27 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
     "non-SQL-expressible (unit goldens in tests/test_pipeline.py).",
 )
 def q42(spark: SparkSession, sf: str) -> DataFrame:
+    soundings = _synth_oco3_soundings(spark, sf)
+    targets = spark.createDataFrame(
+        [
+            ("t0", "Target Zero", -0.5, -0.5, 8.5, 8.5),
+            ("t1", "Target One", -0.5, -0.5, 8.5, 8.5),
+            # t2 ABSENT -> unknown-target regions dropped by J1
+        ],
+        TARGETS_OCO3,
+    )
+    out = pipe.process_oco3_granules(
+        soundings, targets, lon_res=6, lat_res=6, method="nearest"
+    )
+    return out.groupBy("qf", "target_id", "mode").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("region_id").alias("n_regions"),
+    )
+
+
+def _synth_oco3_soundings(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic OCO-3-shaped soundings derived from the events table
+    (scales with sf; exercises segmentation, QF, gridding, masking)."""
     ev = load(spark, sf, "events")
     soundings = ev.select(
         F.concat(F.lit("g"), (F.col("user_id") % 4).cast("string")).alias("granule"),
@@ -134,20 +155,22 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
         F.col("value").cast("double").alias("xco2"),
         (F.col("value") / 10).cast("double").alias("xco2_uncertainty"),
     )
-    targets = spark.createDataFrame(
-        [
-            ("t0", "Target Zero", -0.5, -0.5, 8.5, 8.5),
-            ("t1", "Target One", -0.5, -0.5, 8.5, 8.5),
-            # t2 ABSENT -> unknown-target regions dropped by J1
-        ],
-        TARGETS_OCO3,
-    )
-    out = pipe.process_oco3_granules(
-        soundings, targets, lon_res=6, lat_res=6, method="nearest"
-    )
-    return out.groupBy("qf", "target_id", "mode").agg(
-        F.count(F.lit(1)).alias("n_cells"),
-        F.countDistinct("region_id").alias("n_regions"),
+    return soundings
+
+
+@register(
+    "q44_oco3_global_raster",
+    None,
+    doc="Global-mode pipeline (G2/G6/G7): shared global mesh per (qf, day), "
+    "footprint-union mask, first-wins target-metadata rasterization; "
+    "geometry refine makes it non-SQL-expressible (goldens in "
+    "tests/test_global_pipeline.py). ref OCO3SamGlobalProcessor.py:67-625.",
+)
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    soundings = _synth_oco3_soundings(spark, sf)
+    out = pipe.process_oco3_global(soundings, lon_res=19, lat_res=10)
+    return out.groupBy("qf", "target_id", "target_type", "operation_mode").agg(
+        F.count(F.lit(1)).alias("n_pixels"),
     )
 
 

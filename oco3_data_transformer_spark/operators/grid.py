@@ -179,27 +179,27 @@ def grid_regions(
 _REFINE_SCHEMA = T.BooleanType()
 
 
-def mask_cells_by_footprints(
+def footprint_cell_hits(
     cells: DataFrame,
     footprints: DataFrame,
     region_keys: list[str],
     cell_half_lon: float,
     cell_half_lat: float,
     scale_factor: float = 1.0,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """G6/J4: keep grid cells whose cell box intersects >= 1 sounding
-    footprint of the same region.
+    """J4 both phases, returning surviving (cell, footprint) PAIRS.
 
     Phase 1 (coarse, pure DataFrame): equi-join on region keys + bbox
     interval overlap — the reference's ``argwhere`` band prefilter
     (ref processors/OCO3SamProcessor.py:253-267) as a range-join condition.
     Phase 2 (exact): Arrow-batched pandas UDF over the surviving pairs using
     the numpy box×polygon predicate (ref :279-295 ``intersects``).
-    Left-semi at the end: one surviving footprint is enough.
 
     ``footprints`` columns: region keys + ``v_lon`` / ``v_lat``
-    (array<float>, unclosed ring). ``cells``: region keys + lat/lon centers
-    + lat_idx/lon_idx.
+    (array<float>, unclosed ring) + any ``carry_cols`` (e.g. region index +
+    target metadata for G7). ``cells``: region keys + lat/lon centers +
+    lat_idx/lon_idx.
     """
     from ..operators.geometry import boxes_intersect_polygons, scale_footprint
 
@@ -211,6 +211,7 @@ def mask_cells_by_footprints(
         F.array_max("v_lon").alias("fp_max_lon"),
         F.array_min("v_lat").alias("fp_min_lat"),
         F.array_max("v_lat").alias("fp_max_lat"),
+        *(carry_cols or []),
     )
     cond = F.lit(True)
     for k in region_keys:
@@ -244,7 +245,26 @@ def mask_cells_by_footprints(
         )
         return pd.Series(res)
 
-    hits = paired.filter(refine(F.col("lon"), F.col("lat"), F.col("v_lon"), F.col("v_lat")))
+    return paired.filter(
+        refine(F.col("lon"), F.col("lat"), F.col("v_lon"), F.col("v_lat"))
+    ).drop(*[f"__f_{k}" for k in region_keys], "fp_min_lon", "fp_max_lon",
+           "fp_min_lat", "fp_max_lat", "v_lon", "v_lat")
+
+
+def mask_cells_by_footprints(
+    cells: DataFrame,
+    footprints: DataFrame,
+    region_keys: list[str],
+    cell_half_lon: float,
+    cell_half_lat: float,
+    scale_factor: float = 1.0,
+) -> DataFrame:
+    """G6/J4: keep grid cells whose cell box intersects >= 1 sounding
+    footprint of the same region — left-semi over :func:`footprint_cell_hits`
+    (one surviving footprint is enough)."""
+    hits = footprint_cell_hits(
+        cells, footprints, region_keys, cell_half_lon, cell_half_lat, scale_factor
+    )
     mask_cells = hits.select(*region_keys, "lat_idx", "lon_idx").distinct()
     return cells.join(mask_cells, [*region_keys, "lat_idx", "lon_idx"], "left_semi")
 

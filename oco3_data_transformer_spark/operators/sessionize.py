@@ -65,6 +65,7 @@ def detect_regions(
     merge_inclusive: bool = False,
     none_id: str | None = None,
     region_col: str = "region_id",
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """One mode pass of the reference's segmentation. Returns the region
     table: ``partition_cols + [region_col, target_col, start_idx,
@@ -74,12 +75,24 @@ def detect_regions(
     ``idx_col`` must be the dense per-partition sounding position.
     CO2: ``margin=2, merge_inclusive=False`` (gap of 0-1 rows merges).
     SIF: ``merge_inclusive=True, none_id='none'``.
+
+    ``order_cols``: columns whose sort order EQUALS the idx order (e.g. the
+    keys ``assign_dense_index`` ranked by). When the index was just computed
+    by a window over those keys, ordering this pass's windows by them lets
+    Spark reuse the existing partitioning+sort instead of re-sorting on the
+    derived index column (one Sort node saved on the fact table).
     """
+    order_cols = order_cols or [idx_col]
     rows = df.filter(F.col(mode_col) == mode_value).select(
-        *partition_cols, F.col(idx_col).alias("__idx"), F.col(target_col).alias("__tid")
+        *partition_cols,
+        F.col(idx_col).alias("__idx"),
+        F.col(target_col).alias("__tid"),
+        *[c for c in order_cols if c != idx_col],
     )
 
-    w = Window.partitionBy(*partition_cols).orderBy("__idx")
+    w = Window.partitionBy(*partition_cols).orderBy(
+        *[c if c != idx_col else "__idx" for c in order_cols]
+    )
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     # Spans: contiguous stretches of in-mode rows.

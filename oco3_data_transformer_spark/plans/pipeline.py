@@ -198,6 +198,106 @@ def _mask_with_row_halves(
     return gridded.join(mask_cells, key, "left_semi")
 
 
+def process_oco3_global(
+    soundings: DataFrame,
+    lon_res: int = 72,
+    lat_res: int = 36,
+    method: str = "nearest",
+    value_cols: list[str] | None = None,
+    mask_scale: float = 1.0,
+) -> DataFrame:
+    """Global-mode pipeline (ref processors/OCO3SamGlobalProcessor.py:67-625):
+    all regions of a day interpolate onto ONE shared global mesh, masked to
+    the union of footprints, with target metadata rasterized first-wins (G7).
+
+    Output long rows: (qf, time, lat_idx, lon_idx, lat, lon, <value>...,
+    target_id, target_type, operation_mode) — metadata fill is null outside
+    any footprint-claimed pixel (the reference uses −1 codes at encode time,
+    ref :721-728; the sink applies encoding).
+
+    Scale: the grid kernel groups by (qf, day) — one task per day per QF
+    branch; the mask/raster join is partitioned on the same keys, and the
+    global mesh never exists densely outside each task.
+    """
+    from ..functions.scalar import determine_id_type
+    from ..operators import grid as grid_ops
+
+    value_cols = value_cols or ["xco2", "xco2_uncertainty"]
+
+    regions = segment_oco3(soundings)  # keeps 'Missing' targets: global mode
+    rows = sess_ops.assign_rows_to_regions(
+        soundings.drop("target_id", "target_name"), regions,
+        ["granule"], "sounding_idx", carry_cols=["mode", "target_id"],
+    )
+    rows = rows.persist()
+    good = F.col("xco2_quality_flag") == 0
+    region_cols = ["granule", "mode", "region_id"]
+    pre = rows.withColumn("qf", F.lit("pre"))
+    post = (
+        filter_ops.drop_regions_without_good(rows.filter(good), region_cols, F.lit(True))
+        .withColumn("qf", F.lit("post"))
+    )
+    both = pre.unionByName(post).withColumn("time", F.date_trunc("DAY", F.col("time")))
+
+    # G2: one grid fit per (qf, day) over the shared global mesh
+    gridded = grid_ops.grid_regions(
+        both, ["qf", "time"], value_cols,
+        lon_col="longitude", lat_col="latitude",
+        lon_res=lon_res, lat_res=lat_res, method=method, bbox_cols=None,
+    )
+
+    half_lon = (grid_ops.GLOBAL_BBOX[2] - grid_ops.GLOBAL_BBOX[0]) / (2 * max(lon_res - 1, 1))
+    half_lat = (grid_ops.GLOBAL_BBOX[3] - grid_ops.GLOBAL_BBOX[1]) / (2 * max(lat_res - 1, 1))
+
+    # deterministic region order for first-wins: (granule, mode, region_id)
+    order = F.concat_ws("|", F.col("f_granule"), F.col("f_mode"), F.col("f_region_id"))
+    footprints = both.select(
+        F.col("qf"), F.col("time"),
+        F.col("vertex_longitude").alias("v_lon"),
+        F.col("vertex_latitude").alias("v_lat"),
+        F.col("granule").alias("f_granule"),
+        F.col("mode").alias("f_mode"),
+        F.col("region_id").alias("f_region_id"),
+        F.col("target_id").alias("f_target_id"),
+    )
+    hits = grid_ops.footprint_cell_hits(
+        gridded.select("qf", "time", "lat_idx", "lon_idx", "lat", "lon"),
+        footprints, ["qf", "time"], half_lon, half_lat, mask_scale,
+        carry_cols=["f_granule", "f_mode", "f_region_id", "f_target_id"],
+    )
+    # G7: first-writer-wins metadata per pixel (explicit deterministic order)
+    meta = grid_ops.first_wins_rasterize(
+        hits.withColumn("__ord", order),
+        ["qf", "time", "lat_idx", "lon_idx"],
+        "__ord",
+        [
+            F.col("f_target_id").alias("target_id"),
+            determine_id_type(F.col("f_target_id")).alias("target_type"),
+            F.col("f_mode").alias("operation_mode"),
+        ],
+    )
+    # G6: mask = pixels with >= 1 hit; inner join attaches metadata
+    out = gridded.join(meta, ["qf", "time", "lat_idx", "lon_idx"], "inner")
+    return out
+
+
+def densify_missing_day(
+    spark_template: DataFrame, day, value_cols: list[str]
+) -> DataFrame:
+    """G9: synthesize an all-null grid for a mission-day with no data
+    (ref processors/Processor.py:51-76, OCO3SamGlobalProcessor.py:639-718) so
+    day-aligned unions stay rectangular. ``spark_template``: (qf, lat_idx,
+    lon_idx, lat, lon) cells."""
+    out = spark_template.withColumn("time", F.lit(day).cast("timestamp"))
+    for c in value_cols:
+        out = out.withColumn(c, F.lit(None).cast("double"))
+    return (
+        out.withColumn("target_id", F.lit(None).cast("string"))
+        .withColumn("target_type", F.lit(None).cast("tinyint"))
+        .withColumn("operation_mode", F.lit(None).cast("int"))
+    )
+
+
 def associate_oco2_regions(
     soundings: DataFrame, targets: DataFrame
 ) -> DataFrame:
