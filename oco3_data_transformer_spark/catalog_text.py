@@ -151,6 +151,47 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+_Q45_SQL = f"""
+    WITH {_SHINGLES_SQL},
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter JOIN sizes x ON id_a = x.id JOIN sizes y ON id_b = y.id
+        WHERE CAST(n_common AS DOUBLE) / (x.n_sh + y.n_sh - n_common) >= {JACCARD_T}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+    cc AS (
+        WITH RECURSIVE walk(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, w.label FROM walk w JOIN edges e ON w.node = e.dst)
+        SELECT node AS id, min(label) AS canonical_id FROM walk GROUP BY node)
+    SELECT canonical_id, CAST(count(*) AS BIGINT) AS group_size
+    FROM cc GROUP BY canonical_id
+"""
+
+
+@register(
+    "q45_dedup_groups",
+    _Q45_SQL,
+    doc="Duplicate-group canonicalization: near-dup pairs (n-gram Jaccard) "
+    "-> connected components by iterative min-label propagation (Spark "
+    "driver loop with convergence probe; DuckDB oracle uses a recursive "
+    "CTE). canonical_id = min doc id per component.",
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, "doc_id", "text", NGRAM_N, JACCARD_T)
+    comp = dedup_ops.canonicalize_pairs(
+        docs.select(F.col("doc_id").alias("id")), pairs.select("id_a", "id_b")
+    )
+    return comp.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("group_size"))
+
+
 @register(
     "q34_knn_bruteforce",
     f"""

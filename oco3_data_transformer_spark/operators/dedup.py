@@ -255,6 +255,62 @@ def simhash_fingerprints(
     return votes.select("id", fp.alias("simhash"))
 
 
+def canonicalize_pairs(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate-GROUP assignment from near-dup pairs: connected components
+    by iterative min-label propagation. Returns (id, canonical_id) where
+    canonical_id = min doc id in the component.
+
+    ``nodes``: (id); ``pairs``: (id_a, id_b) undirected edges.
+
+    The one legitimately *iterative* operator in the engine (transitive
+    closure is not single-pass relational). Each iteration is one shuffle
+    join + one aggregation; labels converge in <= graph-diameter iterations
+    (near-dup components are shallow — a handful). ``localCheckpoint``
+    truncates lineage so plans stay flat; the loop exits on a converged
+    fixpoint, checked with a cheap anti-join probe.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select(F.col("id"), F.col("id").alias("label")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("canonical_id"))
+
+
 def simhash_pairs(
     fingerprints: DataFrame, max_hamming: int = 1, bits: int = 32
 ) -> DataFrame:

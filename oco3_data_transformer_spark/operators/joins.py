@@ -151,6 +151,33 @@ def completeness_holdback(
     return per_day.filter(F.col("__ok") == 1).select(day_col)
 
 
+def salted_join(
+    big: DataFrame,
+    skewed_small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the big side's key with a random
+    bucket, replicate the small side across all buckets, join on
+    (key, salt). Use when ONE key dominates (AQE skew-join splits partitions
+    but can't split a single hot build-side key group); results are
+    identical to a plain join on ``key``.
+
+    At 100 TB the canonical use is a fact table whose foreign key has a few
+    pathological hot values (e.g. the 'none' target id): salting spreads a
+    hot key's rows over ``salt_buckets`` tasks at the cost of replicating
+    the (small) other side ``salt_buckets``×.
+    """
+    salted_big = big.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    buckets = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    salted_small = skewed_small.withColumn("__salt", buckets)
+    out = salted_big.join(salted_small, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
 def sync_diff(
     local: DataFrame,
     remote: DataFrame,
