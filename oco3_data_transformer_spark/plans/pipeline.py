@@ -87,13 +87,33 @@ def process_oco3_granules(
         soundings.drop("target_id", "target_name"), regions,
         ["granule"], "sounding_idx", carry_cols=["mode", "target_id"],
     )
+    return _target_focused_tail(
+        rows, targets, good=F.col("xco2_quality_flag") == 0,
+        value_cols=value_cols, lon_res=lon_res, lat_res=lat_res,
+        method=method, mask_scale=mask_scale, mission="oco3",
+    )
 
+
+def _target_focused_tail(
+    rows: DataFrame,
+    targets: DataFrame,
+    good,
+    value_cols: list[str],
+    lon_res: int,
+    lat_res: int,
+    method: str,
+    mask_scale: float,
+    mission: str,
+) -> DataFrame:
+    """Shared §3.1 steps 3-5 tail for all target-focused missions:
+    J1 target join → pre/post QF split → per-region grid → footprint mask.
+    ``rows`` must carry: granule, mode, region_id, target_id, time,
+    latitude, longitude, vertex_latitude, vertex_longitude, value cols."""
     # J1: broadcast target-dimension join; unknown targets drop the region
     rows = join_ops.target_lookup(rows, targets, "target_id")
 
     # F3/F4: pre/post QF split from one cached frame
     rows = rows.persist()
-    good = F.col("xco2_quality_flag") == 0
     region_cols = ["granule", "mode", "region_id"]
     pre = rows.withColumn("qf", F.lit("pre"))
     post = (
@@ -135,8 +155,81 @@ def process_oco3_granules(
 
     drop_cols = ["min_lon", "min_lat", "max_lon", "max_lat", "__half_lon", "__half_lat"]
     return (
-        masked.withColumn("mission", F.lit("oco3"))
+        masked.withColumn("mission", F.lit(mission))
         .drop(*drop_cols)
+    )
+
+
+def process_sif_granules(
+    soundings: DataFrame,
+    sequences: DataFrame,
+    targets: DataFrame,
+    lon_res: int = 40,
+    lat_res: int = 40,
+    method: str = "nearest",
+    mask_scale: float = 1.0,
+) -> DataFrame:
+    """Target-focused SIF pipeline: J3 sequence-id target resolution + 1990
+    epoch (C3) → SIF segmentation (SAM=3, inclusive margin, 'none'
+    tolerance) → QF good = flag ∈ {0,1} → grid Daily_SIF_757nm → mask
+    (ref processors/OCO3SifProcessor.py end-to-end)."""
+    resolved = resolve_sif_targets(soundings, sequences)
+    regions = segment_sif(resolved)
+    regions = regions.filter(F.col("target_id") != "none")  # target-focused
+    rows = sess_ops.assign_rows_to_regions(
+        resolved.drop("target_id"), regions,
+        ["granule"], "sounding_idx", carry_cols=["mode", "target_id"],
+    )
+    rows = rows.select(
+        "granule", "sounding_idx", "mode", "region_id", "target_id", "time",
+        F.col("Latitude").alias("latitude"),
+        F.col("Longitude").alias("longitude"),
+        F.col("Latitude_Corners").alias("vertex_latitude"),
+        F.col("Longitude_Corners").alias("vertex_longitude"),
+        F.col("Quality_Flag"),
+        F.col("Daily_SIF_757nm"),
+    )
+    return _target_focused_tail(
+        rows, targets, good=F.col("Quality_Flag").isin(0, 1),
+        value_cols=["Daily_SIF_757nm"], lon_res=lon_res, lat_res=lat_res,
+        method=method, mask_scale=mask_scale, mission="oco3_sif",
+    )
+
+
+def process_oco2_granules(
+    soundings: DataFrame,
+    targets: DataFrame,
+    lon_res: int = 40,
+    lat_res: int = 40,
+    method: str = "nearest",
+    value_cols: list[str] | None = None,
+    mask_scale: float = 1.0,
+) -> DataFrame:
+    """Target-focused OCO-2 pipeline: Target-mode-only segmentation, J2
+    nearest-centroid target association with bbox-intersects guard, then the
+    shared QF/grid/mask tail (ref processors/OCO2Processor.py end-to-end).
+    OCO-2 carries xco2_x2019 as an extra science variable."""
+    value_cols = value_cols or ["xco2", "xco2_uncertainty", "xco2_x2019"]
+    assoc = associate_oco2_regions(soundings, targets).select(
+        "granule", "region_id", F.col("target_id").alias("__assoc_target")
+    )
+    regions = sess_ops.detect_regions(
+        soundings.withColumn("__const", F.lit("run")),
+        ["granule"], "sounding_idx", "operation_mode",
+        OPERATION_MODE_TARGET, "__const", margin=2,
+    ).withColumn("mode", F.lit(int(OPERATION_MODE_TARGET)))
+    regions = regions.join(assoc, ["granule", "region_id"], "inner").withColumn(
+        "target_id", F.col("__assoc_target")
+    )
+    rows = sess_ops.assign_rows_to_regions(
+        soundings, regions, ["granule"], "sounding_idx",
+        carry_cols=["mode", "target_id"],
+    )
+    return _target_focused_tail(
+        rows, targets.drop("centroid_lon", "centroid_lat"),
+        good=F.col("xco2_quality_flag") == 0,
+        value_cols=value_cols, lon_res=lon_res, lat_res=lat_res,
+        method=method, mask_scale=mask_scale, mission="oco2",
     )
 
 

@@ -162,6 +162,61 @@ def test_sif_target_resolution_and_epoch(spark):
     assert out[1].time == dt.datetime(1990, 1, 2, 0, 0)
 
 
+def test_sif_full_pipeline(spark):
+    def r(i, mode, seq_idx, qf=0, lat=1.0, lon=2.0):
+        d = 0.02
+        return ("g1", i, float(i * 60), lat, lon,
+                [lat - d, lat - d, lat + d, lat + d],
+                [lon - d, lon + d, lon + d, lon - d], mode, qf, seq_idx, 1.5 + i)
+
+    rows = (
+        [r(i, 3, 0) for i in range(6)]            # SAM run -> sif_atto
+        + [r(i, 3, -1, lat=5.0, lon=6.0) for i in range(6, 10)]  # 'none' run, dropped
+        + [r(i, 3, 1, qf=2, lat=1.0, lon=2.0) for i in range(10, 14)]  # all-bad QF run
+    )
+    soundings = spark.createDataFrame(rows, SOUNDINGS_SIF)
+    seqs = spark.createDataFrame(
+        [("g1", 0, "sif_atto", "ATTO"), ("g1", 1, "sif_mead", "Mead")], SIF_SEQUENCES
+    )
+    targets = spark.createDataFrame(
+        [("sif_atto", "ATTO", 1.9, 0.9, 2.1, 1.1), ("sif_mead", "Mead", 1.9, 0.9, 2.1, 1.1)],
+        TARGETS_OCO3,
+    )
+    out = P.process_sif_granules(soundings, seqs, targets, lon_res=5, lat_res=5).persist()
+    combos = {(r.qf, r.target_id) for r in out.select("qf", "target_id").distinct().collect()}
+    assert ("pre", "sif_atto") in combos and ("post", "sif_atto") in combos
+    assert ("pre", "sif_mead") in combos        # bad-QF region still in pre
+    assert ("post", "sif_mead") not in combos   # flag=2 everywhere -> dropped post
+    assert not any(t == "none" for _, t in combos)
+    assert {r.mission for r in out.select("mission").distinct().collect()} == {"oco3_sif"}
+    # SIF epoch: delta_time 0 -> 1990-01-01 day
+    assert {r.time for r in out.select("time").distinct().collect()} == {
+        dt.datetime(1990, 1, 1)
+    }
+    out.unpersist()
+
+
+def test_oco2_full_pipeline(spark):
+    rows = []
+    for k in range(6):  # Target-mode run near (10, 20)
+        rows.append(
+            ("g1", k, 2000 + k, DAY, 10.0 + k * 0.02, 20.0 + k * 0.02,
+             [9.99, 9.99, 10.01, 10.01], [19.99, 20.01, 20.01, 19.99],
+             2, 0 if k < 4 else 1, 400.0, 0.5, 401.0)
+        )
+    soundings = spark.createDataFrame(rows, SOUNDINGS_OCO2)
+    targets = spark.createDataFrame(
+        [("t_near", "Near", 20.05, 10.05, 19.9, 9.9, 20.3, 10.3)], TARGETS_OCO2
+    )
+    out = P.process_oco2_granules(soundings, targets, lon_res=5, lat_res=5).persist()
+    assert {r.mission for r in out.select("mission").distinct().collect()} == {"oco2"}
+    assert {r.target_id for r in out.select("target_id").distinct().collect()} == {"t_near"}
+    assert {r.qf for r in out.select("qf").distinct().collect()} == {"pre", "post"}
+    # all three science vars gridded
+    assert {"xco2", "xco2_uncertainty", "xco2_x2019"} <= set(out.columns)
+    out.unpersist()
+
+
 def test_sif_segmentation_none_and_inclusive_margin(spark):
     def r(i, mode, seq_idx):
         return ("g1", i, float(i), 1.0, 2.0, [0.9, 0.9, 1.1, 1.1],
