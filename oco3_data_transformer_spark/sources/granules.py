@@ -81,7 +81,7 @@ DECODERS: dict[str, Callable[[bytes, list[str] | None], pd.DataFrame]] = {
 
 def read_granules(
     spark: SparkSession,
-    path_glob: str,
+    path_glob: str | list[str],
     schema: T.StructType,
     fmt: str = "npz",
     variables: list[str] | None = None,
@@ -101,7 +101,8 @@ def read_granules(
     out_cols = [f.name for f in schema.fields]
     wanted = variables or [c for c in out_cols if c != "granule"]
 
-    files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    paths = [path_glob] if isinstance(path_glob, str) else list(path_glob)
+    files = spark.read.format("binaryFile").load(paths).select("path", "content")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1,0 +1,100 @@
+"""Full batch run: run-config YAML + npz granules + targets JSON ->
+run_batch -> partitioned store (verified) -> dense export manifest.
+The engine analog of `python main.py -i run-config.yaml`."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import numpy as np
+import pytest
+
+from oco3_data_transformer_spark.config import RunConfig
+from oco3_data_transformer_spark.main import load_targets, run_batch
+from oco3_data_transformer_spark.sinks import store as store_ops
+
+DAY_EPOCH = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc).timestamp()
+
+
+def _write_granule(path, n=12):
+    lat = np.linspace(10.0, 10.4, n)
+    lon = np.linspace(20.0, 20.4, n)
+    d = 0.03
+    np.savez(
+        path,
+        sounding_idx=np.arange(n, dtype=np.int64),
+        sounding_id=np.arange(n, dtype=np.int64) + 1000,
+        time=np.full(n, np.datetime64("2024-03-01T00:00:00", "us")),
+        latitude=lat.astype(np.float32),
+        longitude=lon.astype(np.float32),
+        vertex_latitude=np.stack([lat - d, lat - d, lat + d, lat + d], 1).astype(np.float32),
+        vertex_longitude=np.stack([lon - d, lon + d, lon + d, lon - d], 1).astype(np.float32),
+        operation_mode=np.full(n, 4, dtype=np.int8),
+        xco2_quality_flag=(np.arange(n) % 3 == 0).astype(np.int8),
+        xco2=np.linspace(400, 401, n),
+        xco2_uncertainty=np.full(n, 0.5),
+    )
+
+
+@pytest.fixture()
+def batch_env(tmp_path):
+    _write_granule(tmp_path / "oco3_LtCO2_240301_B11000_1.npz")
+    targets = {
+        "fossil0001": {
+            "name": "Fossil One",
+            "bbox": {"min_lon": 19.9, "min_lat": 9.9, "max_lon": 20.6, "max_lat": 10.6},
+        }
+    }
+    (tmp_path / "targets.json").write_text(json.dumps(targets))
+    cfg_text = f"""
+output:
+  local: {tmp_path}/store
+  drop-empty: true
+  naming: {{pre_qf: pre_root, post_qf: post_root}}
+  cog:
+    output: {{local: {tmp_path}/export}}
+input:
+  files:
+    - {tmp_path}/oco3_LtCO2_240301_B11000_1.npz
+grid: {{latitude: 6, longitude: 6, method: nearest}}
+target-file: {{oco3: {tmp_path}/targets.json}}
+"""
+    (tmp_path / "cfg.yaml").write_text(cfg_text)
+    return tmp_path
+
+
+def test_batch_run_end_to_end(spark, batch_env):
+    cfg = RunConfig.parse_file(str(batch_env / "cfg.yaml"))
+
+    # The granule's target_id/target_name are absent in the npz -> the npz
+    # decoder nulls them; OCO-3 segmentation needs target_id, so load
+    # targets and verify the dimension loader separately first.
+    tdf = load_targets(spark, str(batch_env / "targets.json"), "oco3")
+    assert tdf.collect()[0].target_id == "fossil0001"
+
+    # patch granule: segmentation needs per-sounding target ids; rewrite the
+    # npz with them included (string arrays round-trip through np.savez)
+    import numpy as np
+    g = batch_env / "oco3_LtCO2_240301_B11000_1.npz"
+    with np.load(g) as z:
+        data = {k: z[k] for k in z.files}
+    n = len(data["sounding_idx"])
+    data["target_id"] = np.array(["fossil0001"] * n)
+    data["target_name"] = np.array(["Fossil One"] * n)
+    np.savez(g, **data)
+
+    report = run_batch(spark, cfg)
+    assert report["missions"]["oco3"]["rows_appended"] > 0
+    assert report["verify"]["duplicate_keys"] == 0
+    assert report["exported_slices"] > 0
+
+    stored = spark.read.parquet(f"{batch_env}/store")
+    assert {r.qf for r in stored.select("qf").distinct().collect()} == {"pre", "post"}
+    assert {r.variable for r in stored.select("variable").distinct().collect()} == {
+        "xco2", "xco2_uncertainty"
+    }
+
+    # idempotence: the same batch again appends nothing
+    report2 = run_batch(spark, cfg)
+    assert report2["missions"]["oco3"]["rows_appended"] == 0
