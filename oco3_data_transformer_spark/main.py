@@ -83,11 +83,12 @@ def run_batch(spark: SparkSession, cfg: RunConfig, fmt: str = "npz") -> dict:
         schema = SOUNDING_SCHEMAS[mission]
         soundings = granule_src.read_granules(spark, paths, schema, fmt=fmt)
         needs_targets = not (mission == "oco3" and cfg.global_mode)
-        if needs_targets and mission not in cfg.targets:
+        # SIF has no own target file in the reference; it reuses the OCO-3
+        # targets JSON (ref sample-run-config.yaml target-file keys)
+        tpath = cfg.targets.get(mission) or cfg.targets.get("oco3")
+        if needs_targets and not tpath:
             raise ValueError(f"target-file.{mission} required for target-focused run")
-        targets = (
-            load_targets(spark, cfg.targets[mission], mission) if needs_targets else None
-        )
+        targets = load_targets(spark, tpath, mission) if needs_targets else None
         value_cols = [
             v for v in (cfg.variables.get(mission) or VALUE_COLS[mission])
             if v in [f.name for f in schema.fields]
@@ -117,11 +118,17 @@ def run_batch(spark: SparkSession, cfg: RunConfig, fmt: str = "npz") -> dict:
                 value_cols=value_cols, mask_scale=cfg.mask_scale,
             )
             id_cols = ["mission", "target_id", "qf", "time", "lat_idx", "lon_idx"]
-        else:  # oco3_sif: sequences ride in a sibling table per granule file
-            raise NotImplementedError(
-                "SIF batch runs need the sequence sidecar wiring; use "
-                "plans.pipeline.process_sif_granules directly"
+        else:  # oco3_sif: the sequence dim rides in the same granule file
+            # (the reference reads it from a sibling NetCDF group); a second
+            # projected read pulls just the sequence arrays (F1 pushdown
+            # means neither read materializes the other's variables)
+            sequences = granule_src.read_granules(spark, paths, SIF_SEQUENCES, fmt=fmt)
+            gridded = pipe.process_sif_granules(
+                soundings, sequences, targets, lon_res=cfg.grid_lon_res,
+                lat_res=cfg.grid_lat_res, method=cfg.grid_method,
+                mask_scale=cfg.mask_scale,
             )
+            id_cols = ["mission", "target_id", "qf", "time", "lat_idx", "lon_idx"]
 
         slices = export_ops.melt_values(gridded, value_cols, id_cols)
         if cfg.drop_empty:  # F7: drop all-null (target, qf, day, variable) slices

@@ -98,3 +98,54 @@ def test_batch_run_end_to_end(spark, batch_env):
     # idempotence: the same batch again appends nothing
     report2 = run_batch(spark, cfg)
     assert report2["missions"]["oco3"]["rows_appended"] == 0
+
+
+def _write_sif_granule(path, n=8):
+    lat = np.linspace(10.0, 10.3, n)
+    lon = np.linspace(20.0, 20.3, n)
+    d = 0.03
+    np.savez(
+        path,
+        sounding_idx=np.arange(n, dtype=np.int64),
+        delta_time=np.full(n, 1_078_099_200.0),  # 2024-03-01 from 1990 epoch
+        Latitude=lat.astype(np.float32),
+        Longitude=lon.astype(np.float32),
+        Latitude_Corners=np.stack([lat - d, lat - d, lat + d, lat + d], 1).astype(np.float32),
+        Longitude_Corners=np.stack([lon - d, lon + d, lon + d, lon - d], 1).astype(np.float32),
+        MeasurementMode=np.full(n, 3, dtype=np.int8),
+        Quality_Flag=np.zeros(n, dtype=np.int8),
+        SequencesIndex=np.zeros(n, dtype=np.int32),
+        Daily_SIF_757nm=np.linspace(1.0, 2.0, n),
+        # sequence dim arrays (different length: projected reads keep them apart)
+        seq_idx=np.array([0], dtype=np.int32),
+        SequencesId=np.array(["fossil0001"]),
+        SequencesName=np.array(["Fossil One"]),
+    )
+
+
+def test_batch_run_sif(spark, batch_env):
+    _write_sif_granule(batch_env / "oco3_LtSIF_240301_B11000_1.npz")
+    cfg_text = f"""
+output:
+  local: {batch_env}/store_sif
+  naming: {{pre_qf: pre_root, post_qf: post_root}}
+input:
+  files:
+    - {{path: {batch_env}/oco3_LtSIF_240301_B11000_1.npz, mission: oco3_sif}}
+grid: {{latitude: 6, longitude: 6, method: nearest}}
+target-file: {{oco3: {batch_env}/targets.json}}
+"""
+    cfg = RunConfig.parse(cfg_text)
+    report = run_batch(spark, cfg)
+    assert report["missions"]["oco3_sif"]["rows_appended"] > 0
+    stored = spark.read.parquet(f"{batch_env}/store_sif")
+    assert {r.mission for r in stored.select("mission").distinct().collect()} == {"oco3_sif"}
+    assert {r.variable for r in stored.select("variable").distinct().collect()} == {
+        "Daily_SIF_757nm"
+    }
+    assert {r.target_id for r in stored.select("target_id").distinct().collect()} == {
+        "fossil0001"
+    }
+    # SIF 1990-epoch day resolution
+    times = {r.time for r in stored.select("time").distinct().collect()}
+    assert times == {dt.datetime(2024, 3, 1)}
