@@ -239,6 +239,50 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
+def _q46_sql() -> str:
+    hp = sim_ops.srp_hyperplanes(16, 64)
+    per = 16 // 4
+    emb = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    bits = [
+        f"CASE WHEN list_dot_product({emb}, {h!r}) >= 0 THEN '1' ELSE '0' END"
+        for h in hp
+    ]
+    bucket = lambda b: " || ".join(bits[b * per : (b + 1) * per])  # noqa: E731
+    bands_sql = " UNION ALL ".join(
+        f"SELECT vec_id AS id, {b} AS band, {bucket(b)} AS bucket FROM embeddings"
+        for b in range(4)
+    )
+    return f"""
+    WITH banded AS ({bands_sql}),
+    cands AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               {vector.cosine_sql('x.embedding', 'y.embedding')} AS cos
+        FROM cands c
+        JOIN embeddings x ON c.id_a = x.vec_id
+        JOIN embeddings y ON c.id_b = y.vec_id)
+    SELECT id_a, id_b, round(cos, 6) AS cos
+    FROM scored WHERE cos >= 0.30
+    """
+
+
+@register(
+    "q46_srp_lsh_neardup",
+    _q46_sql(),
+    doc="Signed-random-projection LSH near-dup over embeddings: sign-bit "
+    "band buckets (fixed hyperplane bank, 16 bits / 4 bands) -> blocked "
+    "candidate self-join -> exact cosine verify. The embedding-space "
+    "analog of MinHash banding; deterministic, oracle-reproducible.",
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    pairs = sim_ops.srp_lsh_pairs(emb, threshold=0.30, n_bits=16, bands=4)
+    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
 @register(
     "q36_language_id",
     f"""

@@ -141,3 +141,84 @@ def ivf_knn(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Signed-random-projection (hyperplane) LSH — the embedding-space analog of
+# MinHash banding: bucket key = sign bits of projections onto a fixed
+# hyperplane bank; near-identical vectors agree on whole bit-bands.
+# ---------------------------------------------------------------------------
+
+def srp_hyperplanes(n_bits: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic hyperplane bank (committed seed; 6-dp literals so the
+    SQL oracle embeds the exact same doubles)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [[round(float(x), 6) for x in row] for row in rng.normal(size=(n_bits, dim))]
+
+
+def srp_band_rows(
+    df: DataFrame,
+    hyperplanes: list[list[float]],
+    bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, bucket) rows: bucket = the band's sign-bit string."""
+    n_bits = len(hyperplanes)
+    per = n_bits // bands
+    bits = [
+        F.when(
+            vector.dot(F.col(vec_col), F.array(*[F.lit(x) for x in h])) >= 0, "1"
+        ).otherwise("0")
+        for h in hyperplanes
+    ]
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(*bits[b * per : (b + 1) * per]).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def srp_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    n_bits: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """LSH-bucketed cosine near-dup: candidates share >= 1 sign-bit band,
+    then exact cosine verify. Deterministic end-to-end (fixed hyperplane
+    bank), so the candidate set — and therefore the result — is
+    oracle-reproducible. At corpus scale the self-join is blocked on
+    (band, bucket): each vector meets only its 2^{-bits/band}-fraction
+    bucket peers instead of the whole corpus."""
+    hp = srp_hyperplanes(n_bits, dim)
+    banded = srp_band_rows(df, hp, bands, id_col, vec_col)
+    cands = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    out = (
+        cands.join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")), "id_b")
+        .withColumn("cos", vector.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+    )
+    return out.select("id_a", "id_b", "cos")

@@ -159,3 +159,31 @@ def test_property_matches_reference_loop(spark, seq):
     expect = _reference_segment(seq, SAM)
     got = [(r.target_id, r.start_idx, r.stop_excl, r.n_mode_rows) for r in regs]
     assert got == [(t, s, e, n) for t, s, e, n in expect]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from([0, SAM]), st.sampled_from(["a", "b", "c"])),
+        min_size=1, max_size=40,
+    )
+)
+def test_property_invariants(spark, seq):
+    """SURVEY §5.5 invariants: regions are disjoint ordered intervals; they
+    contain every in-mode row and only rows within their extent; no two
+    adjacent same-target regions violate the merge margin."""
+    regs = _regions(spark, seq)
+    n_mode = sum(1 for m, _ in seq if m == SAM)
+    assert sum(r.n_mode_rows for r in regs) == n_mode
+    prev = None
+    for r in regs:
+        assert 0 <= r.start_idx < r.stop_excl <= len(seq)
+        # every region starts/ends on an in-mode row of its own target
+        assert seq[r.start_idx] == (SAM, r.target_id)
+        assert seq[r.stop_excl - 1] == (SAM, r.target_id)
+        if prev is not None:
+            assert r.start_idx >= prev.stop_excl  # disjoint, ordered
+            if prev.target_id == r.target_id:
+                # un-merged same-target neighbors must be >= margin apart
+                assert r.start_idx - prev.stop_excl >= 2
+        prev = r
