@@ -110,6 +110,18 @@ def test_oco3_pipeline_end_to_end(spark, oco3_frames):
     out.unpersist()
 
 
+def test_mask_scaling_widens_footprints(spark, oco3_frames):
+    """mask-scaling inflates footprints about their centroids (clamped to
+    [1, 1.5], ref processors/OCO3SamProcessor.py:234-235): a scaled run
+    must mask at least as many cells as the unscaled one."""
+    soundings, targets = oco3_frames
+    base = P.process_oco3_granules(soundings, targets, lon_res=8, lat_res=8).count()
+    scaled = P.process_oco3_granules(
+        soundings, targets, lon_res=8, lat_res=8, mask_scale=1.5
+    ).count()
+    assert scaled >= base
+
+
 def test_oco2_association(spark):
     rows = []
     i = 0
