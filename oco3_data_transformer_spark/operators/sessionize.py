@@ -131,28 +131,25 @@ def detect_regions(
     )
 
     # Merge pass over the run table (ref merge_last_or_append).
+    if none_id is not None:
+        # The SIF merge is a LEFT FOLD: a merged run's (possibly upgraded)
+        # id participates in the next comparison, and 'none' matches
+        # either side (ref processors/OCO3SifProcessor.py:377-405) — e.g.
+        # runs a, none, none chain-merge into one 'a' region, which no
+        # fixed-width window can express. Runs per granule are few orders
+        # of magnitude fewer than soundings, so the fold is an exact
+        # grouped-map over the tiny run table (the fact table never
+        # touches this pass).
+        return _merge_runs_fold(
+            runs, partition_cols, target_col, region_col, margin,
+            merge_inclusive, none_id,
+        )
+
     wr = Window.partitionBy(*partition_cols).orderBy("__start")
     cumr = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     gap_prev = F.col("__start") - F.lag("__stop").over(wr)
     gap_ok = (gap_prev <= margin) if merge_inclusive else (gap_prev < margin)
-
-    if none_id is not None:
-        # Resolve 'none' runs: adopt the previous run's id when the gap
-        # qualifies, else the following run's id when that gap qualifies
-        # (ref processors/OCO3SifProcessor.py:386-392 replace_id).
-        gap_next = F.lead("__start").over(wr) - F.col("__stop")
-        next_gap_ok = gap_next <= margin
-        runs = runs.withColumn(
-            "__rid",
-            F.when(F.col("__tid") != none_id, F.col("__tid"))
-            .when(gap_prev.isNotNull() & gap_ok, F.lag("__tid").over(wr))
-            .when(gap_next.isNotNull() & next_gap_ok, F.lead("__tid").over(wr))
-            .otherwise(F.lit(none_id)),
-        )
-        same_id = F.col("__rid").eqNullSafe(F.lag("__rid").over(wr))
-    else:
-        runs = runs.withColumn("__rid", F.col("__tid"))
-        same_id = F.col("__rid").eqNullSafe(F.lag("__rid").over(wr))
+    same_id = F.col("__tid").eqNullSafe(F.lag("__tid").over(wr))
 
     merge_prev = F.coalesce(gap_ok & same_id, F.lit(False))
     runs = runs.withColumn(region_col, F.sum((~merge_prev).cast("int")).over(cumr))
@@ -160,13 +157,78 @@ def detect_regions(
     return (
         runs.groupBy(*partition_cols, region_col)
         .agg(
-            F.first("__rid").alias(target_col),
+            F.first("__tid").alias(target_col),
             F.min("__start").alias("start_idx"),
             F.max("__stop").alias("stop_excl"),
             F.count(F.lit(1)).alias("n_runs"),
             F.sum("__n").alias("n_mode_rows"),
         )
     )
+
+
+def _merge_runs_fold(
+    runs: DataFrame,
+    partition_cols: list[str],
+    target_col: str,
+    region_col: str,
+    margin: int,
+    merge_inclusive: bool,
+    none_id: str,
+) -> DataFrame:
+    """Exact port of the reference's ``merge_last_or_append`` fold over the
+    per-granule run table (ref processors/OCO3SifProcessor.py:377-405):
+    merge when |last.stop − item.start| <= margin (< for CO2-style strict)
+    and ids equal OR either side is ``none_id``; the merged id prefers the
+    non-none side and updates subsequent comparisons."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    key_fields = [runs.schema[c] for c in partition_cols]
+    out_schema = T.StructType(
+        [
+            *key_fields,
+            T.StructField(region_col, T.LongType()),
+            T.StructField(target_col, T.StringType()),
+            T.StructField("start_idx", T.LongType()),
+            T.StructField("stop_excl", T.LongType()),
+            T.StructField("n_runs", T.LongType()),
+            T.StructField("n_mode_rows", T.LongType()),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__start")
+        merged: list[list] = []  # [start, stop, id, n_runs, n_rows]
+        for start, stop, tid, n in zip(
+            pdf["__start"], pdf["__stop"], pdf["__tid"], pdf["__n"]
+        ):
+            if merged:
+                last = merged[-1]
+                gap = abs(int(start) - int(last[1]))
+                gap_ok = gap <= margin if merge_inclusive else gap < margin
+                if gap_ok and (last[2] == tid or none_id in (last[2], tid)):
+                    rid = last[2] if last[2] != none_id else tid
+                    merged[-1] = [last[0], int(stop), rid, last[3] + 1, last[4] + int(n)]
+                    continue
+            merged.append([int(start), int(stop), tid, 1, int(n)])
+        keys = {c: pdf[c].iloc[0] for c in partition_cols}
+        return pd.DataFrame(
+            [
+                {
+                    **keys,
+                    region_col: i + 1,
+                    target_col: m[2],
+                    "start_idx": m[0],
+                    "stop_excl": m[1],
+                    "n_runs": m[3],
+                    "n_mode_rows": m[4],
+                }
+                for i, m in enumerate(merged)
+            ],
+            columns=[f.name for f in out_schema.fields],
+        )
+
+    return runs.groupBy(*partition_cols).applyInPandas(fold, out_schema)
 
 
 def assign_rows_to_regions(

@@ -161,6 +161,71 @@ def test_property_matches_reference_loop(spark, seq):
     assert got == [(t, s, e, n) for t, s, e, n in expect]
 
 
+def _reference_sif_segment(seq, mode=SAM, margin=2, none_id="none"):
+    """Faithful port of the reference's SIF row loop + merge fold
+    (ref processors/OCO3SifProcessor.py:377-477): 'none' rows absorb into
+    the current run, leading 'none's upgrade to the first real id, and the
+    merge is a left fold where |last.stop - item.start| <= margin merges
+    when ids match OR either side is 'none' (merged id prefers non-none)."""
+    slices = []
+
+    def merge_last_or_append(item):
+        if slices:
+            last = slices[-1]
+            if abs(last[1] - item[0]) <= margin and (
+                last[2] == item[2] or none_id in (last[2], item[2])
+            ):
+                rid = last[2] if last[2] != none_id else item[2]
+                slices[-1] = (last[0], item[1], rid)
+                return
+        slices.append(item)
+
+    in_region, start, tid = False, None, None
+    for i, (m, t) in enumerate(seq):
+        if m == mode:
+            if not in_region:
+                in_region, tid, start = True, t, i
+            else:
+                if tid == none_id:
+                    tid = t
+                if t != tid:
+                    if t == none_id:
+                        continue
+                    merge_last_or_append((start, i, tid))
+                    start, tid = i, t
+        else:
+            if in_region:
+                merge_last_or_append((start, i, tid))
+                in_region, tid = False, None
+    if in_region:
+        merge_last_or_append((start, len(seq), tid))
+    return slices
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from([0, SAM]), st.sampled_from(["a", "b", "none"])),
+        min_size=1, max_size=30,
+    )
+)
+def test_property_sif_matches_reference_loop(spark, seq):
+    regs = _regions(spark, seq, margin=2, merge_inclusive=True, none_id="none")
+    expect = _reference_sif_segment(seq)
+    got = [(r.start_idx, r.stop_excl, r.target_id) for r in regs]
+    assert got == expect
+
+
+def test_sif_none_chain_merges_like_reference(spark):
+    # runs: a, none, none with qualifying gaps — the left fold chains all
+    # three into one 'a' region (a windowed merge would orphan the tail)
+    seq = (
+        [(SAM, "a")] * 2 + [(0, "x")] + [(SAM, "none")] + [(0, "x")] + [(SAM, "none")]
+    )
+    regs = _regions(spark, seq, margin=2, merge_inclusive=True, none_id="none")
+    assert [(r.start_idx, r.stop_excl, r.target_id) for r in regs] == [(0, 6, "a")]
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     st.lists(
