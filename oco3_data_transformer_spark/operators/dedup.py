@@ -123,13 +123,16 @@ def _cooccurrence_pairs(sh: DataFrame, key: str = "shingle") -> DataFrame:
 def _jaccard_filter(
     inter: DataFrame, sizes: DataFrame, threshold: float
 ) -> DataFrame:
+    # No broadcast hints: ``sizes`` is one row per document — small at test
+    # scale (AQE still broadcasts it at runtime) but tens of GB for a 100 TB
+    # corpus, where a forced broadcast would OOM the driver.
     out = (
         inter.join(
-            F.broadcast(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))),
+            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
             "id_a",
         )
         .join(
-            F.broadcast(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))),
+            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
             "id_b",
         )
         .withColumn(
@@ -215,19 +218,78 @@ def minhash_dedup(
 
     Every stage — signatures, candidate generation, Jaccard verify, sizes —
     hangs off ONE hashed-shingle exchange (ReusedExchange in the plan): the
-    corpus is tokenized and shuffled exactly once."""
+    corpus is tokenized and shuffled exactly once. The shingle-set size is
+    folded into the *same* groupBy that computes the k signature minima and
+    then rides through banding and pair expansion as a struct field, so the
+    final Jaccard needs no join back to a sizes table."""
+    k = len(hashing.MINHASH_SEEDS)
+    rows_per_band = k // bands
     sh = hashed_shingle_table(df, id_col, text_col, n, with_h28=True)
-    cands = minhash_lsh_candidates(_signatures_from(sh), bands)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sig = sh.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        *[
+            F.min(hashing.minhash_value(F.col("h28"), i)).alias(f"m{i}")
+            for i in range(k)
+        ],
+    )
+    band_cols = []
+    for b in range(bands):
+        member = [
+            F.col(f"m{i}").cast("string")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_cols.append(
+            F.concat_ws("|", F.lit(b), F.md5(F.concat_ws(",", *member)))
+        )
+    banded = sig.select(
+        F.struct("id", "n_sh").alias("node"),
+        F.explode(F.array(*band_cols)).alias("bb"),
+    )
+    grouped = banded.groupBy("bb").agg(
+        F.array_sort(F.collect_list("node")).alias("nodes")
+    )
+    cands = (
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("nodes"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("nodes"), i + 2, F.size(F.col("nodes"))),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.a.n_sh").alias("n_a"),
+            F.col("p.b.n_sh").alias("n_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
     sh_a = sh.select(F.col("id").alias("id_a"), "h")
     sh_b = sh.select(F.col("id").alias("id_b"), "h")
+    # No broadcast hint on cands: LSH candidate pairs over a 100 TB corpus can
+    # exceed the driver/broadcast limit. AQE picks broadcast at runtime when
+    # the candidate set is actually small.
     inter = (
-        F.broadcast(cands).join(sh_a, "id_a")
+        cands.join(sh_a, "id_a")
         .join(sh_b, ["id_b", "h"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return _jaccard_filter(inter, sizes, threshold)
+    return (
+        inter.withColumn(
+            "jacc",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jacc") >= threshold)
+        .select("id_a", "id_b", "jacc")
+    )
 
 
 def simhash_fingerprints(
@@ -316,13 +378,19 @@ def simhash_pairs(
 ) -> DataFrame:
     """Pairs of ids whose simhash Hamming distance <= max_hamming.
     Banded candidates (pigeonhole: distance <= h ⇒ >= 1 of h+1 bands equal)
-    via group-by-band-value pair expansion, then exact Hamming verify."""
+    via group-by-band-value pair expansion.
+
+    The fingerprint rides along in the bucket grouping as a struct field, so
+    the Hamming verify happens *inside* the pair-expansion task — no join
+    back to the fingerprint table, no candidate-pair aggregation. Two
+    shuffles total after the fingerprint build: group-by-bucket and the
+    final pair dedup (a pair can match in more than one band)."""
     n_bands = max_hamming + 1
     width = bits // n_bands
     mask = (1 << width) - 1
-    fp = fingerprints.select(F.col("id"), F.col("simhash"))
-    band_rows = fp.select(
-        "id",
+    band_rows = fingerprints.select(
+        # struct sorts by id first → slice-expansion below yields id_a < id_b
+        F.struct(F.col("id"), F.col("simhash")).alias("node"),
         F.explode(
             F.array(
                 *[
@@ -338,12 +406,28 @@ def simhash_pairs(
             )
         ).alias("bb"),
     )
-    cands = _cooccurrence_pairs(band_rows, "bb").select("id_a", "id_b")
-    withfp = (
-        cands.join(fp.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a")), "id_a")
-        .join(fp.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b")), "id_b")
+    grouped = band_rows.groupBy("bb").agg(
+        F.array_sort(F.collect_list("node")).alias("nodes")
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return withfp.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("nodes"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("nodes"), i + 2, F.size(F.col("nodes"))),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.a.id").alias("id_a"),
+        F.col("p.b.id").alias("id_b"),
+        F.bit_count(F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))).alias(
+            "hamming"
+        ),
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming).dropDuplicates(
+        ["id_a", "id_b"]
     )

@@ -87,12 +87,40 @@ def ivf_assign(
     cent_vec: str = "centroid",
 ) -> DataFrame:
     """Assign each corpus vector to its nearest centroid cell (broadcast
-    centroids + rank-1 window) — the IVF build step. Centroids typically come
-    from a sampled k-means (or, as in the oracle tests, label means)."""
+    centroids + per-vector argmax) — the IVF build step. Centroids typically
+    come from a sampled k-means (or, as in the oracle tests, label means).
+
+    The argmax is a groupBy ``max(struct(cos, -cell, ...))`` rather than a
+    rank-1 window: the aggregate combines map-side, so the shuffle carries
+    one row per vector instead of nlist rows per vector — the difference
+    between shuffling 1× and nlist× the corpus at 100 TB. Ties break to the
+    lowest cell id (struct field 2), identical to the window form. Falls
+    back to the window when the cell id is a non-numeric type (no negation
+    for the tiebreak)."""
     cents = F.broadcast(centroids.select(F.col(cent_id), F.col(cent_vec)))
     scored = corpus.crossJoin(cents).withColumn(
         "__cos", vector.cosine(F.col(vec_col), F.col(cent_vec))
     )
+    carry = [c for c in corpus.columns if c != id_col]
+    numeric = dict(centroids.dtypes).get(cent_id) in (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    )
+    if numeric:
+        best = scored.groupBy(id_col).agg(
+            F.max(
+                F.struct(
+                    F.col("__cos").alias("__c"),
+                    (-F.col(cent_id)).alias("__nc"),
+                    F.col(cent_id).alias("__cell"),
+                    *[F.col(c).alias(c) for c in carry],
+                )
+            ).alias("__best")
+        )
+        return best.select(
+            F.col(id_col),
+            *[F.col(f"__best.{c}").alias(c) for c in carry],
+            F.col("__best.__cell").alias(cent_id),
+        )
     w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc(cent_id))
     return (
         scored.withColumn("__rk", F.row_number().over(w))

@@ -79,13 +79,14 @@ def compare_query(
     return res
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None) -> int:
     from .session import get_spark
 
     spark = get_spark("oracle-check")
     con = duck_connection(sf_dir)
     failed = []
-    for name in REGISTRY:
+    names = only.split(",") if only else list(REGISTRY)
+    for name in names:
         try:
             res = compare_query(spark, con, name, sf_dir)
         except Exception as e:  # surface per-query failures, keep going
@@ -94,7 +95,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
         print(f"{status} {name} rows={res.get('rows')} {res.get('why', '')}"[:300], flush=True)
         if not res.get("match"):
             failed.append(name)
-    print(f"\n{len(REGISTRY) - len(failed)}/{len(REGISTRY)} queries match")
+    print(f"\n{len(names) - len(failed)}/{len(names)} queries match")
     if failed:
         print("failed:", failed)
     return 1 if failed else 0

@@ -151,14 +151,36 @@ def coverage(spark: SparkSession, path: str) -> dict:
     return {"coverage_start": row["s"], "coverage_end": row["e"]}
 
 
-def checksum(spark: SparkSession, path: str) -> str:
-    """S12: deterministic whole-store digest — sorted per-row md5 folded
-    into one (the reference's Merkle-fold over files,
-    ref tools/zarrChecksum/checksum.py:142-189). Engine-side it is a
-    tree-aggregated md5-of-sorted-md5s over rows, stable across partitioning."""
+def checksum(spark: SparkSession, path: str, buckets: int = 256) -> str:
+    """S12: deterministic whole-store digest — a two-level Merkle fold
+    (the reference folds per-file digests the same way,
+    ref tools/zarrChecksum/checksum.py:142-189).
+
+    Level 1 buckets every row digest by its own leading bits (content-derived,
+    so the result is invariant to how the data is partitioned on disk or in
+    the shuffle), sorts within the bucket, and folds to one md5 per bucket.
+    Level 2 folds the ``buckets`` bucket digests in bucket order. No stage
+    materializes more than ~rows/buckets digests in one aggregation buffer —
+    unlike a single global ``collect_list``, which would pull every row digest
+    of a 100 TB store into one task. Size ``buckets`` ~ rows/1e6 at scale.
+    """
     df = spark.read.parquet(path)
     row_digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in sorted(df.columns)]))
-    out = df.select(row_digest.alias("d")).agg(
-        F.md5(F.concat_ws("", F.sort_array(F.collect_list("d")))).alias("digest")
+    level1 = (
+        df.select(row_digest.alias("d"))
+        # bucket id = first 16 bits of the row's own md5 → content-derived
+        .withColumn("b", (F.conv(F.substring("d", 1, 4), 16, 10).cast("long") % buckets))
+        .groupBy("b")
+        .agg(F.md5(F.concat_ws("", F.sort_array(F.collect_list("d")))).alias("bd"))
+    )
+    out = level1.agg(
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("b", "bd"))), lambda s: s["bd"]
+                ),
+            )
+        ).alias("digest")
     )
     return out.collect()[0]["digest"]

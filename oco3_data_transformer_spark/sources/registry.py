@@ -38,6 +38,10 @@ NANO_TS_COLS = {"events": ["ts"]}
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(name)
+    # Runtime-settable session conf: required so callers with a vanilla
+    # SparkSession (no session.py builder) can still read TIMESTAMP(NANOS)
+    # parquet columns. Without it the read throws PARQUET_TYPE_ILLEGAL.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col, dtype in df.dtypes:
         if name in NANO_TS_COLS and col in NANO_TS_COLS[name] and dtype == "bigint":

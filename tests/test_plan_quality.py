@@ -75,6 +75,17 @@ def test_sessionize_single_sort_per_window_chain(spark):
     assert plan.count("Exchange hashpartitioning") <= 3
 
 
+def test_neardup_joins_have_no_static_broadcast_hints(spark):
+    # LSH candidate pairs and per-doc size tables are unbounded at corpus
+    # scale: a static broadcast() hint would force them driver-side no matter
+    # the size. The optimized plan must carry no hint — AQE may still pick
+    # broadcast at runtime when the actual size is small.
+    for q in ("q32_minhash_lsh_neardup", "q31_ngram_jaccard_neardup"):
+        df = REGISTRY[q].fn(spark, SF)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "strategy=broadcast" not in logical, q
+
+
 def test_semi_join_region_drop_broadcast(spark):
     plan = plan_of(spark, "q03_qf_region_drop")
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
