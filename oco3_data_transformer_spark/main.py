@@ -47,6 +47,25 @@ VALUE_COLS = {
 }
 
 
+def _centroid_lonlat(tid: str, meta: dict) -> tuple[float, float]:
+    """OCO-2 target centroid: the reference's JSON carries it as
+    ``centroid_wkt`` "POINT (lon lat)" (ref readers/TargetInfo.py:387,
+    targets_oco2-pub.json); a plain ``centroid: {lon, lat}`` dict is accepted
+    as a fallback. A target with neither is a config error — silently null
+    centroids would void every nearest-centroid association downstream."""
+    wkt = meta.get("centroid_wkt")
+    if wkt:
+        try:
+            inner = wkt[wkt.index("(") + 1 : wkt.rindex(")")].split()
+            return float(inner[0]), float(inner[1])
+        except (ValueError, IndexError) as e:
+            raise ValueError(f"target {tid}: malformed centroid_wkt {wkt!r}") from e
+    c = meta.get("centroid") or {}
+    if c.get("lon") is not None and c.get("lat") is not None:
+        return float(c["lon"]), float(c["lat"])
+    raise ValueError(f"target {tid}: OCO-2 target needs centroid_wkt or centroid")
+
+
 def load_targets(spark: SparkSession, path: str, mission: str) -> DataFrame:
     """Target dimension from the reference's JSON layout
     (ref README.md:377-420: {target_id: {name, bbox{...}}}; OCO-2 adds a
@@ -61,8 +80,8 @@ def load_targets(spark: SparkSession, path: str, mission: str) -> DataFrame:
             bbox.get("max_lon"), bbox.get("max_lat"),
         )
         if mission == "oco2":
-            c = meta.get("centroid") or {}
-            rows.append((tid, base[1], c.get("lon"), c.get("lat"), *base[2:]))
+            lon, lat = _centroid_lonlat(tid, meta)
+            rows.append((tid, base[1], lon, lat, *base[2:]))
         else:
             rows.append(base)
     schema = TARGETS_OCO2 if mission == "oco2" else TARGETS_OCO3

@@ -272,18 +272,31 @@ def mask_cells_by_footprints(
 def first_wins_rasterize(
     masked_cells: DataFrame,
     pixel_keys: list[str],
-    order_col: str,
-    meta_cols: list[str],
+    order_cols,
+    meta_cols: list,
 ) -> DataFrame:
     """G7: per global pixel keep the metadata of the first-writing region —
-    deterministic via explicit ordering (region index), which the reference
-    gets implicitly from loop order (ref
-    processors/OCO3SamGlobalProcessor.py:270-412)."""
-    w = Window.partitionBy(*pixel_keys).orderBy(order_col)
-    return (
-        masked_cells.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select(*pixel_keys, *meta_cols)
+    deterministic via explicit ordering over the *typed* region-identity
+    columns (the reference gets the order implicitly from loop order, ref
+    processors/OCO3SamGlobalProcessor.py:270-412; a numeric region_id must
+    order numerically, not lexicographically).
+
+    Implemented as ``min(struct(order..., meta...))`` rather than a rank-1
+    window: the aggregate combines map-side, so the shuffle moves one row
+    per pixel instead of one row per (pixel, footprint-hit) — the hit table
+    is the largest intermediate of global mode. Order fields are compared
+    first and are unique per region, so meta fields never decide."""
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    order_exprs = [
+        (F.col(c) if isinstance(c, str) else c).alias(f"__o{i}")
+        for i, c in enumerate(order_cols)
+    ]
+    meta_names = masked_cells.select(*meta_cols).columns
+    packed = F.min(F.struct(*order_exprs, *meta_cols)).alias("__w")
+    out = masked_cells.groupBy(*pixel_keys).agg(packed)
+    return out.select(
+        *pixel_keys, *[F.col(f"__w.{n}").alias(n) for n in meta_names]
     )
 
 

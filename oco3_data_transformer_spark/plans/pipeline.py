@@ -342,8 +342,6 @@ def process_oco3_global(
     half_lon = (grid_ops.GLOBAL_BBOX[2] - grid_ops.GLOBAL_BBOX[0]) / (2 * max(lon_res - 1, 1))
     half_lat = (grid_ops.GLOBAL_BBOX[3] - grid_ops.GLOBAL_BBOX[1]) / (2 * max(lat_res - 1, 1))
 
-    # deterministic region order for first-wins: (granule, mode, region_id)
-    order = F.concat_ws("|", F.col("f_granule"), F.col("f_mode"), F.col("f_region_id"))
     footprints = both.select(
         F.col("qf"), F.col("time"),
         F.col("vertex_longitude").alias("v_lon"),
@@ -358,11 +356,13 @@ def process_oco3_global(
         footprints, ["qf", "time"], half_lon, half_lat, mask_scale,
         carry_cols=["f_granule", "f_mode", "f_region_id", "f_target_id"],
     )
-    # G7: first-writer-wins metadata per pixel (explicit deterministic order)
+    # G7: first-writer-wins metadata per pixel. Typed order columns — a
+    # numeric region_id orders numerically (region 2 before 10), matching
+    # the reference's loop order; a string concat would sort '10' < '2'.
     meta = grid_ops.first_wins_rasterize(
-        hits.withColumn("__ord", order),
+        hits,
         ["qf", "time", "lat_idx", "lon_idx"],
-        "__ord",
+        ["f_granule", "f_mode", "f_region_id"],
         [
             F.col("f_target_id").alias("target_id"),
             determine_id_type(F.col("f_target_id")).alias("target_type"),

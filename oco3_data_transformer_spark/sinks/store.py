@@ -86,6 +86,34 @@ def upsert(spark: SparkSession, df: DataFrame, path: str) -> None:
     )
 
 
+def merge(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """True partition-scoped MERGE for the late-data repair path: in every
+    (mission, qf, day) partition the batch touches, batch rows replace
+    matching slice keys and all *other* existing rows of the partition are
+    kept. Plain :func:`upsert` wipes the partition to exactly the batch's
+    rows — correct only when the caller re-stages the full day (the
+    reference's orchestrator does, ref tools/deploy/run.py:315-331); this
+    variant is safe when the batch carries just the late granule's slices.
+
+    The merged rows are localCheckpoint-ed before the overwrite so the write
+    does not lazily re-read the files it is replacing."""
+    new = _with_day(df.dropDuplicates(SLICE_KEY))
+    if store_exists(spark, path):
+        existing = spark.read.parquet(path)
+        touched = new.select(*PARTITION_COLS).distinct()
+        kept = (
+            existing.join(F.broadcast(touched), on=PARTITION_COLS, how="left_semi")
+            .join(new.select(*SLICE_KEY), on=SLICE_KEY, how="left_anti")
+        )
+        new = new.unionByName(kept).localCheckpoint(eager=True)
+    (
+        new.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*PARTITION_COLS)
+        .parquet(path)
+    )
+
+
 def verify(spark: SparkSession, path: str) -> dict:
     """S7: post-append invariants — no duplicate slice keys, per-store time
     coverage (A7). Returns a report dict (the reference logs + auto-repairs;

@@ -143,7 +143,11 @@ def make_batch_processor(
             if fresh.limit(1).count():
                 store_ops.append(spark, fresh, cfg.store_path)
             if redo.limit(1).count():  # late data for a processed day → repair
-                store_ops.upsert(spark, redo, cfg.store_path)
+                # merge, not upsert: the batch carries only the late granule's
+                # slices, so a partition wipe would drop the day's previously
+                # stored slices (other granules/targets) the producer never
+                # re-dropped.
+                store_ops.merge(spark, redo, cfg.store_path)
 
             ledger = (
                 good.join(F.broadcast(ready), "day", "left_semi")

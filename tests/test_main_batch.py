@@ -64,6 +64,33 @@ target-file: {{oco3: {tmp_path}/targets.json}}
     return tmp_path
 
 
+def test_oco2_targets_centroid_wkt(spark, tmp_path):
+    # the reference's OCO-2 target JSON carries centroid_wkt "POINT (lon lat)"
+    # (ref TargetInfo.py:387); a centroid dict is the fallback; neither raises
+    targets = {
+        "fossil0001": {
+            "name": "WKT One",
+            "bbox": {"min_lon": 1.0, "min_lat": 2.0, "max_lon": 3.0, "max_lat": 4.0},
+            "centroid_wkt": "POINT (-118.25 34.05)",
+        },
+        "fossil0002": {
+            "name": "Dict Two",
+            "bbox": {"min_lon": 1.0, "min_lat": 2.0, "max_lon": 3.0, "max_lat": 4.0},
+            "centroid": {"lon": 5.5, "lat": -6.5},
+        },
+    }
+    p = tmp_path / "t.json"
+    p.write_text(json.dumps(targets))
+    rows = {r.target_id: r for r in load_targets(spark, str(p), "oco2").collect()}
+    assert (rows["fossil0001"].centroid_lon, rows["fossil0001"].centroid_lat) == (-118.25, 34.05)
+    assert (rows["fossil0002"].centroid_lon, rows["fossil0002"].centroid_lat) == (5.5, -6.5)
+
+    targets["fossil0003"] = {"name": "No Centroid", "bbox": {}}
+    p.write_text(json.dumps(targets))
+    with pytest.raises(ValueError, match="fossil0003"):
+        load_targets(spark, str(p), "oco2")
+
+
 def test_batch_run_end_to_end(spark, batch_env):
     cfg = RunConfig.parse_file(str(batch_env / "cfg.yaml"))
 

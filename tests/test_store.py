@@ -56,6 +56,20 @@ def test_upsert_replaces_partition(spark, tmp_path):
     assert {r.value for r in df.collect()} == {7.0, 8.0}
 
 
+def test_merge_keeps_unreplaced_rows_of_touched_partition(spark, tmp_path):
+    path = str(tmp_path / "store")
+    store.append(spark, _slices(spark, D1, [1, 2, 3]), path)      # cells 0,1,2
+    store.append(spark, _slices(spark, D2, [6]), path)
+    # late granule re-delivers only cell 1 of day 1 with a new value
+    late = _slices(spark, D1, [0, 99]).filter(F.col("lat_idx") == 1)
+    store.merge(spark, late, path)
+    df = spark.read.parquet(path)
+    day1 = {(r.lat_idx, r.value) for r in df.filter(F.to_date("time") == D1.date()).collect()}
+    # cell 1 replaced, cells 0 and 2 kept (upsert would have wiped them)
+    assert day1 == {(0, 1.0), (1, 99.0), (2, 3.0)}
+    assert df.count() == 4  # untouched day 2 intact
+
+
 def test_repair_removes_duplicates(spark, tmp_path):
     path = str(tmp_path / "store")
     # write duplicates directly (bypassing append's guard)
