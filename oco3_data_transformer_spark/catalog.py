@@ -743,6 +743,41 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q47_climatology_seasonal",
+    f"""
+    WITH base AS (
+        SELECT o_orderdate AS t, o_totalprice AS v,
+               month(o_orderdate) AS m, day(o_orderdate) AS d
+        FROM orders),
+    rolled AS (
+        SELECT *, CAST(floor((m + CASE WHEN m % 3 = 0 AND d >= 21 THEN 1 ELSE 0 END - 1) / 3)
+                       AS INT) AS qi
+        FROM base)
+    SELECT make_date(year(t) - CASE WHEN qi = 0 THEN 1 ELSE 0 END,
+                     CASE WHEN qi = 0 THEN 12 ELSE qi * 3 END, 21) AS span,
+           {exact_mean_sql('sum(v)', 'count(v)')} AS o_totalprice_mean,
+           CAST(count(v) AS BIGINT) AS o_totalprice_valid_count,
+           CAST(count(DISTINCT CAST(t AS DATE)) AS BIGINT) AS n_days
+    FROM rolled GROUP BY 1
+    """,
+    doc="A1 seasonal climatology with the reference's day-20 3-month split: "
+    "season boundaries at day 20 of Mar/Jun/Sep/Dec, labeled by canonical "
+    "start date; ref tools/climatology/main.py:194-209.",
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    od = load(spark, sf, "orders")
+    spans = agg_ops.climatology_spans(od, "o_orderdate", ["o_totalprice"], freq="season")
+    return spans.select(
+        "span",
+        exact_mean(
+            F.col("o_totalprice_sum"), F.col("o_totalprice_valid_count")
+        ).alias("o_totalprice_mean"),
+        "o_totalprice_valid_count",
+        "n_days",
+    )
+
+
+@register(
     "q21_month_of_year",
     """
     WITH monthly AS (

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import register
+from .functions import scalar as scalar_fns
 from .operators import grid as grid_ops
 from .operators import multimodal as mm
 from .plans import pipeline as pipe
@@ -137,11 +138,18 @@ def _synth_oco3_soundings(spark: SparkSession, sf: str) -> DataFrame:
     lat = (F.col("value") % 8).cast("float")
     lon = (F.col("value") * 3 % 8).cast("float")
     d = F.lit(0.05)
+    # C2: granule time from a date-component vector (the CO2 granule's
+    # `date` variable shape), not date_trunc — exercises the reference's
+    # datetime(*date[0]) path (functions/scalar.timestamp_from_components)
+    date_vec = F.array(
+        F.year("ts"), F.month("ts"), F.dayofmonth("ts"),
+        F.lit(0), F.lit(0), F.lit(0),
+    )
     soundings = soundings.select(
         "granule",
         w_idx.cast("long").alias("sounding_idx"),
         F.col("sounding_id").cast("long"),
-        F.date_trunc("DAY", "ts").alias("time"),
+        scalar_fns.timestamp_from_components(date_vec).alias("time"),
         lat.alias("latitude"),
         lon.alias("longitude"),
         F.array(lat - d, lat - d, lat + d, lat + d).alias("vertex_latitude"),

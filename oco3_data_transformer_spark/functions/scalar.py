@@ -43,6 +43,27 @@ def granule_date_sql(expr: str) -> str:
     return f"CAST(strptime(string_split({expr}, '_')[3], '%y%m%d') AS DATE)"
 
 
+def timestamp_from_components(date_vec: Column) -> Column:
+    """C2: CO2 granule date-component vector
+    ``[year, month, day, hour, minute, second(, microsecond)]`` → UTC
+    timestamp — the reference's ``datetime(*date[0])``
+    (ref processors/OCO3SamProcessor.py:84). A missing 7th element counts
+    as 0 microseconds."""
+    secs = (
+        date_vec.getItem(5).cast("double")
+        # get() (not getItem) tolerates a missing 7th element -> null -> 0 µs
+        + F.coalesce(F.get(date_vec, 6).cast("double"), F.lit(0.0)) / 1e6
+    )
+    return F.make_timestamp(
+        date_vec.getItem(0).cast("int"),
+        date_vec.getItem(1).cast("int"),
+        date_vec.getItem(2).cast("int"),
+        date_vec.getItem(3).cast("int"),
+        date_vec.getItem(4).cast("int"),
+        secs.cast("decimal(16,6)"),
+    )
+
+
 def sif_timestamp(delta_time: Column) -> Column:
     """C3: SIF Delta_Time (seconds since 1990-01-01) → timestamp."""
     return F.timestamp_seconds(delta_time + F.lit(SIF_EPOCH_1990))

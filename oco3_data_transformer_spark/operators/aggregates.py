@@ -23,8 +23,14 @@ def climatology_spans(
     SQL default) of each science var, a ``valid_count`` of non-null member
     slices, and ``n_days`` distinct days in span.
 
-    ``freq``: 'month' | 'year' | 'season' (3-month blocks split at day 20,
-    the reference's seasonal rule ref tools/climatology/main.py:185-210).
+    ``freq``: 'month' | 'year' | 'season'. Seasons follow the reference's
+    day-20 rule (ref tools/climatology/main.py:194-209): boundaries sit at
+    day 20 of the months divisible by 3 (Mar/Jun/Sep/Dec), so a season runs
+    e.g. Mar 21 – Jun 20 and is labeled by its canonical start date
+    (make_date(y, {3,6,9,12}, 21); dates up to Mar 20 belong to the season
+    starting Dec 21 of the *previous* year). The reference labels its first,
+    possibly partial, slice by the dataset start date — a driver artifact of
+    its slicing loop; here labels are data-independent.
     """
     keys = list(extra_keys or [])
     t = F.col(time_col)
@@ -33,11 +39,15 @@ def climatology_spans(
     elif freq == "year":
         span = F.date_trunc("year", t)
     elif freq == "season":
-        # Shift by 20 days back then truncate to 3-month blocks: month index
-        # floor((month-1)/3) of the shifted date.
-        shifted = F.date_sub(t.cast("date"), 19)
+        m, d = F.month(t), F.dayofmonth(t)
+        # roll day >= 21 of a season-final month into the next quarter;
+        # quarter index 0 (Jan-Mar<=20) belongs to Dec 21 of the prior year
+        rolled = m + F.when((m % 3 == 0) & (d >= 21), 1).otherwise(0)
+        qi = F.floor((rolled - 1) / 3).cast("int")
         span = F.make_date(
-            F.year(shifted), (F.floor((F.month(shifted) - 1) / 3) * 3 + 1).cast("int"), F.lit(1)
+            F.year(t) - F.when(qi == 0, 1).otherwise(0),
+            F.when(qi == 0, 12).otherwise(qi * 3).cast("int"),
+            F.lit(21),
         )
     else:
         raise ValueError(freq)

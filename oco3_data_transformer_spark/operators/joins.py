@@ -31,6 +31,7 @@ def nearest_centroid(
     rlon: str = "lon_c",
     tlat: str = "t_lat",
     tlon: str = "t_lon",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """J2 (OCO-2): associate each region with the target whose centroid is
     nearest (Euclidean in degrees) to the region's mean lat/lon
@@ -39,10 +40,14 @@ def nearest_centroid(
     Broadcast cross join (targets are a few hundred rows) + rank-1 window —
     the KNN-join pattern. The caller then applies the bbox-intersects guard
     (ref :427-429) on the surviving pair.
-    """
+
+    ``tiebreak``: target column ordering equal-distance candidates (the
+    reference's np.argmin is first-index-wins over its target list; pass the
+    column that carries that order — by default the first target column)."""
+    tiebreak = tiebreak or targets.columns[0]
     dist2 = (F.col(rlat) - F.col(tlat)) ** 2 + (F.col(rlon) - F.col(tlon)) ** 2
     paired = regions.crossJoin(F.broadcast(targets)).withColumn("__d2", dist2)
-    w = Window.partitionBy(*region_key).orderBy("__d2", *[c for c in targets.columns[:1]])
+    w = Window.partitionBy(*region_key).orderBy("__d2", tiebreak)
     return paired.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") == 1).drop(
         "__rk", "__d2"
     )

@@ -60,21 +60,27 @@ def test_time_subset_prunes(spark, store_rows):
 
 
 def test_seasonal_split_at_day_20(spark):
-    # The reference's seasonal rule: every-3rd-month spans split at day 20
-    # (a day on the 19th belongs to the previous season block).
+    # The reference's seasonal rule (ref tools/climatology/main.py:194-209):
+    # boundaries at day 20 of Mar/Jun/Sep/Dec — Mar 20 closes a season,
+    # Mar 21 opens the next; Jan-Mar 20 belongs to Dec 21 of the prior year.
     rows = [
-        ("oco3", "t1", "post", dt.datetime(2023, 1, 19), 0, 0, "xco2", 1.0),
-        ("oco3", "t1", "post", dt.datetime(2023, 1, 20), 0, 0, "xco2", 2.0),
-        ("oco3", "t1", "post", dt.datetime(2023, 4, 19), 0, 0, "xco2", 4.0),
-        ("oco3", "t1", "post", dt.datetime(2023, 4, 20), 0, 0, "xco2", 8.0),
+        ("oco3", "t1", "post", dt.datetime(2023, 1, 5), 0, 0, "xco2", 1.0),
+        ("oco3", "t1", "post", dt.datetime(2023, 3, 20), 0, 0, "xco2", 2.0),
+        ("oco3", "t1", "post", dt.datetime(2023, 3, 21), 0, 0, "xco2", 4.0),
+        ("oco3", "t1", "post", dt.datetime(2023, 6, 20), 0, 0, "xco2", 8.0),
+        ("oco3", "t1", "post", dt.datetime(2023, 6, 21), 0, 0, "xco2", 16.0),
+        ("oco3", "t1", "post", dt.datetime(2023, 12, 21), 0, 0, "xco2", 32.0),
     ]
     df = spark.createDataFrame(rows, STORE_SLICE)
     out = {r.span: r for r in climatology(df, freq="season").collect()}
-    assert len(out) == 3
     spans = sorted(out)
-    # Jan 19 -> block starting Oct 2022; Jan 20 + Apr 19 -> Jan block; Apr 20 -> Apr block
-    assert [s.isoformat() for s in spans] == ["2022-10-01", "2023-01-01", "2023-04-01"]
-    assert out[spans[1]].mean == pytest.approx(3.0)  # (2+4)/2
+    assert [s.isoformat() for s in spans] == [
+        "2022-12-21", "2023-03-21", "2023-06-21", "2023-12-21",
+    ]
+    assert out[spans[0]].mean == pytest.approx(1.5)   # Jan 5 + Mar 20
+    assert out[spans[1]].mean == pytest.approx(6.0)   # Mar 21 + Jun 20
+    assert out[spans[2]].mean == pytest.approx(16.0)  # Jun 21
+    assert out[spans[3]].mean == pytest.approx(32.0)  # Dec 21
 
 
 def test_month_of_year_consolidation(spark):

@@ -1,0 +1,48 @@
+"""C2 timestamp_from_components and the J2 nearest_centroid tiebreak
+(ref processors/OCO3SamProcessor.py:84; processors/OCO2Processor.py:400-435
+np.argmin first-index-wins)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from pyspark.sql import functions as F
+
+from oco3_data_transformer_spark.functions.scalar import timestamp_from_components
+from oco3_data_transformer_spark.operators.joins import nearest_centroid
+
+
+def test_timestamp_from_components(spark):
+    df = spark.createDataFrame(
+        [([2024, 3, 1, 12, 30, 45, 250000],), ([2019, 12, 31, 23, 59, 59],)],
+        "vec array<int>",
+    )
+    out = [r.ts for r in df.select(timestamp_from_components(F.col("vec")).alias("ts")).collect()]
+    assert out[0] == dt.datetime(2024, 3, 1, 12, 30, 45, 250000)
+    # missing 7th component counts as 0 microseconds
+    assert out[1] == dt.datetime(2019, 12, 31, 23, 59, 59)
+
+
+def _ref_argmin(region, targets):
+    """The reference's association: np.argmin over squared centroid distance,
+    first index wins on ties (targets in list order)."""
+    d2 = [(region[0] - t[1]) ** 2 + (region[1] - t[2]) ** 2 for t in targets]
+    return targets[d2.index(min(d2))][0]
+
+
+def test_nearest_centroid_tiebreak_matches_reference_argmin(spark):
+    rng = random.Random(7)
+    # coarse integer grid so exact distance ties actually occur
+    targets = [(i, float(rng.randint(0, 4)), float(rng.randint(0, 4))) for i in range(8)]
+    regions = [(j, float(rng.randint(0, 4)), float(rng.randint(0, 4))) for j in range(40)]
+    tdf = spark.createDataFrame(targets, ["t_idx", "t_lat", "t_lon"])
+    rdf = spark.createDataFrame(regions, ["region_id", "lat_c", "lon_c"])
+    out = {
+        r.region_id: r.t_idx
+        for r in nearest_centroid(
+            rdf, tdf, ["region_id"], tiebreak="t_idx"
+        ).collect()
+    }
+    for j, lat, lon in regions:
+        assert out[j] == _ref_argmin((lat, lon), targets), f"region {j}"
