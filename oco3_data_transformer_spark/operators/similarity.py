@@ -171,6 +171,79 @@ def ivf_knn(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    seed: int = 13,
+) -> DataFrame:
+    """IVF build step: spherical k-means over (a sample of) the corpus,
+    returning a (cell, centroid) DataFrame ready for :func:`ivf_assign` /
+    :func:`ivf_knn`.
+
+    Scale shape — no shuffle of the corpus at all:
+      - assignment + per-cell partial sums run inside ``mapInPandas``
+        (Arrow-batched numpy: normalize, one matmul against the broadcast
+        centroid bank, ``np.add.at`` scatter) emitting k rows per partition;
+      - the driver reduces k×partitions tiny rows into new centroids.
+    Lloyd iterations are driver-coordinated like the reference's tools use
+    driver loops, but each pass is one corpus scan. ``sample_fraction``
+    bounds build cost on a 100 TB corpus (IVF quality needs only a sample).
+    Empty cells keep their previous centroid. Init is deterministic: the k
+    vectors with the smallest ids.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if sample_fraction:
+        base = base.sample(fraction=sample_fraction, seed=seed)
+    init = base.orderBy("id").limit(k).select("vec").collect()
+    if len(init) < k:
+        raise ValueError(f"corpus has fewer than k={k} vectors")
+    cents = np.array([r.vec for r in init], dtype=np.float64)
+    dim = cents.shape[1]
+    vecs = base.select("vec")
+
+    for _ in range(iters):
+        bank = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+        def partials(batches, _bank=bank):
+            sums = np.zeros((k, dim))
+            counts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+                Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+                assign = np.argmax(Xn @ _bank.T, axis=1)  # first-index ties
+                np.add.at(sums, assign, X)
+                np.add.at(counts, assign, 1)
+            yield pd.DataFrame(
+                {"cell": range(k), "s": list(sums), "n": counts}
+            )
+
+        agg = vecs.mapInPandas(
+            partials, schema="cell int, s array<double>, n long"
+        ).toPandas()
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k, dtype=np.int64)
+        for _, row in agg.iterrows():
+            sums[row["cell"]] += np.asarray(row["s"])
+            counts[row["cell"]] += row["n"]
+        nonempty = counts > 0
+        cents[nonempty] = sums[nonempty] / counts[nonempty, None]
+
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Signed-random-projection (hyperplane) LSH — the embedding-space analog of
 # MinHash banding: bucket key = sign bits of projections onto a fixed

@@ -1,0 +1,182 @@
+"""Incremental deploy orchestrator — the engine analog of the reference's
+CMR-driven deploy loop (ref tools/deploy/run.py:485-862, stac_filter
+:217-334): catalog search → availability classification → tail hold-back →
+new/changed-day routing → store write → ledger update.
+
+Composition of existing primitives, no new physics:
+  - availability classification = F10 gap/date-range status (catalog q09
+    shape): PRESENT / EXPECTED_ABSENT (outside the mission's data range or
+    inside a known gap) / ABSENT;
+  - hold-back = the reference's *tail* rule (ref run.py:291-305): find the
+    LATEST day where no expected collection is ABSENT and process every day
+    up to it — an earlier incomplete day is processed anyway, because a
+    later complete day proves the missing granule is not merely late;
+  - routing (ref run.py:311-331): a day absent from the ledger appends; a
+    ledger day whose granule set changed re-stages ALL of the day's
+    granules and day-scope-overwrites (store.upsert — the partition wipe is
+    correct here precisely because the full day is re-staged);
+  - ledger = (day, mission, granule) Parquet control table, written only
+    after a successful store write (ref run.py:828-854).
+
+All planning tables (features, availability, ledger) are control-plane
+metadata — thousands of rows for years of mission data — so the
+collect()s that drive routing are driver-side by design; the data-plane
+(sounding rows → slices → store) stays fully distributed.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sinks import store as store_ops
+
+FEATURES_SCHEMA = "granule string, mission string, day date"
+
+
+@dataclass
+class DeployConfig:
+    store_path: str
+    ledger_path: str
+    missions: tuple[str, ...] = ("oco3", "oco2", "oco3_sif")
+    # mission -> (first day with data, last day with data); outside ->
+    # EXPECTED_ABSENT (ref run.py:278-285 DATE_RANGES)
+    date_ranges: dict = field(default_factory=dict)
+    # (mission, start_day, end_day) inclusive known gaps (ref run.py:86-98)
+    known_gaps: tuple = ()
+
+
+def classify_availability(
+    spark: SparkSession, features: DataFrame, cfg: DeployConfig
+) -> DataFrame:
+    """(day, mission, status) over the full calendar spanned by the search
+    results — F10 classification (ref run.py:257-285)."""
+    span = features.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = span.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    missions = spark.createDataFrame([(m,) for m in cfg.missions], ["mission"])
+    grid = cal.crossJoin(F.broadcast(missions))
+    present = features.select("day", "mission").distinct().withColumn("__p", F.lit(1))
+    out = grid.join(present, ["day", "mission"], "left")
+
+    expected_absent = F.lit(False)
+    for m, (lo, hi) in (cfg.date_ranges or {}).items():
+        expected_absent = expected_absent | (
+            (F.col("mission") == m)
+            & ~F.col("day").between(F.lit(lo).cast("date"), F.lit(hi).cast("date"))
+        )
+    for m, lo, hi in cfg.known_gaps:
+        expected_absent = expected_absent | (
+            (F.col("mission") == m)
+            & F.col("day").between(F.lit(lo).cast("date"), F.lit(hi).cast("date"))
+        )
+    status = (
+        F.when(F.col("__p").isNotNull(), "PRESENT")
+        .when(expected_absent, "EXPECTED_ABSENT")
+        .otherwise("ABSENT")
+    )
+    return out.select("day", "mission", status.alias("status"))
+
+
+def holdback_watermark(availability: DataFrame):
+    """The reference's tail hold-back (ref run.py:291-305): the latest day
+    where no mission is ABSENT. Returns that day (or None — nothing is
+    confirmed complete). Every day <= watermark is processable."""
+    per_day = availability.groupBy("day").agg(
+        F.max((F.col("status") == "ABSENT").cast("int")).alias("has_absent")
+    )
+    row = (
+        per_day.filter(F.col("has_absent") == 0)
+        .agg(F.max("day").alias("wm"))
+        .collect()[0]
+    )
+    return row["wm"]
+
+
+def read_ledger(spark: SparkSession, cfg: DeployConfig) -> DataFrame:
+    if store_ops.store_exists(spark, cfg.ledger_path):
+        return spark.read.parquet(cfg.ledger_path).select("day", "mission", "granule")
+    return spark.createDataFrame([], FEATURES_SCHEMA)
+
+
+def plan_work(
+    features: DataFrame, ledger: DataFrame, watermark
+) -> tuple[list, list]:
+    """Split processable days into (append_days, repair_days) — ref
+    run.py:311-331: unseen day → append; ledger day with a changed granule
+    set → repair (the full day re-stages). Unchanged days drop out."""
+    if watermark is None:
+        return [], []
+    eligible = features.filter(F.col("day") <= F.lit(watermark))
+    led = ledger.withColumn("__known", F.lit(1))
+    tagged = eligible.join(led, ["day", "mission", "granule"], "left")
+    per_day = tagged.groupBy("day").agg(
+        F.max(F.col("__known").isNull().cast("int")).alias("has_new"),
+        F.max(F.lit(1)).alias("__one"),
+    )
+    day_seen = ledger.select("day").distinct().withColumn("__seen", F.lit(1))
+    per_day = per_day.join(day_seen, "day", "left")
+    rows = per_day.filter(F.col("has_new") == 1).select("day", "__seen").collect()
+    append_days = sorted(r["day"] for r in rows if r["__seen"] is None)
+    repair_days = sorted(r["day"] for r in rows if r["__seen"] is not None)
+    return append_days, repair_days
+
+
+def run_deploy(
+    spark: SparkSession,
+    features: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    cfg: DeployConfig,
+) -> dict:
+    """One deploy cycle. ``features``: the catalog-search result
+    (granule, mission, day) — the CMR/STAC stub; ``transform``: maps the
+    selected feature rows to STORE_SLICE rows (granule read + mission
+    pipeline + melt), exactly like the streaming ingest's transform.
+    Returns a report dict; the ledger is updated only after the store write
+    succeeds."""
+    availability = classify_availability(spark, features, cfg)
+    wm = holdback_watermark(availability)
+    ledger = read_ledger(spark, cfg)
+    append_days, repair_days = plan_work(features, ledger, wm)
+    report = {
+        "watermark": str(wm) if wm else None,
+        "append_days": [str(d) for d in append_days],
+        "repair_days": [str(d) for d in repair_days],
+        "rows_appended": 0,
+    }
+    if not append_days and not repair_days:
+        return report
+
+    if append_days:
+        batch = features.filter(F.col("day").isin(append_days))
+        slices = transform(batch)
+        report["rows_appended"] = store_ops.append(spark, slices, cfg.store_path)
+    if repair_days:
+        # re-stage ALL granules of the repaired days (the reference re-adds
+        # previously processed collections, ref run.py:315-331) so the
+        # partition-scoped overwrite rebuilds the complete day
+        batch = features.filter(F.col("day").isin(repair_days))
+        store_ops.upsert(spark, transform(batch), cfg.store_path)
+
+    done_days = [*append_days, *repair_days]
+    new_ledger = (
+        features.filter(F.col("day").isin(done_days))
+        .select("day", "mission", "granule")
+        .distinct()
+        .withColumn("processed_at", F.current_timestamp())
+    )
+    if store_ops.store_exists(spark, cfg.ledger_path):
+        # repair days replace their ledger rows; append days add theirs
+        old = spark.read.parquet(cfg.ledger_path).filter(
+            ~F.col("day").isin(done_days)
+        )
+        new_ledger = old.unionByName(new_ledger, allowMissingColumns=True).localCheckpoint(
+            eager=True
+        )
+        new_ledger.write.mode("overwrite").parquet(cfg.ledger_path)
+    else:
+        new_ledger.write.mode("append").parquet(cfg.ledger_path)
+    return report

@@ -1,0 +1,75 @@
+"""IVF k-means build (similarity.kmeans_centroids): convergence on separable
+clusters, determinism, and end-to-end recall through ivf_assign + ivf_knn."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oco3_data_transformer_spark.operators import similarity as sim
+from oco3_data_transformer_spark.sources.registry import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _separable(spark, n_per=30, dim=8, seed=3):
+    rng = np.random.default_rng(seed)
+    anchors = np.eye(3, dim) * 10.0
+    rows = []
+    i = 0
+    for a in anchors:
+        for _ in range(n_per):
+            rows.append((i, [float(x) for x in a + rng.normal(0, 0.2, dim)]))
+            i += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_recovers_separable_clusters(spark):
+    df = _separable(spark)
+    cents = sim.kmeans_centroids(df, k=3, iters=5)
+    got = np.array([r.centroid for r in cents.orderBy("cell").collect()])
+    # each anchor direction recovered by exactly one centroid
+    anchors = np.eye(3, 8) * 10.0
+    matched = set()
+    for a in anchors:
+        d = np.linalg.norm(got - a, axis=1)
+        j = int(np.argmin(d))
+        assert d[j] < 1.0, f"anchor {a[:3]} unrecovered (dist {d[j]})"
+        matched.add(j)
+    assert len(matched) == 3
+
+    # assignment through ivf_assign puts every vector in a cluster of size 30
+    assigned = sim.ivf_assign(df, cents)
+    sizes = sorted(
+        r.n for r in assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    )
+    assert sizes == [30, 30, 30]
+
+
+def test_kmeans_deterministic(spark):
+    df = _separable(spark)
+    a = sim.kmeans_centroids(df, k=3, iters=3).orderBy("cell").collect()
+    b = sim.kmeans_centroids(df.repartition(7), k=3, iters=3).orderBy("cell").collect()
+    # same init (min ids) and same additions per cell -> same result up to
+    # float addition order; separable data keeps assignments identical
+    for ra, rb in zip(a, b):
+        assert ra.cell == rb.cell
+        assert np.allclose(ra.centroid, rb.centroid, atol=1e-9)
+
+
+def test_ivf_knn_with_built_centroids_has_high_recall(spark):
+    emb = load(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_knn(emb, queries, k=5).collect()
+    }
+    cents = sim.kmeans_centroids(emb, k=8, iters=4)
+    assigned = sim.ivf_assign(emb.select("vec_id", "embedding"), cents)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_knn(assigned, cents, queries, k=5, nprobe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"recall {recall}"

@@ -1,0 +1,98 @@
+"""Ready-to-activate goldens for the library-gated paths: scipy
+linear/cubic gridding (G1) and h5netcdf NetCDF decode (S1). They skip
+cleanly while scipy / xarray+h5netcdf are absent from the environment and
+pin the exact semantics the moment they appear — no code change needed.
+
+The linear/cubic goldens use a planar field v = 2 + 3·lon − lat:
+``scipy.interpolate.griddata`` reproduces a plane exactly for both methods
+regardless of the Delaunay triangulation it picks, so the expected values
+are analytic, not snapshots of one scipy version.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+import pytest
+
+from oco3_data_transformer_spark.operators import grid as G
+
+
+def _planar_cloud():
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(0, 10, 40)
+    lat = rng.uniform(0, 10, 40)
+    # ensure the mesh corners sit inside the hull so nothing is NaN-masked
+    lon = np.concatenate([lon, [0, 10, 0, 10]])
+    lat = np.concatenate([lat, [0, 0, 10, 10]])
+    v = 2.0 + 3.0 * lon - lat
+    return lon, lat, v
+
+
+@pytest.mark.parametrize("method", ["linear", "cubic"])
+def test_scipy_gridding_reproduces_plane(method):
+    pytest.importorskip("scipy")
+    lon, lat, v = _planar_cloud()
+    mesh_lon, mesh_lat = G.make_mesh(0.0, 0.0, 10.0, 10.0, 9, 7)
+    out = G.grid_points(lon, lat, v, mesh_lon, mesh_lat, method=method)
+    glon, glat = np.meshgrid(mesh_lon.astype(np.float64), mesh_lat.astype(np.float64))
+    expect = 2.0 + 3.0 * glon - glat
+    assert out.shape == (7, 9)
+    assert np.allclose(out, expect, atol=1e-6), f"{method} deviates from plane"
+
+
+def test_scipy_gridding_nan_outside_hull():
+    pytest.importorskip("scipy")
+    # points confined to the lower-left quadrant; far corner is outside hull
+    lon = np.array([0.0, 4.0, 0.0, 4.0, 2.0])
+    lat = np.array([0.0, 0.0, 4.0, 4.0, 2.0])
+    v = np.ones(5)
+    mesh_lon, mesh_lat = G.make_mesh(0.0, 0.0, 10.0, 10.0, 6, 6)
+    out = G.grid_points(lon, lat, v, mesh_lon, mesh_lat, method="linear")
+    assert np.isnan(out[-1, -1])  # (10, 10) outside convex hull -> NaN fill
+    assert out[0, 0] == pytest.approx(1.0)
+
+
+def test_linear_falls_back_to_nearest_below_min_points():
+    # G3 semantics are library-independent: < 4 points -> nearest, even with
+    # scipy present (ref processors/OCO3SamProcessor.py:153-159)
+    lon = np.array([0.0, 10.0, 0.0])
+    lat = np.array([0.0, 0.0, 10.0])
+    v = np.array([1.0, 2.0, 3.0])
+    mesh_lon, mesh_lat = G.make_mesh(0.0, 0.0, 10.0, 10.0, 3, 3)
+    out = G.grid_points(lon, lat, v, mesh_lon, mesh_lat, method="linear")
+    assert not np.isnan(out).any()  # nearest never NaNs inside the bbox
+    assert out[0, 0] == 1.0 and out[0, 2] == 2.0 and out[2, 0] == 3.0
+
+
+def test_netcdf_decode_golden(tmp_path):
+    xr = pytest.importorskip("xarray")
+    pytest.importorskip("h5netcdf")
+    from oco3_data_transformer_spark.sources.granules import decode_netcdf
+
+    n = 5
+    ds = xr.Dataset(
+        {
+            "xco2": ("sounding", np.array([400.0, -999999.0, 402.0, 403.0, 404.0])),
+            "sounding_idx": ("sounding", np.arange(n, dtype=np.int64)),
+            "vertex_latitude": (
+                ("sounding", "vertices"),
+                np.arange(n * 4, dtype=np.float32).reshape(n, 4),
+            ),
+            "ignored_var": ("sounding", np.zeros(n)),
+        }
+    )
+    ds["xco2"].encoding["_FillValue"] = -999999.0
+    f = tmp_path / "g.nc4"
+    ds.to_netcdf(f, engine="h5netcdf")
+
+    out = decode_netcdf(
+        f.read_bytes(), ["xco2", "sounding_idx", "vertex_latitude"]
+    )
+    # projection pushdown: unselected variables never materialize
+    assert set(out.columns) == {"xco2", "sounding_idx", "vertex_latitude"}
+    # mask_and_scale: fill value -> NaN
+    assert np.isnan(out["xco2"].iloc[1]) and out["xco2"].iloc[0] == 400.0
+    # 2-D vertex corners arrive as per-row arrays
+    assert list(out["vertex_latitude"].iloc[2]) == [8.0, 9.0, 10.0, 11.0]
