@@ -298,8 +298,16 @@ def simhash_fingerprints(
     """SimHash: per-document ``bits``-wide fingerprint from token-hash bit
     votes weighted by occurrence count (non-distinct tokens — frequency
     weighting discriminates far better than set membership on small shared
-    vocabularies). All ``bits`` votes are aggregate columns of one groupBy —
-    no per-bit row explosion. Returns (id, simhash)."""
+    vocabularies). Returns (id, simhash).
+
+    All ``bits`` votes are aggregate columns of one groupBy — no per-bit row
+    explosion. The token explode + hash aggregate stays inside whole-stage
+    codegen, the partial (map-side) aggregation collapses each document to
+    ONE 33-column row before the exchange, and that exchange carries no more
+    data than the LSH bucket stage needs anyway. (A zero-shuffle variant via
+    higher-order ``aggregate`` over the token array was measured ~40% slower
+    at sf0.1: Spark evaluates HOF lambdas per element outside codegen.)
+    """
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(text.tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", hashing.portable_hash64(F.col("tok")))

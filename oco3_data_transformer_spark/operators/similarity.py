@@ -33,16 +33,26 @@ def brute_force_knn(
     is scanned once — per-row work is O(d·|Q|) in codegen, no shuffle until
     the final per-query top-k window over |Q|·|corpus| candidate rows,
     pre-pruned by a rank window partitioned on query."""
+    # norms are precomputed per VECTOR (not per pair): the dot/norm folds are
+    # higher-order expressions evaluated outside codegen, so computing each
+    # row's norm once instead of |Q| (resp. |corpus|) times cuts 2/3 of the
+    # per-pair arithmetic; identical doubles (same fold, same order).
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-        )
+        ).withColumn("q_norm", vector.norm(F.col("q_vec")))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("c_norm", vector.norm(F.col("c_vec")))
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", vector.cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cos",
+            vector.dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -65,14 +75,18 @@ def cosine_neardup_pairs(
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
-    base = df.select(*cols)
+    base = df.select(*cols).withColumn("nrm", vector.norm(F.col("vec")))
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
         cond = cond & (F.col("a.blk") == F.col("b.blk"))
     return (
         a.join(b, cond)
-        .withColumn("cos", vector.cosine(F.col("a.vec"), F.col("b.vec")))
+        .withColumn(
+            "cos",
+            vector.dot(F.col("a.vec"), F.col("b.vec"))
+            / (F.col("a.nrm") * F.col("b.nrm")),
+        )
         .filter(F.col("cos") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos")
     )
@@ -97,9 +111,19 @@ def ivf_assign(
     lowest cell id (struct field 2), identical to the window form. Falls
     back to the window when the cell id is a non-numeric type (no negation
     for the tiebreak)."""
-    cents = F.broadcast(centroids.select(F.col(cent_id), F.col(cent_vec)))
-    scored = corpus.crossJoin(cents).withColumn(
-        "__cos", vector.cosine(F.col(vec_col), F.col(cent_vec))
+    cents = F.broadcast(
+        centroids.select(F.col(cent_id), F.col(cent_vec)).withColumn(
+            "__cn", vector.norm(F.col(cent_vec))
+        )
+    )
+    scored = (
+        corpus.withColumn("__vn", vector.norm(F.col(vec_col)))
+        .crossJoin(cents)
+        .withColumn(
+            "__cos",
+            vector.dot(F.col(vec_col), F.col(cent_vec))
+            / (F.col("__vn") * F.col("__cn")),
+        )
     )
     carry = [c for c in corpus.columns if c != id_col]
     numeric = dict(centroids.dtypes).get(cent_id) in (
@@ -125,7 +149,7 @@ def ivf_assign(
     return (
         scored.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
-        .drop("__rk", "__cos", cent_vec)
+        .drop("__rk", "__cos", "__vn", "__cn", cent_vec)
     )
 
 
@@ -144,24 +168,36 @@ def ivf_knn(
     exact top-k within those cells only. Returns (query_id, neighbor_id,
     rank, cos). At 100 TB the cell equi-join key makes this a partitioned
     hash join touching nprobe/nlist of the corpus."""
-    cents = F.broadcast(centroids.select(F.col(cent_id), F.col(cent_vec)))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cents = F.broadcast(
+        centroids.select(F.col(cent_id), F.col(cent_vec)).withColumn(
+            "__cn", vector.norm(F.col(cent_vec))
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("q_norm", vector.norm(F.col("q_vec")))
     routed = q.crossJoin(cents).withColumn(
-        "__cos_c", vector.cosine(F.col("q_vec"), F.col(cent_vec))
+        "__cos_c",
+        vector.dot(F.col("q_vec"), F.col(cent_vec))
+        / (F.col("q_norm") * F.col("__cn")),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("__cos_c"), F.asc(cent_id))
     probes = (
         routed.withColumn("__rk", F.row_number().over(wq))
         .filter(F.col("__rk") <= nprobe)
-        .select("query_id", "q_vec", cent_id)
+        .select("query_id", "q_vec", "q_norm", cent_id)
     )
     c = assigned_corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), F.col(cent_id)
-    )
+    ).withColumn("c_norm", vector.norm(F.col("c_vec")))
     scored = (
         probes.join(c, cent_id)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", vector.cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cos",
+            vector.dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -315,11 +351,17 @@ def srp_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("nrm", vector.norm(F.col("vec")))
     out = (
-        cands.join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va")), "id_a")
-        .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")), "id_b")
-        .withColumn("cos", vector.cosine(F.col("va"), F.col("vb")))
+        cands.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
+                        F.col("nrm").alias("na")), "id_a")
+        .join(
+            vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+                        F.col("nrm").alias("nb")), "id_b")
+        .withColumn("cos", vector.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= threshold)
     )
     return out.select("id_a", "id_b", "cos")
