@@ -16,6 +16,7 @@ kernels, streaming) and get the driver's weaker rows-only check.
 
 from __future__ import annotations
 
+import datetime as dt
 from dataclasses import dataclass
 from typing import Callable
 
@@ -313,6 +314,98 @@ def q09(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("ABSENT")
     )
     return out.select("day", status.alias("status"))
+
+
+_DEPLOY_FEATURES_SQL = """
+    features AS (
+        SELECT DISTINCT
+               CASE WHEN user_id % 2 = 0 THEN 'oco3' ELSE 'oco2' END AS mission,
+               CAST(ts AS DATE) AS day
+        FROM events WHERE event_type IN ('signup', 'purchase')),
+    span AS (SELECT min(day) AS lo, max(day) AS hi FROM features),
+    cal AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span),
+    grid AS (
+        SELECT day, mission
+        FROM cal CROSS JOIN (SELECT 'oco3' AS mission UNION ALL SELECT 'oco2')),
+    status AS (
+        SELECT g.day, g.mission,
+               CASE WHEN f.day IS NOT NULL THEN 'PRESENT'
+                    WHEN g.mission = 'oco2'
+                         AND g.day BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+                        THEN 'EXPECTED_ABSENT'
+                    ELSE 'ABSENT' END AS status
+        FROM grid g LEFT JOIN features f
+          ON g.day = f.day AND g.mission = f.mission)
+"""
+
+
+def _deploy_features(spark: SparkSession, sf: str):
+    from . import orchestrator as orc
+
+    ev = load(spark, sf, "events")
+    feats = (
+        ev.filter(F.col("event_type").isin("signup", "purchase"))
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "oco3").otherwise("oco2").alias("mission"),
+            F.to_date("ts").alias("day"),
+        )
+        .distinct()
+        .withColumn("granule", F.concat_ws("_", "mission", "day"))
+    )
+    cfg = orc.DeployConfig(
+        store_path="", ledger_path="", missions=("oco3", "oco2"),
+        known_gaps=(("oco2", dt.date(2024, 1, 10), dt.date(2024, 1, 12)),),
+    )
+    return feats, cfg
+
+
+@register(
+    "q48_deploy_classification",
+    f"""
+    WITH {_DEPLOY_FEATURES_SQL}
+    SELECT day, mission, status FROM status
+    """,
+    doc="Deploy orchestrator availability classification (PRESENT/"
+    "EXPECTED_ABSENT/ABSENT with known-gap table) over a synthetic "
+    "two-mission catalog; ref tools/deploy/run.py:257-285.",
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    from . import orchestrator as orc
+
+    feats, cfg = _deploy_features(spark, sf)
+    return orc.classify_availability(spark, feats, cfg)
+
+
+@register(
+    "q49_deploy_holdback",
+    f"""
+    WITH {_DEPLOY_FEATURES_SQL},
+    wm AS (
+        SELECT max(day) AS watermark FROM (
+            SELECT day FROM status GROUP BY day
+            HAVING max(CASE WHEN status = 'ABSENT' THEN 1 ELSE 0 END) = 0))
+    SELECT s.day, CAST(count(*) AS BIGINT) AS n_missions_present
+    FROM status s, wm
+    WHERE s.status = 'PRESENT' AND s.day <= wm.watermark
+    GROUP BY s.day
+    """,
+    doc="Deploy tail hold-back: process every day up to the LATEST day with "
+    "no ABSENT mission (a later complete day proves earlier absences are "
+    "final, not late); ref tools/deploy/run.py:291-305.",
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    from . import orchestrator as orc
+
+    feats, cfg = _deploy_features(spark, sf)
+    avail = orc.classify_availability(spark, feats, cfg)
+    wm = orc.holdback_watermark(avail)
+    return (
+        avail.filter((F.col("status") == "PRESENT") & (F.col("day") <= F.lit(wm)))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_missions_present"))
+    )
 
 
 # --------------------------------------------------------------------------
