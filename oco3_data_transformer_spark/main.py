@@ -88,6 +88,68 @@ def load_targets(spark: SparkSession, path: str, mission: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def mission_slices(
+    spark: SparkSession, cfg: RunConfig, mission: str, paths: list[str],
+    fmt: str = "npz",
+) -> DataFrame:
+    """One mission's granule paths → STORE_SLICE rows: read → mission
+    pipeline → melt → (drop-empty). Shared by the batch CLI and the deploy
+    orchestrator's transform."""
+    schema = SOUNDING_SCHEMAS[mission]
+    soundings = granule_src.read_granules(spark, paths, schema, fmt=fmt)
+    needs_targets = not (mission == "oco3" and cfg.global_mode)
+    # SIF has no own target file in the reference; it reuses the OCO-3
+    # targets JSON (ref sample-run-config.yaml target-file keys)
+    tpath = cfg.targets.get(mission) or cfg.targets.get("oco3")
+    if needs_targets and not tpath:
+        raise ValueError(f"target-file.{mission} required for target-focused run")
+    targets = load_targets(spark, tpath, mission) if needs_targets else None
+    value_cols = [
+        v for v in (cfg.variables.get(mission) or VALUE_COLS[mission])
+        if v in [f.name for f in schema.fields]
+    ] or VALUE_COLS[mission]
+
+    if mission == "oco3":
+        if cfg.global_mode:
+            gridded = pipe.process_oco3_global(
+                soundings, lon_res=cfg.grid_lon_res, lat_res=cfg.grid_lat_res,
+                method=cfg.grid_method, value_cols=value_cols,
+                mask_scale=cfg.mask_scale,
+            ).withColumn("mission", F.lit("oco3")).withColumn(
+                "target_id", F.coalesce(F.col("target_id"), F.lit("global"))
+            )
+        else:
+            gridded = pipe.process_oco3_granules(
+                soundings, targets, lon_res=cfg.grid_lon_res,
+                lat_res=cfg.grid_lat_res, method=cfg.grid_method,
+                value_cols=value_cols, mask_scale=cfg.mask_scale,
+            )
+    elif mission == "oco2":
+        gridded = pipe.process_oco2_granules(
+            soundings, targets, lon_res=cfg.grid_lon_res,
+            lat_res=cfg.grid_lat_res, method=cfg.grid_method,
+            value_cols=value_cols, mask_scale=cfg.mask_scale,
+        )
+    else:  # oco3_sif: the sequence dim rides in the same granule file
+        # (the reference reads it from a sibling NetCDF group); a second
+        # projected read pulls just the sequence arrays (F1 pushdown
+        # means neither read materializes the other's variables)
+        sequences = granule_src.read_granules(spark, paths, SIF_SEQUENCES, fmt=fmt)
+        gridded = pipe.process_sif_granules(
+            soundings, sequences, targets, lon_res=cfg.grid_lon_res,
+            lat_res=cfg.grid_lat_res, method=cfg.grid_method,
+            mask_scale=cfg.mask_scale,
+        )
+
+    id_cols = ["mission", "target_id", "qf", "time", "lat_idx", "lon_idx"]
+    slices = export_ops.melt_values(gridded, value_cols, id_cols)
+    if cfg.drop_empty:  # F7: drop all-null (target, qf, day, variable) slices
+        slices = drop_empty_slices(
+            slices, ["mission", "target_id", "qf", "time", "variable"], ["value"]
+        )
+    return slices
+
+
 def run_batch(spark: SparkSession, cfg: RunConfig, fmt: str = "npz") -> dict:
     """Execute one batch run: read per-mission granules → pipeline → melt →
     (drop-empty) → idempotent store append → optional dense export.
@@ -99,61 +161,7 @@ def run_batch(spark: SparkSession, cfg: RunConfig, fmt: str = "npz") -> dict:
         by_mission.setdefault(e["mission"], []).append(e["path"])
 
     for mission, paths in by_mission.items():
-        schema = SOUNDING_SCHEMAS[mission]
-        soundings = granule_src.read_granules(spark, paths, schema, fmt=fmt)
-        needs_targets = not (mission == "oco3" and cfg.global_mode)
-        # SIF has no own target file in the reference; it reuses the OCO-3
-        # targets JSON (ref sample-run-config.yaml target-file keys)
-        tpath = cfg.targets.get(mission) or cfg.targets.get("oco3")
-        if needs_targets and not tpath:
-            raise ValueError(f"target-file.{mission} required for target-focused run")
-        targets = load_targets(spark, tpath, mission) if needs_targets else None
-        value_cols = [
-            v for v in (cfg.variables.get(mission) or VALUE_COLS[mission])
-            if v in [f.name for f in schema.fields]
-        ] or VALUE_COLS[mission]
-
-        if mission == "oco3":
-            if cfg.global_mode:
-                gridded = pipe.process_oco3_global(
-                    soundings, lon_res=cfg.grid_lon_res, lat_res=cfg.grid_lat_res,
-                    method=cfg.grid_method, value_cols=value_cols,
-                    mask_scale=cfg.mask_scale,
-                ).withColumn("mission", F.lit("oco3")).withColumn(
-                    "target_id", F.coalesce(F.col("target_id"), F.lit("global"))
-                )
-                id_cols = ["mission", "target_id", "qf", "time", "lat_idx", "lon_idx"]
-            else:
-                gridded = pipe.process_oco3_granules(
-                    soundings, targets, lon_res=cfg.grid_lon_res,
-                    lat_res=cfg.grid_lat_res, method=cfg.grid_method,
-                    value_cols=value_cols, mask_scale=cfg.mask_scale,
-                )
-                id_cols = ["mission", "target_id", "qf", "time", "lat_idx", "lon_idx"]
-        elif mission == "oco2":
-            gridded = pipe.process_oco2_granules(
-                soundings, targets, lon_res=cfg.grid_lon_res,
-                lat_res=cfg.grid_lat_res, method=cfg.grid_method,
-                value_cols=value_cols, mask_scale=cfg.mask_scale,
-            )
-            id_cols = ["mission", "target_id", "qf", "time", "lat_idx", "lon_idx"]
-        else:  # oco3_sif: the sequence dim rides in the same granule file
-            # (the reference reads it from a sibling NetCDF group); a second
-            # projected read pulls just the sequence arrays (F1 pushdown
-            # means neither read materializes the other's variables)
-            sequences = granule_src.read_granules(spark, paths, SIF_SEQUENCES, fmt=fmt)
-            gridded = pipe.process_sif_granules(
-                soundings, sequences, targets, lon_res=cfg.grid_lon_res,
-                lat_res=cfg.grid_lat_res, method=cfg.grid_method,
-                mask_scale=cfg.mask_scale,
-            )
-            id_cols = ["mission", "target_id", "qf", "time", "lat_idx", "lon_idx"]
-
-        slices = export_ops.melt_values(gridded, value_cols, id_cols)
-        if cfg.drop_empty:  # F7: drop all-null (target, qf, day, variable) slices
-            slices = drop_empty_slices(
-                slices, ["mission", "target_id", "qf", "time", "variable"], ["value"]
-            )
+        slices = mission_slices(spark, cfg, mission, paths, fmt)
         appended = store_ops.append(spark, slices, cfg.store_path)
         report["missions"][mission] = {"rows_appended": appended}
 

@@ -180,3 +180,86 @@ def run_deploy(
     else:
         new_ledger.write.mode("append").parquet(cfg.ledger_path)
     return report
+
+
+def granule_transform(run_cfg, fmt: str = "npz") -> Callable[[DataFrame], DataFrame]:
+    """Transform factory for :func:`run_deploy` over REAL granule files:
+    feature rows carry the granule *path* in ``granule``; the returned
+    callable groups paths by mission, runs each mission's pipeline
+    (main.mission_slices: read → segment/QF/grid/mask → melt), and unions
+    the slices. The path list per cycle is control-plane metadata."""
+    from .main import mission_slices
+
+    def transform(batch: DataFrame) -> DataFrame:
+        spark = batch.sparkSession
+        rows = batch.select("granule", "mission").distinct().collect()
+        by_mission: dict[str, list[str]] = {}
+        for r in rows:
+            by_mission.setdefault(r.mission, []).append(r.granule)
+        out: DataFrame | None = None
+        for mission, paths in sorted(by_mission.items()):
+            s = mission_slices(spark, run_cfg, mission, paths, fmt)
+            out = s if out is None else out.unionByName(s)
+        assert out is not None
+        return out
+
+    return transform
+
+
+def features_from_catalog(spark: SparkSession, entries: list[dict]) -> DataFrame:
+    """Catalog-search stub → feature table: validated {path, mission} entries
+    (S4 file_list_input) with the data-day parsed from the granule filename
+    (C1, ref processors/Processor.py:79-83)."""
+    from .functions.scalar import granule_date
+    from .sources.granules import file_list_input
+
+    files = file_list_input(spark, entries)
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    return files.select(
+        F.col("path").alias("granule"),
+        "mission",
+        F.coalesce(F.to_date("day"), granule_date(fname)).alias("day"),
+    )
+
+
+def deploy_main(argv: list[str] | None = None) -> int:
+    """CLI: one incremental deploy cycle over a granule catalog file.
+
+        python -m oco3_data_transformer_spark.orchestrator \\
+            -i run-config.yaml --catalog catalog.json [--ledger PATH]
+
+    ``catalog.json``: list of {path, mission[, day]} — the CMR/STAC search
+    result analog. The ledger defaults to ``<store_path>_ledger``.
+    """
+    import argparse
+    import json
+
+    from .config import RunConfig
+    from .session import get_spark
+
+    ap = argparse.ArgumentParser(description="Run one incremental deploy cycle")
+    ap.add_argument("-i", "--input", required=True, help="run-config YAML path")
+    ap.add_argument("--catalog", required=True, help="granule catalog JSON path")
+    ap.add_argument("--ledger", default=None, help="ledger parquet path")
+    ap.add_argument("--format", default="npz", help="granule format (npz|nc4)")
+    args = ap.parse_args(argv)
+    run_cfg = RunConfig.parse_file(args.input)
+    with open(args.catalog) as f:
+        entries = json.load(f)
+    spark = get_spark("oco-spark-deploy", shuffle_partitions=run_cfg.shuffle_partitions)
+    feats = features_from_catalog(spark, entries)
+    missions = tuple(sorted({e["mission"] for e in entries}))
+    cfg = DeployConfig(
+        store_path=run_cfg.store_path,
+        ledger_path=args.ledger or f"{run_cfg.store_path}_ledger",
+        missions=missions,
+    )
+    report = run_deploy(spark, feats, granule_transform(run_cfg, args.format), cfg)
+    print(json.dumps(report, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(deploy_main())

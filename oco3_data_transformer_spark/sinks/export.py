@@ -52,17 +52,64 @@ def _npy_bytes(arr: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
-def encode_geotiff(arr: np.ndarray) -> bytes:  # pragma: no cover - optional dep
-    """S8 final container encode; requires rasterio/rioxarray."""
+def encode_geotiff(
+    arr: np.ndarray, bounds: tuple[float, float, float, float] | None = None
+) -> bytes:  # pragma: no cover - optional dep, golden-tested when present
+    """S8 final container encode: tiled+deflate GeoTIFF (CoG layout,
+    ref writers/CoGWriter.py:42-248), EPSG:4326, row 0 = northernmost (the
+    caller already flipped latitude descending). Import-gated on rasterio;
+    the body is complete and activates via tests/test_ready_goldens.py."""
     try:
-        import rasterio  # type: ignore  # noqa: F401
+        import rasterio  # type: ignore
+        from rasterio.io import MemoryFile  # type: ignore
+        from rasterio.transform import from_bounds  # type: ignore
     except ImportError as e:
         raise NotImplementedError(
             "GeoTIFF container encoding requires rasterio (unavailable here); "
             "the dense array + naming + latitude flip are produced by "
             "export_slices with the default npy encoder"
         ) from e
-    raise NotImplementedError("wire rasterio MemoryFile here when available")
+    h, w = arr.shape
+    min_lon, min_lat, max_lon, max_lat = bounds or (-180.0, -90.0, 180.0, 90.0)
+    transform = from_bounds(min_lon, min_lat, max_lon, max_lat, w, h)
+    profile = dict(
+        driver="GTiff", height=h, width=w, count=1, dtype="float64",
+        crs="EPSG:4326", transform=transform, compress="deflate",
+        tiled=True, blockxsize=min(256, max(16, w)), blockysize=min(256, max(16, h)),
+    )
+    with MemoryFile() as mem:
+        with mem.open(**profile) as ds:
+            ds.write(arr.astype(np.float64), 1)
+        return mem.read()
+
+
+def encode_netcdf(
+    arr: np.ndarray, var_name: str = "value"
+) -> bytes:  # pragma: no cover - optional dep, golden-tested when present
+    """S9 final container encode: zlib-9 NetCDF (ref
+    writers/NetCDFWriter.py:26-61) via xarray/h5netcdf; import-gated."""
+    try:
+        import xarray as xr  # type: ignore
+    except ImportError as e:
+        raise NotImplementedError(
+            "NetCDF container encoding requires xarray+h5netcdf "
+            "(unavailable here); export_slices' npy payload carries the "
+            "same dense array"
+        ) from e
+    ds = xr.Dataset({var_name: (("lat", "lon"), arr.astype(np.float64))})
+    return bytes(
+        ds.to_netcdf(
+            engine="h5netcdf",
+            encoding={var_name: {"zlib": True, "complevel": 9}},
+        )
+    )
+
+
+_SLICE_ENCODERS = {
+    "npy": (_npy_bytes, ".npy"),
+    "geotiff": (encode_geotiff, ".tif"),
+    "netcdf": (encode_netcdf, ".nc"),
+}
 
 
 def export_slices(
@@ -78,10 +125,13 @@ def export_slices(
 
     One Arrow-batched group per slice; slices are independent, so export
     parallelism is the number of slices. ``fmt='npy'`` is the portable
-    payload; 'geotiff'/'netcdf' raise until their libs exist.
+    payload; 'geotiff'/'netcdf' use the real container encoders and raise
+    cleanly at plan time while their libraries are absent.
     """
+    encoder, ext = _SLICE_ENCODERS[fmt]
     if fmt != "npy":
-        encode_geotiff(np.zeros((1, 1)))  # raises NotImplementedError
+        encoder(np.zeros((1, 1)))  # driver-side availability probe: raises
+        # NotImplementedError at plan time, not inside executor tasks
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         head = pdf.iloc[0]
@@ -93,7 +143,7 @@ def export_slices(
         ts = pd.Timestamp(head["time"]).strftime("%Y%m%dT%H%M%SZ")
         fname = (
             f"{head['mission']}_{head['target_id']}_{ts}_"
-            f"{head['qf']}_{head['variable']}.npy"
+            f"{head['qf']}_{head['variable']}{ext}"
         )
         return pd.DataFrame(
             [
@@ -107,7 +157,7 @@ def export_slices(
                     "height": lat_res,
                     "width": lon_res,
                     "n_valid": int(pdf["value"].notna().sum()),
-                    "payload": _npy_bytes(arr),
+                    "payload": encoder(arr),
                 }
             ]
         )

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import json
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -109,3 +111,80 @@ def test_deploy_cycle_append_then_late_granule_repair(spark, cfg):
     # third run: steady state again
     rep3 = orc.run_deploy(spark, feats2, _transform, cfg)
     assert rep3["append_days"] == [] and rep3["repair_days"] == []
+
+
+def _write_oco3_granule(path, day: str, n=10):
+    """npz OCO-3 granule with per-sounding target ids (deploy CLI test)."""
+    import numpy as np
+
+    lat = np.linspace(10.0, 10.4, n)
+    lon = np.linspace(20.0, 20.4, n)
+    d = 0.03
+    np.savez(
+        path,
+        sounding_idx=np.arange(n, dtype=np.int64),
+        sounding_id=np.arange(n, dtype=np.int64) + 1000,
+        time=np.full(n, np.datetime64(f"{day}T00:00:00", "us")),
+        latitude=lat.astype(np.float32),
+        longitude=lon.astype(np.float32),
+        vertex_latitude=np.stack([lat - d, lat - d, lat + d, lat + d], 1).astype(np.float32),
+        vertex_longitude=np.stack([lon - d, lon + d, lon + d, lon - d], 1).astype(np.float32),
+        operation_mode=np.full(n, 4, dtype=np.int8),
+        target_id=np.array(["fossil0001"] * n),
+        target_name=np.array(["Fossil One"] * n),
+        xco2_quality_flag=(np.arange(n) % 3 == 0).astype(np.int8),
+        xco2=np.linspace(400, 401, n),
+        xco2_uncertainty=np.full(n, 0.5),
+    )
+
+
+def test_deploy_cli_end_to_end(spark, tmp_path):
+    """deploy_main over real npz granules: first cycle appends the complete
+    day; a late granule next cycle repairs it through the full pipeline."""
+    g1 = tmp_path / "oco3_LtCO2_240301_B11000_1.npz"
+    _write_oco3_granule(g1, "2024-03-01")
+    targets = {
+        "fossil0001": {
+            "name": "Fossil One",
+            "bbox": {"min_lon": 19.9, "min_lat": 9.9, "max_lon": 20.6, "max_lat": 10.6},
+        }
+    }
+    (tmp_path / "targets.json").write_text(json.dumps(targets))
+    (tmp_path / "cfg.yaml").write_text(
+        f"""
+output:
+  local: {tmp_path}/store
+  drop-empty: true
+  naming: {{pre_qf: pre_root, post_qf: post_root}}
+input: {{files: []}}
+grid: {{latitude: 6, longitude: 6, method: nearest}}
+target-file: {{oco3: {tmp_path}/targets.json}}
+"""
+    )
+    catalog = [{"path": str(g1), "mission": "oco3"}]
+    (tmp_path / "catalog.json").write_text(json.dumps(catalog))
+
+    rc = orc.deploy_main(
+        ["-i", f"{tmp_path}/cfg.yaml", "--catalog", f"{tmp_path}/catalog.json"]
+    )
+    assert rc == 0
+    stored1 = spark.read.parquet(f"{tmp_path}/store")
+    n1 = stored1.count()
+    assert n1 > 0
+    ledger = spark.read.parquet(f"{tmp_path}/store_ledger")
+    assert ledger.count() == 1 and ledger.collect()[0].day == D1
+
+    # late second granule for the same day -> repair re-stages the full day
+    g2 = tmp_path / "oco3_LtCO2_240301_B11000_2.npz"
+    _write_oco3_granule(g2, "2024-03-01", n=6)
+    catalog.append({"path": str(g2), "mission": "oco3"})
+    (tmp_path / "catalog.json").write_text(json.dumps(catalog))
+    rc = orc.deploy_main(
+        ["-i", f"{tmp_path}/cfg.yaml", "--catalog", f"{tmp_path}/catalog.json"]
+    )
+    assert rc == 0
+    stored2 = spark.read.parquet(f"{tmp_path}/store")
+    assert stored2.count() >= n1  # day rebuilt from both granules
+    assert {r.granule for r in spark.read.parquet(f"{tmp_path}/store_ledger").collect()} == {
+        str(g1), str(g2)
+    }

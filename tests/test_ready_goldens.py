@@ -66,6 +66,37 @@ def test_linear_falls_back_to_nearest_below_min_points():
     assert out[0, 0] == 1.0 and out[0, 2] == 2.0 and out[2, 0] == 3.0
 
 
+def test_geotiff_encode_golden():
+    rasterio = pytest.importorskip("rasterio")
+    from oco3_data_transformer_spark.sinks.export import encode_geotiff
+
+    arr = np.arange(12, dtype=np.float64).reshape(3, 4)
+    arr[1, 2] = np.nan
+    payload = encode_geotiff(arr, bounds=(0.0, 0.0, 4.0, 3.0))
+    with rasterio.io.MemoryFile(payload) as mem, mem.open() as ds:
+        assert ds.crs.to_string() == "EPSG:4326"
+        back = ds.read(1)
+        assert back.shape == (3, 4)
+        assert back[0, 0] == 0.0 and np.isnan(back[1, 2])
+        # row 0 is the TOP of the bbox (caller pre-flipped latitude)
+        assert ds.transform * (0, 0) == (0.0, 3.0)
+
+
+def test_netcdf_encode_golden():
+    xr = pytest.importorskip("xarray")
+    pytest.importorskip("h5netcdf")
+    import io as _io
+
+    from oco3_data_transformer_spark.sinks.export import encode_netcdf
+
+    arr = np.array([[1.0, np.nan], [3.0, 4.0]])
+    payload = encode_netcdf(arr, var_name="xco2")
+    ds = xr.open_dataset(_io.BytesIO(payload), engine="h5netcdf")
+    back = ds["xco2"].to_numpy()
+    assert back.shape == (2, 2)
+    assert back[0, 0] == 1.0 and np.isnan(back[0, 1]) and back[1, 1] == 4.0
+
+
 def test_netcdf_decode_golden(tmp_path):
     xr = pytest.importorskip("xarray")
     pytest.importorskip("h5netcdf")
