@@ -283,6 +283,53 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
+def _q50_sql() -> str:
+    cos_init = vector.cosine_sql("e.embedding", "c.centroid")
+    return f"""
+    WITH init AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+        FROM embeddings ORDER BY vec_id LIMIT 8),
+    a1 AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id ORDER BY {cos_init} DESC, c.cell) AS rk
+            FROM embeddings e CROSS JOIN init c) WHERE rk = 1),
+    flat AS (
+        SELECT cell, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM a1),
+    c1 AS (
+        SELECT cell, list(m ORDER BY pos) AS centroid
+        FROM (SELECT cell, pos, avg(x) AS m FROM flat GROUP BY cell, pos)
+        GROUP BY cell),
+    a2 AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id ORDER BY {cos_init} DESC, c.cell) AS rk
+            FROM embeddings e CROSS JOIN c1 c) WHERE rk = 1)
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors FROM a2 GROUP BY cell
+    """
+
+
+@register(
+    "q50_ivf_kmeans_build",
+    _q50_sql(),
+    doc="IVF k-means build path: deterministic min-id init, one Lloyd "
+    "iteration (mapInPandas partial sums + driver reduce), nearest-centroid "
+    "re-assignment, per-cell sizes. The DuckDB oracle replicates the "
+    "iteration relationally (elementwise centroid means via "
+    "generate_subscripts/unnest).",
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    cents = sim_ops.kmeans_centroids(emb, k=8, iters=1)
+    assigned = sim_ops.ivf_assign(emb.select("vec_id", "embedding"), cents)
+    return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
 @register(
     "q36_language_id",
     f"""

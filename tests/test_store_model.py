@@ -5,7 +5,9 @@ the store's contract:
   - append(batch): keys not yet present are inserted; existing keys keep
     their first-written value (ref ZarrWriter keep-first dedup);
   - upsert(batch): every (mission, qf, day) partition the batch touches is
-    replaced by exactly the batch's rows for it (late-data repair).
+    replaced by exactly the batch's rows for it (late-data repair);
+  - merge(batch): batch rows replace matching slice keys; all other
+    existing rows of the touched partitions are kept (true MERGE).
 """
 
 from __future__ import annotations
@@ -48,11 +50,18 @@ def test_random_append_upsert_interleaving(spark, tmp_path):
     model: dict = {}
     for step in range(12):
         rows, df = _batch(spark, rng, step)
-        if rng.random() < 0.5:
+        action = rng.random()
+        if action < 0.4:
             store.append(spark, df, path)
             # model: first write wins, within-batch dedup keeps one per key
             for r in rows:
                 model.setdefault(_model_key(r), r[7])
+        elif action < 0.7 and model:  # merge needs an existing store
+            store.merge(spark, df, path)
+            batch_keep: dict = {}
+            for r in rows:
+                batch_keep.setdefault(_model_key(r), r[7])
+            model.update(batch_keep)  # replace matches, keep the rest
         else:
             store.upsert(spark, df, path)
             touched = {_partition_of(r) for r in rows}
