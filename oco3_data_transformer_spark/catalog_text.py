@@ -192,6 +192,52 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
     return comp.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("group_size"))
 
 
+_Q51_SQL = f"""
+    WITH {_SHINGLES_SQL},
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter JOIN sizes x ON id_a = x.id JOIN sizes y ON id_b = y.id
+        WHERE CAST(n_common AS DOUBLE) / (x.n_sh + y.n_sh - n_common) >= {JACCARD_T}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+    cc AS (
+        WITH RECURSIVE walk(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, w.label FROM walk w JOIN edges e ON w.node = e.dst)
+        SELECT node AS id, min(label) AS canonical_id FROM walk GROUP BY node)
+    SELECT d.doc_id, d.lang, {text.token_count_sql('d.text')} AS n_words
+    FROM documents d JOIN cc ON d.doc_id = cc.id
+    WHERE cc.canonical_id = d.doc_id
+"""
+
+
+@register(
+    "q51_dedup_filtered_corpus",
+    _Q51_SQL,
+    doc="End-to-end training-corpus dedup: near-dup pairs -> connected "
+    "components -> keep ONLY each group's canonical (min-id) document — "
+    "the filtered corpus a pretraining pipeline feeds downstream, with "
+    "per-survivor token counts.",
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, "doc_id", "text", NGRAM_N, JACCARD_T)
+    comp = dedup_ops.canonicalize_pairs(
+        docs.select(F.col("doc_id").alias("id")), pairs.select("id_a", "id_b")
+    )
+    keep = comp.filter(F.col("id") == F.col("canonical_id")).select("id")
+    return (
+        docs.join(keep, docs.doc_id == keep.id, "left_semi")
+        .select("doc_id", "lang", text.token_count(F.col("text")).alias("n_words"))
+    )
+
+
 @register(
     "q34_knn_bruteforce",
     f"""

@@ -381,6 +381,78 @@ def canonicalize_pairs(
     return labels.select("id", F.col("label").alias("canonical_id"))
 
 
+def canonicalize_pairs_star(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — same contract as :func:`canonicalize_pairs` but converging in
+    O(log n) rounds even on long chains, where min-label propagation needs
+    O(diameter). Returns (id, canonical_id = component min).
+
+    Both operations are pure groupBy+join relational steps (no per-node
+    neighbor lists are ever collected, so hub nodes cannot skew a task):
+      - large-star: every neighbor v > u re-attaches to min(Γ(u) ∪ {u});
+      - small-star: every neighbor v <= u (and u itself) attaches to
+        min(Γ<=(u) ∪ {u}).
+    Iterate to a fixpoint; the surviving edge set is a star forest whose
+    centers are the component minima."""
+    spark = nodes.sparkSession
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        mins = e.groupBy("u").agg(F.min("v").alias("mv"))
+        m = mins.select("u", F.least("mv", F.col("u")).alias("m"))
+        return (
+            e.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient edges high -> low, then attach each u's low neighbors
+        # (and u) to the minimum of them
+        lo = e.filter(F.col("v") <= F.col("u"))
+        mins = lo.groupBy("u").agg(F.min("v").alias("m"))
+        moved = (
+            lo.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        selfe = mins.select("u", F.col("m").alias("v"))
+        return moved.unionByName(selfe).filter(F.col("u") != F.col("v")).distinct()
+
+    for _ in range(max_iters):
+        # large-star works on the symmetric closure; re-symmetrize first
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        new_edges = (
+            small_star(large_star(sym))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_edges.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new_edges).limit(1).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    roots = edges.groupBy("u").agg(F.min("v").alias("canonical_id"))
+    return (
+        nodes.select("id")
+        .join(roots, nodes.id == roots.u, "left")
+        .select("id", F.coalesce("canonical_id", F.col("id")).alias("canonical_id"))
+    )
+
+
 def simhash_pairs(
     fingerprints: DataFrame, max_hamming: int = 1, bits: int = 32
 ) -> DataFrame:
