@@ -50,7 +50,12 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
 
 
 def hashed_shingle_table(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, with_h28: bool = False
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    with_h28: bool = False,
+    partition_by_id: bool = False,
 ) -> DataFrame:
     """(id, h[, h28]) distinct shingles with the *string replaced by a 64-bit
     hash before the distinct shuffle* — the join/distinct key is 8 bytes
@@ -62,7 +67,14 @@ def hashed_shingle_table(
     below any Jaccard-threshold sensitivity. ``with_h28`` adds the portable
     md5-based 28-bit hash (the MinHash base domain, which the SQL oracle
     defines over the shingle *string* — so it must be computed before the
-    string is dropped)."""
+    string is dropped).
+
+    ``partition_by_id``: exchange on ``id`` (unique — skew-free) BEFORE the
+    distinct, so the dedup aggregation AND any downstream groupBy(id)
+    (sizes) run on the same single exchange; the trade is losing map-side
+    partial dedup. Wins when a per-id aggregate follows (q31's sizes);
+    loses when the heavy consumer re-keys anyway (minhash signatures +
+    verify joins)."""
     base = df.select(
         F.col(id_col).alias("id"),
         F.explode(text.word_ngrams(F.col(text_col), n)).alias("shingle"),
@@ -70,7 +82,10 @@ def hashed_shingle_table(
     cols = [F.xxhash64("shingle").alias("h")]
     if with_h28:
         cols.append(hashing.portable_hash28(F.col("shingle")).alias("h28"))
-    return base.select("id", *cols).dropDuplicates(["id", "h"])
+    out = base.select("id", *cols)
+    if partition_by_id:
+        out = out.repartition(F.col("id"))
+    return out.dropDuplicates(["id", "h"])
 
 
 def _join_cooccurrence_pairs(sh: DataFrame, key: str = "shingle") -> DataFrame:
@@ -153,7 +168,7 @@ def ngram_jaccard_pairs(
 
     One shuffle builds the hashed shingle table; sizes and the pair join
     both hang off it (ReusedExchange — verify with .explain)."""
-    sh = hashed_shingle_table(df, id_col, text_col, n)
+    sh = hashed_shingle_table(df, id_col, text_col, n, partition_by_id=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = _join_cooccurrence_pairs(sh, key="h")
     return _jaccard_filter(inter, sizes, threshold)
