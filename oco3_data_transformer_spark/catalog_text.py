@@ -192,6 +192,23 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
     return comp.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("group_size"))
 
 
+@register(
+    "q52_dedup_groups_star",
+    _Q45_SQL,
+    doc="Same duplicate-group result as q45 but via alternating large-star/"
+    "small-star components (SoCC'14): pure groupBy+join rounds, no neighbor "
+    "lists (no hub skew), O(log n) convergence vs label propagation's "
+    "O(diameter) — the adversarial-graph-safe variant.",
+)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, "doc_id", "text", NGRAM_N, JACCARD_T)
+    comp = dedup_ops.canonicalize_pairs_star(
+        docs.select(F.col("doc_id").alias("id")), pairs.select("id_a", "id_b")
+    )
+    return comp.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("group_size"))
+
+
 _Q51_SQL = f"""
     WITH {_SHINGLES_SQL},
     inter AS (
