@@ -198,3 +198,22 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
         F.round(F.sum("n_bytes"), 0).cast("long").alias("total_bytes"),
     )
+
+
+@register(
+    "q53_audio_features",
+    None,
+    doc="Multimodal audio: synthetic pcm16 clips → mapInPandas decode + "
+    "duration/RMS/peak/zero-crossing features → relational rollup; binary "
+    "decode is non-SQL-expressible (goldens in tests/test_multimodal.py).",
+)
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    n = 200 if "0.1" in sf else 50
+    clips = mm.synthetic_audio(spark, n)
+    feats = mm.audio_features(clips)
+    return feats.groupBy((F.col("item_id") % 5).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("rms"), 4).alias("avg_rms"),
+        F.round(F.avg("zero_crossing_rate"), 4).alias("avg_zcr"),
+        F.round(F.sum("duration_s"), 2).alias("total_seconds"),
+    )

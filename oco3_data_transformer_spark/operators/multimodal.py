@@ -168,6 +168,97 @@ def sample_frames(videos: DataFrame, every_n: int) -> DataFrame:
     return videos.mapInPandas(run, VIDEO_FRAME_SCHEMA)
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("codec", T.StringType()),  # 'pcm16' | 'wav' | 'mp3'
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+    ]
+)
+
+
+def decode_audio(codec: str, payload: bytes, channels: int) -> np.ndarray:
+    """Decode one audio blob to (n_samples, channels) float64 in [-1, 1].
+    'pcm16' (raw little-endian int16, interleaved) is fully implemented;
+    container/compressed codecs plug in behind the same signature."""
+    if codec == "pcm16":
+        arr = np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
+        return arr.reshape(-1, channels)
+    raise NotImplementedError(
+        f"codec {codec!r} needs an audio library not present in this "
+        "container; only raw 'pcm16' decodes here"
+    )
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """Decode → per-clip features (duration, RMS, peak, zero-crossing rate)
+    in one mapInPandas pass — blobs never shuffle, only feature rows do."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                x = decode_audio(row.codec, row.payload, row.channels)
+                mono = x.mean(axis=1)
+                zc = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8)))))
+                out.append(
+                    {
+                        "item_id": row.item_id,
+                        "duration_s": x.shape[0] / float(row.sample_rate),
+                        "rms": float(np.sqrt(np.mean(mono**2))),
+                        "peak": float(np.abs(mono).max(initial=0.0)),
+                        "zero_crossing_rate": zc,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return audio.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def synthetic_audio(spark, n: int, sample_rate: int = 8000, seconds: float = 0.25):
+    """Deterministic fake clips: item_id-seeded sine + noise as raw pcm16."""
+    ids = spark.range(n).select(F.col("id").alias("item_id"))
+    n_samples = int(sample_rate * seconds)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for item_id in pdf["item_id"]:
+                rng = np.random.default_rng(int(item_id))
+                t = np.arange(n_samples) / sample_rate
+                freq = 100.0 + (int(item_id) % 10) * 50.0
+                x = 0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(
+                    n_samples
+                )
+                pcm = np.clip(x * 32767, -32768, 32767).astype("<i2")
+                rows.append(
+                    {
+                        "item_id": int(item_id),
+                        "codec": "pcm16",
+                        "sample_rate": sample_rate,
+                        "channels": 1,
+                        "payload": pcm.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    return ids.mapInPandas(gen, AUDIO_SCHEMA)
+
+
 def synthetic_images(spark, n: int, width: int = 8, height: int = 6, channels: int = 3):
     """Deterministic fake corpus for tests/benchmarks (seeded per item):
     payload bytes are a fixed function of item_id."""

@@ -66,3 +66,23 @@ def test_unknown_codec_raises(spark):
     with pytest.raises(Exception) as ei:
         M.image_features(df).collect()
     assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_audio_features_match_numpy(spark):
+    clips = M.synthetic_audio(spark, 4, sample_rate=8000, seconds=0.25)
+    feats = {r.item_id: r for r in M.audio_features(clips).collect()}
+    raw = {r.item_id: r for r in clips.collect()}
+    assert set(feats) == {0, 1, 2, 3}
+    for item_id, r in feats.items():
+        x = np.frombuffer(raw[item_id].payload, dtype="<i2").astype(np.float64) / 32768.0
+        assert r.duration_s == pytest.approx(0.25)
+        assert r.rms == pytest.approx(float(np.sqrt(np.mean(x**2))), rel=1e-9)
+        assert r.peak == pytest.approx(float(np.abs(x).max()), rel=1e-9)
+        # a ~0.5-amplitude sine has rms near 0.35
+        assert 0.2 < r.rms < 0.5
+
+
+def test_audio_unknown_codec_raises(spark):
+    clips = M.synthetic_audio(spark, 1).withColumn("codec", F.lit("mp3"))
+    with pytest.raises(Exception, match="mp3"):
+        M.audio_features(clips).collect()

@@ -83,6 +83,19 @@ def test_repair_removes_duplicates(spark, tmp_path):
     assert rep["duplicate_keys"] == 0 and rep["rows"] == 2
 
 
+def test_time_range_reads_prune_day_partitions(spark, tmp_path):
+    # the F8 scale claim: a day filter on the store must become a partition
+    # filter on the (mission, qf, day) layout — asserted on the plan, not
+    # just documented
+    path = str(tmp_path / "store")
+    store.append(spark, _slices(spark, D1, [1, 2]), path)
+    store.append(spark, _slices(spark, D2, [3]), path)
+    df = spark.read.parquet(path).filter(F.col("day") == D2.date())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters", 1)[1][:200]
+    assert df.count() == 1  # only day-2 files were read
+
+
 def test_checksum_stable_across_partitioning(spark, tmp_path):
     p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
     data = _slices(spark, D1, [1, 2, 3, 4])
