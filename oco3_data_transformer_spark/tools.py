@@ -1,0 +1,137 @@
+"""Standalone-tool CLI surface — the engine analogs of the reference's
+``tools/`` directory, so a reference user can run every tool they run today:
+
+    python -m oco3_data_transformer_spark.tools climatology <store> <out> \\
+        [--span monthly|seasonal|annual|monthly-consolidated] [--start] [--end]
+                                   (ref tools/climatology/main.py:489-607)
+    python -m oco3_data_transformer_spark.tools checksum <store>
+                                   (ref tools/zarrChecksum/checksum.py)
+    python -m oco3_data_transformer_spark.tools verify <store>
+    python -m oco3_data_transformer_spark.tools repair <store>
+                                   (ref tools/repair/repair.py)
+    python -m oco3_data_transformer_spark.tools sync <local.parquet> <remote.parquet>
+                                   (ref tools/s3Sync/sync.py — manifests of
+                                   (key, size, mtime); prints the action plan)
+
+The deploy orchestrator has its own entry point
+(``python -m oco3_data_transformer_spark.orchestrator``, ref tools/deploy).
+bbox-tools map to ``functions.scalar`` (C6/C7) and need no driver.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+SPAN_TO_FREQ = {
+    "monthly": ("month", False),
+    "seasonal": ("season", False),
+    "annual": ("year", False),
+    "monthly-consolidated": ("month", True),
+}
+
+
+def _climatology(args) -> int:
+    from .plans.climatology import climatology
+    from .session import get_spark
+
+    spark = get_spark("climatology-tool")
+    freq, consolidate = SPAN_TO_FREQ[args.span]
+    out = climatology(
+        spark.read.parquet(args.store),
+        freq=freq,
+        start=args.start,
+        end=args.end,
+        month_of_year=consolidate,
+    )
+    out.write.mode("overwrite" if args.overwrite else "errorifexists").parquet(
+        args.output
+    )
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"spans_written": n, "output": args.output}))
+    return 0
+
+
+def _checksum(args) -> int:
+    from .session import get_spark
+    from .sinks import store
+
+    spark = get_spark("checksum-tool")
+    print(json.dumps({"digest": store.checksum(spark, args.store)}))
+    return 0
+
+
+def _verify(args) -> int:
+    from .session import get_spark
+    from .sinks import store
+
+    spark = get_spark("verify-tool")
+    rep = store.verify(spark, args.store)
+    print(json.dumps(rep, default=str))
+    return 0 if rep["duplicate_keys"] == 0 else 1
+
+
+def _repair(args) -> int:
+    from .session import get_spark
+    from .sinks import store
+
+    spark = get_spark("repair-tool")
+    n = store.repair(spark, args.store)
+    rep = store.verify(spark, args.store)
+    print(json.dumps({"rows_after_repair": n, **rep}, default=str))
+    return 0 if rep["duplicate_keys"] == 0 else 1
+
+
+def _sync(args) -> int:
+    from .operators.joins import sync_diff
+    from .session import get_spark
+
+    spark = get_spark("sync-tool")
+    plan = sync_diff(
+        spark.read.parquet(args.local), spark.read.parquet(args.remote)
+    )
+    counts = {
+        r["action"]: r["n"]
+        for r in plan.groupBy("action").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if args.plan_output:
+        plan.filter(F.col("action") != "unchanged").write.mode("overwrite").parquet(
+            args.plan_output
+        )
+    print(json.dumps(counts))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="oco3-spark-tools")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("climatology", help="per-span pixel climatology over the store")
+    c.add_argument("store")
+    c.add_argument("output")
+    c.add_argument("--span", choices=sorted(SPAN_TO_FREQ), default="monthly")
+    c.add_argument("--start", default=None)
+    c.add_argument("--end", default=None)
+    c.add_argument("--overwrite", action="store_true")
+    c.set_defaults(fn=_climatology)
+
+    for name, fn in (("checksum", _checksum), ("verify", _verify), ("repair", _repair)):
+        p = sub.add_parser(name)
+        p.add_argument("store")
+        p.set_defaults(fn=fn)
+
+    s = sub.add_parser("sync", help="incremental sync plan from two manifests")
+    s.add_argument("local")
+    s.add_argument("remote")
+    s.add_argument("--plan-output", default=None)
+    s.set_defaults(fn=_sync)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

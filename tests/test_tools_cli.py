@@ -1,0 +1,67 @@
+"""CLI tool surface (tools.py): climatology / checksum / verify / repair /
+sync subcommands over a real store."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from oco3_data_transformer_spark import tools
+from oco3_data_transformer_spark.schemas import STORE_SLICE
+from oco3_data_transformer_spark.sinks import store
+
+D1 = dt.datetime(2024, 3, 1)
+D2 = dt.datetime(2024, 4, 2)
+
+
+@pytest.fixture()
+def filled_store(spark, tmp_path):
+    path = str(tmp_path / "store")
+    rows = [
+        ("oco3", "t1", "post", d, i, i, "xco2", float(v))
+        for d, vals in ((D1, [1, 2, 3]), (D2, [5, 6]))
+        for i, v in enumerate(vals)
+    ]
+    store.append(spark, spark.createDataFrame(rows, STORE_SLICE), path)
+    return path
+
+
+def test_climatology_cli(spark, filled_store, tmp_path, capsys):
+    out = str(tmp_path / "clim")
+    rc = tools.main(["climatology", filled_store, out, "--span", "monthly"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    spans = spark.read.parquet(out)
+    assert rep["spans_written"] == spans.count()
+    months = {r.span.month for r in spans.select("span").distinct().collect()}
+    assert months == {3, 4}
+
+
+def test_checksum_verify_repair_cli(spark, filled_store, capsys):
+    assert tools.main(["checksum", filled_store]) == 0
+    d1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["digest"]
+    assert len(d1) == 32
+
+    assert tools.main(["verify", filled_store]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["duplicate_keys"] == 0 and rep["rows"] == 5
+
+    assert tools.main(["repair", filled_store]) == 0
+
+
+def test_sync_cli(spark, tmp_path, capsys):
+    local = str(tmp_path / "local")
+    remote = str(tmp_path / "remote")
+    spark.createDataFrame(
+        [("a", 10, 100), ("b", 20, 100), ("c", 30, 100)], "key string, size long, mtime long"
+    ).write.parquet(local)
+    spark.createDataFrame(
+        [("b", 20, 100), ("c", 25, 90), ("d", 40, 100)], "key string, size long, mtime long"
+    ).write.parquet(remote)
+    rc = tools.main(["sync", local, remote, "--plan-output", str(tmp_path / "plan")])
+    assert rc == 0
+    counts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert counts == {"upload_new": 1, "unchanged": 1, "upload_changed": 1, "delete_orphan": 1}
