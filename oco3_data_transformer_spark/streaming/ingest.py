@@ -109,6 +109,27 @@ def processed_days(spark: SparkSession, cfg: IngestConfig) -> DataFrame:
     return spark.createDataFrame([], "day date")
 
 
+def mission_dispatch(
+    transforms: dict[str, Callable[[DataFrame], DataFrame]],
+) -> Callable[[DataFrame], DataFrame]:
+    """Compose per-mission pipelines into one stream transform: rows route
+    to their mission's transform (the reference runs one processor class
+    per collection, ref main.py:138-645); unknown missions are dropped the
+    way the reference rejects unconfigured collections. Each branch stays
+    a separate declarative subplan under one foreachBatch."""
+
+    def transform(rows: DataFrame) -> DataFrame:
+        out: DataFrame | None = None
+        for mission, fn in sorted(transforms.items()):
+            part = fn(rows.filter(F.col("mission") == mission))
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            raise ValueError("mission_dispatch needs at least one transform")
+        return out
+
+    return transform
+
+
 def make_batch_processor(
     cfg: IngestConfig,
     transform: Callable[[DataFrame], DataFrame],

@@ -128,3 +128,27 @@ def test_poison_rows_dead_lettered(spark, cfg):
     dead = spark.read.parquet(cfg.dead_letter_path)
     assert dead.count() == 1
     assert dead.collect()[0].value == 2.0
+
+
+def test_mission_dispatch_routes_per_mission(spark, cfg):
+    # distinct per-mission variables prove each branch ran its own pipeline
+    def mk(variable):
+        def t(rows):
+            return _transform(rows).withColumn("variable", F.lit(variable))
+        return t
+
+    dispatch = ingest.mission_dispatch({"oco3": mk("xco2"), "oco2": mk("sif")})
+    _drop(
+        spark, cfg,
+        [
+            ("g1", "oco3", 0, D1, 1.0),
+            ("g2", "oco2", 0, D1, 2.0),
+            ("g9", "unconfigured", 0, D1, 3.0),  # dropped
+        ],
+        "b1",
+    )
+    q = ingest.start_ingest(spark, cfg, RAW_SCHEMA, dispatch, available_now=True)
+    q.awaitTermination(120)
+    stored = spark.read.parquet(cfg.store_path)
+    got = {(r.mission, r.variable, r.value) for r in stored.collect()}
+    assert got == {("oco3", "xco2", 1.0), ("oco2", "sif", 2.0)}
