@@ -231,17 +231,21 @@ def minhash_dedup(
     """Full MinHash-LSH near-dup: LSH candidates verified with exact
     n-gram Jaccard. Returns (id_a, id_b, jacc).
 
-    Every stage — signatures, candidate generation, Jaccard verify, sizes —
-    hangs off ONE hashed-shingle exchange (ReusedExchange in the plan): the
-    corpus is tokenized and shuffled exactly once. The shingle-set size is
-    folded into the *same* groupBy that computes the k signature minima and
-    then rides through banding and pair expansion as a struct field, so the
-    final Jaccard needs no join back to a sizes table."""
+    The corpus is tokenized and shuffled exactly ONCE: a single groupBy(id)
+    over the hashed shingle table computes the k signature minima, the
+    shingle-set size, AND the doc's sorted shingle-hash array. Size rides
+    through banding/pair expansion as a struct field; the exact-Jaccard
+    verify is a doc-level join of candidate pairs against the shingle
+    arrays with an in-task ``array_intersect`` — no shingle-level join, no
+    pair-count aggregation. Per-doc array size is bounded by document
+    length (8 bytes per distinct shingle), the same order as the document
+    itself."""
     k = len(hashing.MINHASH_SEEDS)
     rows_per_band = k // bands
     sh = hashed_shingle_table(df, id_col, text_col, n, with_h28=True)
     sig = sh.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_sh"),
+        F.collect_list("h").alias("hs"),
         *[
             F.min(hashing.minhash_value(F.col("h28"), i)).alias(f"m{i}")
             for i in range(k)
@@ -285,16 +289,15 @@ def minhash_dedup(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_a = sh.select(F.col("id").alias("id_a"), "h")
-    sh_b = sh.select(F.col("id").alias("id_b"), "h")
-    # No broadcast hint on cands: LSH candidate pairs over a 100 TB corpus can
-    # exceed the driver/broadcast limit. AQE picks broadcast at runtime when
-    # the candidate set is actually small.
+    # Doc-level verify: join the candidate pairs to the per-doc shingle
+    # arrays and intersect in-task. No broadcast hints (cands/sigs are
+    # unbounded at corpus scale; AQE broadcasts small ones at runtime).
+    sets_a = sig.select(F.col("id").alias("id_a"), F.col("hs").alias("__ha"))
+    sets_b = sig.select(F.col("id").alias("id_b"), F.col("hs").alias("__hb"))
     inter = (
-        cands.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "h"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        cands.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("__ha", "__hb")))
     )
     return (
         inter.withColumn(
