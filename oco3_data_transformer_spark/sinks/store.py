@@ -169,6 +169,41 @@ def repair(spark: SparkSession, path: str) -> int:
     return n
 
 
+def compact(
+    spark: SparkSession, path: str, max_files_per_partition: int = 1
+) -> int:
+    """Maintenance: rewrite partitions fragmented by incremental appends
+    into ``max_files_per_partition`` files each (the columnar analog of the
+    reference's Zarr consolidation/rechunk passes, ref
+    tools/climatology/main.py:373-486 rechunk, utils/ZarrUtils.py:115-205).
+
+    Only partitions that are actually fragmented are rewritten (dynamic
+    partition overwrite); untouched partitions keep their files — at 100 TB
+    a nightly compaction touches just the recently-appended days. Returns
+    the number of partitions rewritten."""
+    df = spark.read.parquet(path)
+    frag = (
+        df.select(*PARTITION_COLS, F.input_file_name().alias("__f"))
+        .groupBy(*PARTITION_COLS)
+        .agg(F.countDistinct("__f").alias("__nf"))
+        .filter(F.col("__nf") > max_files_per_partition)
+        .select(*PARTITION_COLS)
+    )
+    n_parts = frag.count()
+    if n_parts:
+        rows = df.join(F.broadcast(frag), on=PARTITION_COLS, how="left_semi")
+        (
+            rows.repartition(n_parts * max_files_per_partition, *PARTITION_COLS)
+            .localCheckpoint(eager=True)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("maxRecordsPerFile", 0)
+            .partitionBy(*PARTITION_COLS)
+            .parquet(path)
+        )
+    return n_parts
+
+
 def coverage(spark: SparkSession, path: str) -> dict:
     """A7 store coverage attrs."""
     row = (

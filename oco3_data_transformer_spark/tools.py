@@ -9,6 +9,9 @@
     python -m oco3_data_transformer_spark.tools verify <store>
     python -m oco3_data_transformer_spark.tools repair <store>
                                    (ref tools/repair/repair.py)
+    python -m oco3_data_transformer_spark.tools compact <store> [--max-files N]
+                                   (small-file maintenance; the columnar
+                                   analog of Zarr consolidation/rechunk)
     python -m oco3_data_transformer_spark.tools sync <local.parquet> <remote.parquet>
                                    (ref tools/s3Sync/sync.py — manifests of
                                    (key, size, mtime); prints the action plan)
@@ -85,6 +88,16 @@ def _repair(args) -> int:
     return 0 if rep["duplicate_keys"] == 0 else 1
 
 
+def _compact(args) -> int:
+    from .session import get_spark
+    from .sinks import store
+
+    spark = get_spark("compact-tool")
+    n = store.compact(spark, args.store, args.max_files)
+    print(json.dumps({"partitions_rewritten": n}))
+    return 0
+
+
 def _sync(args) -> int:
     from .operators.joins import sync_diff
     from .session import get_spark
@@ -122,6 +135,11 @@ def main(argv: list[str] | None = None) -> int:
         p = sub.add_parser(name)
         p.add_argument("store")
         p.set_defaults(fn=fn)
+
+    k = sub.add_parser("compact", help="rewrite fragmented store partitions")
+    k.add_argument("store")
+    k.add_argument("--max-files", type=int, default=1)
+    k.set_defaults(fn=_compact)
 
     s = sub.add_parser("sync", help="incremental sync plan from two manifests")
     s.add_argument("local")

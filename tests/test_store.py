@@ -96,6 +96,32 @@ def test_time_range_reads_prune_day_partitions(spark, tmp_path):
     assert df.count() == 1  # only day-2 files were read
 
 
+def test_compact_merges_small_files_and_preserves_data(spark, tmp_path):
+    path = str(tmp_path / "store")
+    # three separate appends to the same day -> >= 3 files in its partition
+    store.append(spark, _slices(spark, D1, [1]), path)
+    store.append(spark, _slices(spark, D1, [0, 2]).filter(F.col("lat_idx") == 1), path)
+    base = _slices(spark, D1, [0, 0, 9]).filter(F.col("lat_idx") == 2)
+    store.append(spark, base, path)
+    store.append(spark, _slices(spark, D2, [7]), path)
+
+    def files_per_day(day):
+        return (
+            spark.read.parquet(path)
+            .filter(F.to_date("time") == day.date())
+            .select(F.input_file_name().alias("f")).distinct().count()
+        )
+
+    assert files_per_day(D1) >= 3
+    before = store.checksum(spark, path)
+    d2_files_before = files_per_day(D2)
+    n = store.compact(spark, path)
+    assert n == 1  # only day 1 was fragmented
+    assert files_per_day(D1) == 1
+    assert files_per_day(D2) == d2_files_before  # untouched partition kept
+    assert store.checksum(spark, path) == before  # content identical
+
+
 def test_checksum_stable_across_partitioning(spark, tmp_path):
     p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
     data = _slices(spark, D1, [1, 2, 3, 4])

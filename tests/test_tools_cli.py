@@ -52,6 +52,12 @@ def test_checksum_verify_repair_cli(spark, filled_store, capsys):
     assert tools.main(["repair", filled_store]) == 0
 
 
+def test_compact_cli(spark, filled_store, capsys):
+    assert tools.main(["compact", filled_store]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "partitions_rewritten" in rep
+
+
 def test_sync_cli(spark, tmp_path, capsys):
     local = str(tmp_path / "local")
     remote = str(tmp_path / "remote")
