@@ -69,6 +69,14 @@ def test_tail_holdback(spark, cfg):
     assert wm == D1
 
 
+def test_empty_catalog_is_a_clean_noop(spark, cfg):
+    feats = _features(spark, [])
+    rep = orc.run_deploy(spark, feats, _transform, cfg)
+    assert rep == {
+        "watermark": None, "append_days": [], "repair_days": [], "rows_appended": 0,
+    }
+
+
 def test_deploy_cycle_append_then_late_granule_repair(spark, cfg):
     # ---- cycle 1: day1 complete, day2 incomplete -> only day1 processed
     feats1 = _features(
