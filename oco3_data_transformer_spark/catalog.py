@@ -871,6 +871,37 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q54_monotonic_check",
+    """
+    WITH seq AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+        FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inversions,
+           CAST(max(ts) AS TIMESTAMP) AS series_end
+    FROM seq GROUP BY user_id
+    """,
+    doc="O2 monotonic-time verify: per-series count of timestamps that go "
+    "backwards relative to arrival order — the invariant the reference "
+    "checks (and auto-sorts) after every Zarr append; "
+    "ref writers/ZarrWriter.py:328-408, utils/ZarrUtils.py:115-205.",
+)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    inv = (F.col("ts") < F.col("prev_ts")).cast("int")
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.coalesce(inv, F.lit(0))).alias("n_inversions"),
+        F.max("ts").alias("series_end"),
+    )
+
+
+@register(
     "q21_month_of_year",
     """
     WITH monthly AS (
