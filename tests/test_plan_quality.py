@@ -86,6 +86,29 @@ def test_neardup_joins_have_no_static_broadcast_hints(spark):
         assert "strategy=broadcast" not in logical, q
 
 
+def final_plan_of(spark, name: str) -> str:
+    plan = executed_plan_of(spark, name)
+    # AQE prints Final + Initial plans; count operators in the final only
+    return plan.split("== Initial Plan ==", 1)[0]
+
+
+def test_knn_single_topk_window(spark):
+    # brute-force KNN: queries broadcast (no corpus shuffle for the join),
+    # exactly ONE window (the per-query top-k) touches the candidate rows
+    plan = final_plan_of(spark, "q34_knn_bruteforce")
+    assert plan.count("Window [") == 1
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_ivf_assign_is_aggregate_not_window(spark):
+    # the corpus-assignment argmax must be an aggregate (map-side combine,
+    # shuffles 1x corpus), leaving exactly the two query-side windows:
+    # probe routing + final top-k
+    plan = final_plan_of(spark, "q40_ivf_knn")
+    assert plan.count("Window [") == 2
+    assert "SortAggregate" in plan or "HashAggregate" in plan
+
+
 def test_semi_join_region_drop_broadcast(spark):
     plan = plan_of(spark, "q03_qf_region_drop")
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
