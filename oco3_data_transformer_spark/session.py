@@ -43,6 +43,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 64 MB broadcast ceiling (default 10 MB is conservative for
+        # multi-GB executors): mid-size dimensions (e.g. orders at bench
+        # scale) broadcast instead of shuffling the fact side. Still
+        # size-gated — AQE applies it to RUNTIME-measured sizes, so a
+        # genuinely large table never broadcasts at 100 TB.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
