@@ -393,6 +393,92 @@ def q50(spark: SparkSession, sf: str) -> DataFrame:
     return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
 
 
+_Q55_CONTACT = (
+    "'Contact ' || c_name || ' <' || lower(replace(c_name, '#', '')) "
+    "|| '@example.com> or call ' || printf('%02d-%03d-%03d-%04d', "
+    "c_custkey % 100, c_custkey % 1000, (c_custkey * 7) % 1000, "
+    "(c_custkey * 13) % 10000)"
+)
+
+
+@register(
+    "q55_pii_redaction",
+    f"""
+    WITH base AS (SELECT c_custkey, {_Q55_CONTACT} AS contact FROM customer)
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(contact, '{text.EMAIL_RE}')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(contact, '{text.PHONE_RE}')) AS INT)
+               AS n_phones,
+           {text.redact_pii_sql('contact')} AS redacted
+    FROM base
+    """,
+    doc="PII scrub for a training corpus: email/phone detection counts + "
+    "global placeholder redaction; lookaround-free patterns are "
+    "byte-identical between Java regex and RE2. Contact strings are "
+    "synthesized deterministically from the customer dimension.",
+)
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    cu = load(spark, sf, "customer")
+    phone = F.format_string(
+        "%02d-%03d-%03d-%04d",
+        (F.col("c_custkey") % 100).cast("int"),
+        (F.col("c_custkey") % 1000).cast("int"),
+        (F.col("c_custkey") * 7 % 1000).cast("int"),
+        (F.col("c_custkey") * 13 % 10000).cast("int"),
+    )
+    contact = F.concat(
+        F.lit("Contact "), F.col("c_name"), F.lit(" <"),
+        F.lower(F.regexp_replace("c_name", "#", "")), F.lit("@example.com> or call "),
+        phone,
+    )
+    base = cu.select("c_custkey", contact.alias("contact"))
+    n_emails, n_phones = text.pii_counts(F.col("contact"))
+    return base.select(
+        "c_custkey",
+        n_emails.cast("int").alias("n_emails"),
+        n_phones.cast("int").alias("n_phones"),
+        text.redact_pii(F.col("contact")).alias("redacted"),
+    )
+
+
+@register(
+    "q56_url_extraction",
+    f"""
+    WITH base AS (
+        SELECT p_partkey,
+               'see https://parts.example.com/p/' || p_partkey ||
+               ' and https://' || lower(replace(p_brand, '#', '')) ||
+               '.example.org/catalog' AS text
+        FROM part),
+    urls AS (
+        SELECT p_partkey, unnest(regexp_extract_all(text, '{text.URL_RE}')) AS url
+        FROM base)
+    SELECT regexp_extract(url, '{text.URL_DOMAIN_RE}', 1) AS domain,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_urls
+    FROM urls GROUP BY 1
+    """,
+    doc="URL extraction + per-domain rollup (crawl-corpus provenance "
+    "analysis): regexp_extract_all -> explode -> domain aggregate; URLs "
+    "synthesized deterministically from the part dimension.",
+)
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    pt = load(spark, sf, "part")
+    txt = F.concat(
+        F.lit("see https://parts.example.com/p/"), F.col("p_partkey"),
+        F.lit(" and https://"), F.lower(F.regexp_replace("p_brand", "#", "")),
+        F.lit(".example.org/catalog"),
+    )
+    urls = pt.select(
+        F.explode(text.extract_urls(txt)).alias("url")
+    )
+    return urls.groupBy(text.url_domain(F.col("url")).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("url").alias("n_distinct_urls"),
+    )
+
+
 @register(
     "q36_language_id",
     f"""

@@ -251,3 +251,44 @@ def normalized_fingerprint(col: Column) -> Column:
 def normalized_fingerprint_sql(expr: str) -> str:
     norm = f"regexp_replace(lower({expr}), '\\s+', ' ', 'g')"
     return f"md5(trim({norm}))"
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + URL extraction — training-corpus scrubbing primitives.
+# Patterns are deliberately lookaround-free so Java regex (Spark) and RE2
+# (DuckDB oracle) match byte-identically.
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+URL_RE = r"https?://[^\s]+"
+URL_DOMAIN_RE = r"https?://([^/\s]+)"
+
+
+def redact_pii(col: Column) -> Column:
+    """Mask emails then phone numbers with typed placeholders (the standard
+    pretraining scrub); Spark's regexp_replace is global by default."""
+    out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def redact_pii_sql(expr: str) -> str:
+    out = f"regexp_replace({expr}, '{EMAIL_RE}', '<EMAIL>', 'g')"
+    return f"regexp_replace({out}, '{PHONE_RE}', '<PHONE>', 'g')"
+
+
+def pii_counts(col: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the text."""
+    return (
+        F.regexp_count(col, F.lit(EMAIL_RE)),
+        F.regexp_count(col, F.lit(PHONE_RE)),
+    )
+
+
+def extract_urls(col: Column) -> Column:
+    """Array of URL substrings."""
+    return F.regexp_extract_all(col, F.lit(URL_RE), 0)
+
+
+def url_domain(url: Column) -> Column:
+    return F.regexp_extract(url, URL_DOMAIN_RE, 1)
