@@ -393,6 +393,51 @@ def q50(spark: SparkSession, sf: str) -> DataFrame:
     return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
 
 
+_Q57_SQL = f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),
+    bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+    csh AS (
+        SELECT DISTINCT doc_id AS cid, u.shingle
+        FROM corpus, unnest({text.word_ngrams_sql('text', NGRAM_N)}) u(shingle)),
+    bsh AS (
+        SELECT DISTINCT doc_id AS bid, u.shingle
+        FROM bench, unnest({text.word_ngrams_sql('text', NGRAM_N)}) u(shingle)),
+    sizes AS (SELECT cid, count(*) AS n_sh FROM csh GROUP BY cid),
+    hits AS (
+        SELECT c.cid, b.bid, count(*) AS n_common
+        FROM csh c JOIN bsh b ON c.shingle = b.shingle
+        GROUP BY c.cid, b.bid),
+    per_doc AS (
+        SELECT h.cid, h.bid, CAST(h.n_common AS DOUBLE) / s.n_sh AS overlap, s.n_sh
+        FROM hits h JOIN sizes s ON h.cid = s.cid)
+    SELECT cid AS id, n_sh,
+           CAST(count(*) AS BIGINT) AS n_contaminated,
+           round(max(overlap), 4) AS max_overlap
+    FROM per_doc WHERE overlap >= 0.2
+    GROUP BY cid, n_sh
+"""
+
+
+@register(
+    "q57_decontamination",
+    _Q57_SQL,
+    doc="Benchmark decontamination: corpus docs whose n-gram shingle set "
+    "overlaps any eval-set doc by >= 20% are flagged (docs 0-19 act as the "
+    "benchmark). Broadcast benchmark shingles + one corpus shuffle — no "
+    "corpus self-join.",
+)
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    out = dedup_ops.decontaminate(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        "doc_id", "text", NGRAM_N, min_overlap=0.2,
+    )
+    return out.select(
+        "id", "n_sh", "n_contaminated", F.round("max_overlap", 4).alias("max_overlap")
+    )
+
+
 _Q55_CONTACT = (
     "'Contact ' || c_name || ' <' || lower(replace(c_name, '#', '')) "
     "|| '@example.com> or call ' || printf('%02d-%03d-%03d-%04d', "

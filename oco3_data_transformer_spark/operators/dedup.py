@@ -399,6 +399,50 @@ def canonicalize_pairs(
     return labels.select("id", F.col("label").alias("canonical_id"))
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_overlap: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose shingle set
+    overlaps ANY benchmark document's shingles by >= ``min_overlap`` of the
+    corpus doc's shingles (the n-gram-overlap decontamination used for
+    pretraining corpora vs eval sets). Returns (id, n_sh, n_contaminated,
+    max_overlap) for flagged docs.
+
+    Scale shape: benchmark sets are small (eval suites) → their hashed
+    shingle table broadcasts; the corpus shingle table is the only large
+    side and shuffles once into the per-(corpus doc, benchmark doc) overlap
+    aggregation, pre-filtered by the broadcast semi-match on the shingle
+    hash. No corpus self-join anywhere."""
+    c = hashed_shingle_table(corpus, id_col, text_col, n).select(
+        F.col("id").alias("cid"), "h"
+    )
+    b = hashed_shingle_table(benchmark, id_col, text_col, n).select(
+        F.col("id").alias("bid"), "h"
+    )
+    sizes = c.groupBy("cid").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        c.join(F.broadcast(b), "h")
+        .groupBy("cid", "bid")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    per_doc = hits.join(sizes, "cid").withColumn(
+        "overlap", F.col("n_common").cast("double") / F.col("n_sh")
+    )
+    return (
+        per_doc.filter(F.col("overlap") >= min_overlap)
+        .groupBy(F.col("cid").alias("id"), "n_sh")
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminated"),
+            F.max("overlap").alias("max_overlap"),
+        )
+    )
+
+
 def canonicalize_pairs_star(
     nodes: DataFrame,
     pairs: DataFrame,
