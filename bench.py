@@ -49,13 +49,14 @@ def main() -> int:
     # JVM/codegen warmup on a trivial plan (excluded from timings).
     REGISTRY["q24_coverage_attrs"].fn(spark, sf_dir).collect()
 
-    # min of 2 runs per query: the second run reuses compiled codegen and
+    # min of 3 runs per query: later runs reuse compiled codegen and
     # warmed JVM paths, which is the steady-state a long-running cluster
-    # job sees; min-of-N is the standard variance-control for microbench.
+    # job sees; min-of-N is the standard variance-control for microbench
+    # and absorbs ambient-load spikes on a shared machine.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = REGISTRY[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
