@@ -115,7 +115,6 @@ def plan_work(
     tagged = eligible.join(led, ["day", "mission", "granule"], "left")
     per_day = tagged.groupBy("day").agg(
         F.max(F.col("__known").isNull().cast("int")).alias("has_new"),
-        F.max(F.lit(1)).alias("__one"),
     )
     day_seen = ledger.select("day").distinct().withColumn("__seen", F.lit(1))
     per_day = per_day.join(day_seen, "day", "left")
