@@ -106,8 +106,11 @@ def plan_work(
     features: DataFrame, ledger: DataFrame, watermark
 ) -> tuple[list, list]:
     """Split processable days into (append_days, repair_days) — ref
-    run.py:311-331: unseen day → append; ledger day with a changed granule
-    set → repair (the full day re-stages). Unchanged days drop out."""
+    run.py:311-331: unseen day → append; ledger day whose granule set
+    CHANGED in any way (new granule, or a previously-processed granule no
+    longer in the catalog — the reference compares key sets, not just
+    additions) → repair (the full day re-stages). Unchanged days drop out.
+    Ledger days outside the current search window are never touched."""
     if watermark is None:
         return [], []
     eligible = features.filter(F.col("day") <= F.lit(watermark))
@@ -116,9 +119,19 @@ def plan_work(
     per_day = tagged.groupBy("day").agg(
         F.max(F.col("__known").isNull().cast("int")).alias("has_new"),
     )
+    # days (within the search window) whose ledger rows vanished from the
+    # catalog — a granule revocation also changes the set
+    removed = (
+        ledger.join(eligible.select("day").distinct(), "day", "left_semi")
+        .join(eligible, ["day", "mission", "granule"], "left_anti")
+        .select("day").distinct().withColumn("__removed", F.lit(1))
+    )
     day_seen = ledger.select("day").distinct().withColumn("__seen", F.lit(1))
-    per_day = per_day.join(day_seen, "day", "left")
-    rows = per_day.filter(F.col("has_new") == 1).select("day", "__seen").collect()
+    per_day = per_day.join(day_seen, "day", "left").join(removed, "day", "left")
+    rows = (
+        per_day.filter((F.col("has_new") == 1) | F.col("__removed").isNotNull())
+        .select("day", "__seen").collect()
+    )
     append_days = sorted(r["day"] for r in rows if r["__seen"] is None)
     repair_days = sorted(r["day"] for r in rows if r["__seen"] is not None)
     return append_days, repair_days

@@ -121,6 +121,22 @@ def test_deploy_cycle_append_then_late_granule_repair(spark, cfg):
     assert rep3["append_days"] == [] and rep3["repair_days"] == []
 
 
+def test_granule_revocation_triggers_repair(spark, cfg):
+    feats1 = _features(spark, [("g1a", "oco3", D1), ("g1b", "oco2", D1)])
+    orc.run_deploy(spark, feats1, _transform, cfg)
+    # g1b vanishes from the catalog (revoked); set changed -> repair
+    feats2 = _features(spark, [("g1a", "oco3", D1)])
+    # oco2 absent for D1 with no gap declared would hold the day back; mark
+    # it expected-absent so the day stays processable
+    cfg.known_gaps = (("oco2", D1, D1),)
+    rep = orc.run_deploy(spark, feats2, _transform, cfg)
+    assert rep["repair_days"] == [str(D1)]
+    stored = spark.read.parquet(cfg.store_path)
+    assert {r.value for r in stored.collect()} == {3.0}  # only g1a remains
+    led = spark.read.parquet(cfg.ledger_path)
+    assert {r.granule for r in led.collect()} == {"g1a"}
+
+
 def _write_oco3_granule(path, day: str, n=10):
     """npz OCO-3 granule with per-sounding target ids (deploy CLI test)."""
     import numpy as np
