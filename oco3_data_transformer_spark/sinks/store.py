@@ -192,12 +192,20 @@ def compact(
     n_parts = frag.count()
     if n_parts:
         rows = df.join(F.broadcast(frag), on=PARTITION_COLS, how="left_semi")
+        # salt splits one partition's rows across max_files tasks; each task
+        # writes one file per partition value it holds, so the rewrite
+        # yields exactly <= max_files files per partition
+        salted = rows.withColumn(
+            "__salt", F.pmod(F.xxhash64(*SLICE_KEY), F.lit(max_files_per_partition))
+        )
         (
-            rows.repartition(n_parts * max_files_per_partition, *PARTITION_COLS)
+            salted.repartition(
+                n_parts * max_files_per_partition, *PARTITION_COLS, "__salt"
+            )
+            .drop("__salt")
             .localCheckpoint(eager=True)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .option("maxRecordsPerFile", 0)
             .partitionBy(*PARTITION_COLS)
             .parquet(path)
         )
