@@ -871,6 +871,43 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q58_asof_join",
+    """
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    purchases AS (
+        SELECT user_id, ts, max(value) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+           round(p.purchase_value, 4) AS purchase_value,
+           CAST(p.ts AS TIMESTAMP) AS matched_time
+    FROM clicks c
+    ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    doc="As-of (backward) join — each click matched to the user's latest "
+    "prior-or-simultaneous purchase. Spark lacks a built-in ASOF; the "
+    "engine's union-sort formulation does one shuffle+sort per key with no "
+    "range-join explosion, hash-matched against DuckDB's native ASOF JOIN.",
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = join_ops.asof_join(
+        clicks, purchases, ["user_id"], "ts", "ts", ["purchase_value"]
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round("purchase_value", 4).alias("purchase_value"),
+        F.col("__matched_time").alias("matched_time"),
+    )
+
+
+@register(
     "q54_monotonic_check",
     """
     WITH seq AS (

@@ -183,6 +183,71 @@ def salted_join(
     return out.drop("__salt")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """As-of (backward) join: for every left row, the single right row with
+    the greatest ``right_time`` <= ``left_time`` within the same key — the
+    time-series join relational engines ship natively (DuckDB ASOF JOIN)
+    and Spark lacks as a built-in.
+
+    Implemented as the scalable union-sort form, NOT a per-left-row range
+    join: tag and union both sides, then one window pass per key carries
+    the latest right payload forward (``last(..., ignorenulls)``) onto each
+    left row. One shuffle + one sort on (key, time) regardless of how many
+    right rows precede each left row — where a naive range join explodes as
+    left × matching-right. Ties (equal timestamps) sort the right row
+    first, so an exactly-simultaneous right row matches, like ASOF's
+    ``l.t >= r.t``. ``tolerance_seconds`` nulls matches older than the
+    window (pandas merge_asof semantics).
+
+    Returns all left columns plus each value column (right's payload) and
+    ``__matched_time``. Right rows must be unique per (key, time) — ties
+    there would make any engine's choice arbitrary; pre-aggregate first.
+    """
+    payload_t = F.struct(
+        F.col(right_time).alias("__mt"),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
+    r2 = (
+        right.select(*on, F.col(right_time).alias("__t"), payload_t.alias("__rv"))
+        .withColumn("__is_left", F.lit(False))
+    )
+    l2 = (
+        left.withColumn("__t", F.col(left_time))
+        .withColumn("__rv", F.lit(None).cast(r2.schema["__rv"].dataType))
+        .withColumn("__is_left", F.lit(True))
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__t", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(
+        F.when(~F.col("__is_left"), F.col("__rv")), ignorenulls=True
+    ).over(w)
+    out = u.withColumn("__m", carried).filter(F.col("__is_left"))
+    match = F.col("__m")
+    if tolerance_seconds is not None:
+        within = (
+            F.unix_timestamp(F.col(left_time))
+            - F.unix_timestamp(F.col("__m.__mt"))
+        ) <= tolerance_seconds
+        match = F.when(within, F.col("__m"))
+    return out.select(
+        *left.columns,
+        *[match[c].alias(c) for c in value_cols],
+        match["__mt"].alias("__matched_time"),
+    )
+
+
 def sync_diff(
     local: DataFrame,
     remote: DataFrame,

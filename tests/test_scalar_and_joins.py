@@ -24,6 +24,35 @@ def test_timestamp_from_components(spark):
     assert out[1] == dt.datetime(2019, 12, 31, 23, 59, 59)
 
 
+def test_asof_join_semantics(spark):
+    from oco3_data_transformer_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", dt.datetime(2024, 1, 1, 10, 0)),
+         (2, "k", dt.datetime(2024, 1, 1, 12, 0)),
+         (3, "k", dt.datetime(2024, 1, 1, 9, 0)),   # before any right row
+         (4, "z", dt.datetime(2024, 1, 1, 12, 0))], # key with no right rows
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1, 10, 0), 100.0),   # simultaneous with id 1
+         ("k", dt.datetime(2024, 1, 1, 11, 30), 200.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = {r.id: (r.v, r["__matched_time"])
+           for r in asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()}
+    assert out[1] == (100.0, dt.datetime(2024, 1, 1, 10, 0))   # ties match
+    assert out[2] == (200.0, dt.datetime(2024, 1, 1, 11, 30))  # latest prior
+    assert out[3] == (None, None)                              # nothing before
+    assert out[4] == (None, None)                              # key unmatched
+
+    # tolerance: id 2's match is 30 min old -> nulled at 15-min tolerance
+    tol = {r.id: r.v for r in asof_join(
+        left, right, ["k"], "ts", "ts", ["v"], tolerance_seconds=900
+    ).collect()}
+    assert tol[1] == 100.0 and tol[2] is None
+
+
 def _ref_argmin(region, targets):
     """The reference's association: np.argmin over squared centroid distance,
     first index wins on ties (targets in list order)."""
