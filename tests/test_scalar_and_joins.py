@@ -53,6 +53,40 @@ def test_asof_join_semantics(spark):
     assert tol[1] == 100.0 and tol[2] is None
 
 
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import pandas as pd
+
+    from oco3_data_transformer_spark.operators.joins import asof_join
+
+    rng = random.Random(42)
+    left_rows = [
+        (i, f"k{rng.randint(0, 3)}", dt.datetime(2024, 1, 1) + dt.timedelta(minutes=rng.randint(0, 500)))
+        for i in range(60)
+    ]
+    right_times = set()
+    right_rows = []
+    for _ in range(40):
+        k = f"k{rng.randint(0, 3)}"
+        t = dt.datetime(2024, 1, 1) + dt.timedelta(minutes=rng.randint(0, 500))
+        if (k, t) in right_times:  # operator contract: unique (key, time)
+            continue
+        right_times.add((k, t))
+        right_rows.append((k, t, float(rng.randint(1, 999))))
+
+    ldf = spark.createDataFrame(left_rows, "id long, k string, ts timestamp")
+    rdf = spark.createDataFrame(right_rows, "k string, ts timestamp, v double")
+    got = {
+        r.id: r.v for r in asof_join(ldf, rdf, ["k"], "ts", "ts", ["v"]).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["id", "k", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values("ts")
+    ref = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    for row in ref.itertuples(index=False):
+        expect = None if pd.isna(row.v) else row.v
+        assert got[row.id] == expect, f"id {row.id}"
+
+
 def _ref_argmin(region, targets):
     """The reference's association: np.argmin over squared centroid distance,
     first index wins on ties (targets in list order)."""
