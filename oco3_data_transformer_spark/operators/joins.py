@@ -191,26 +191,30 @@ def asof_join(
     right_time: str,
     value_cols: list[str],
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of (backward) join: for every left row, the single right row with
-    the greatest ``right_time`` <= ``left_time`` within the same key — the
-    time-series join relational engines ship natively (DuckDB ASOF JOIN)
-    and Spark lacks as a built-in.
+    """As-of join: for every left row, the single right row nearest in time
+    within the same key — the time-series join relational engines ship
+    natively (DuckDB ASOF JOIN) and Spark lacks as a built-in.
+    ``direction``: 'backward' (greatest right_time <= left_time, the ASOF
+    default), 'forward' (smallest right_time >= left_time), or 'nearest'
+    (closer of the two; ties prefer backward — pandas merge_asof
+    semantics). Equal timestamps always match.
 
     Implemented as the scalable union-sort form, NOT a per-left-row range
     join: tag and union both sides, then one window pass per key carries
-    the latest right payload forward (``last(..., ignorenulls)``) onto each
-    left row. One shuffle + one sort on (key, time) regardless of how many
-    right rows precede each left row — where a naive range join explodes as
-    left × matching-right. Ties (equal timestamps) sort the right row
-    first, so an exactly-simultaneous right row matches, like ASOF's
-    ``l.t >= r.t``. ``tolerance_seconds`` nulls matches older than the
-    window (pandas merge_asof semantics).
+    the nearest right payload onto each left row (``last``/``first`` with
+    ignorenulls over half-open frames). One shuffle + one sort on
+    (key, time) regardless of how many right rows precede each left row —
+    where a naive range join explodes as left × matching-right.
+    ``tolerance_seconds`` nulls matches farther than the window.
 
     Returns all left columns plus each value column (right's payload) and
     ``__matched_time``. Right rows must be unique per (key, time) — ties
     there would make any engine's choice arbitrary; pre-aggregate first.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(direction)
     payload_t = F.struct(
         F.col(right_time).alias("__mt"),
         *[F.col(c).alias(c) for c in value_cols],
@@ -225,26 +229,41 @@ def asof_join(
         .withColumn("__is_left", F.lit(True))
     )
     u = l2.unionByName(r2, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(*on)
-        .orderBy("__t", "__is_left")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rv = F.when(~F.col("__is_left"), F.col("__rv"))
+    # tie handling: a simultaneous right row must fall INSIDE the frame, so
+    # the backward pass sorts rights before lefts at equal timestamps and
+    # the forward pass sorts lefts first — two in-partition sort orders over
+    # ONE exchange (same partitioning; Spark adds a sort, not a shuffle)
+    wb = Window.partitionBy(*on).orderBy("__t", "__is_left")
+    wf = Window.partitionBy(*on).orderBy("__t", F.desc("__is_left"))
+    back = F.last(rv, ignorenulls=True).over(
+        wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = F.last(
-        F.when(~F.col("__is_left"), F.col("__rv")), ignorenulls=True
-    ).over(w)
-    out = u.withColumn("__m", carried).filter(F.col("__is_left"))
-    match = F.col("__m")
+    fwd = F.first(rv, ignorenulls=True).over(
+        wf.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    gap = lambda m: F.abs(  # noqa: E731 - seconds between left time and match
+        F.unix_timestamp(F.col("__t")) - F.unix_timestamp(m["__mt"])
+    )
+    if direction == "backward":
+        match = back
+    elif direction == "forward":
+        match = fwd
+    else:
+        match = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(gap(fwd) < gap(back), fwd)
+            .otherwise(back)  # ties prefer backward (pandas)
+        )
+    out = u.withColumn("__m", match).filter(F.col("__is_left"))
+    m = F.col("__m")
     if tolerance_seconds is not None:
-        within = (
-            F.unix_timestamp(F.col(left_time))
-            - F.unix_timestamp(F.col("__m.__mt"))
-        ) <= tolerance_seconds
-        match = F.when(within, F.col("__m"))
+        m = F.when(gap(F.col("__m")) <= tolerance_seconds, F.col("__m"))
     return out.select(
         *left.columns,
-        *[match[c].alias(c) for c in value_cols],
-        match["__mt"].alias("__matched_time"),
+        *[m[c].alias(c) for c in value_cols],
+        m["__mt"].alias("__matched_time"),
     )
 
 

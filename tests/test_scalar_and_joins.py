@@ -7,6 +7,7 @@ from __future__ import annotations
 import datetime as dt
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from oco3_data_transformer_spark.functions.scalar import timestamp_from_components
@@ -53,7 +54,8 @@ def test_asof_join_semantics(spark):
     assert tol[1] == 100.0 and tol[2] is None
 
 
-def test_asof_join_matches_pandas_merge_asof(spark):
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_join_matches_pandas_merge_asof(spark, direction):
     import pandas as pd
 
     from oco3_data_transformer_spark.operators.joins import asof_join
@@ -72,19 +74,25 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             continue
         right_times.add((k, t))
         right_rows.append((k, t, float(rng.randint(1, 999))))
+    # force timestamp ties between sides so tie semantics are exercised
+    for j, (k, t, v) in enumerate(right_rows[:5]):
+        left_rows.append((1000 + j, k, t))
 
     ldf = spark.createDataFrame(left_rows, "id long, k string, ts timestamp")
     rdf = spark.createDataFrame(right_rows, "k string, ts timestamp, v double")
     got = {
-        r.id: r.v for r in asof_join(ldf, rdf, ["k"], "ts", "ts", ["v"]).collect()
+        r.id: r.v
+        for r in asof_join(
+            ldf, rdf, ["k"], "ts", "ts", ["v"], direction=direction
+        ).collect()
     }
 
     lp = pd.DataFrame(left_rows, columns=["id", "k", "ts"]).sort_values("ts")
     rp = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values("ts")
-    ref = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    ref = pd.merge_asof(lp, rp, on="ts", by="k", direction=direction)
     for row in ref.itertuples(index=False):
         expect = None if pd.isna(row.v) else row.v
-        assert got[row.id] == expect, f"id {row.id}"
+        assert got[row.id] == expect, f"id {row.id} ({direction})"
 
 
 def _ref_argmin(region, targets):
