@@ -176,21 +176,21 @@ def run_deploy(
     done_days = [*append_days, *repair_days]
     new_ledger = (
         features.filter(F.col("day").isin(done_days))
-        .select("day", "mission", "granule")
+        .select("mission", "granule", "day")
         .distinct()
         .withColumn("processed_at", F.current_timestamp())
     )
-    if store_ops.store_exists(spark, cfg.ledger_path):
-        # repair days replace their ledger rows; append days add theirs
-        old = spark.read.parquet(cfg.ledger_path).filter(
-            ~F.col("day").isin(done_days)
-        )
-        new_ledger = old.unionByName(new_ledger, allowMissingColumns=True).localCheckpoint(
-            eager=True
-        )
-        new_ledger.write.mode("overwrite").parquet(cfg.ledger_path)
-    else:
-        new_ledger.write.mode("append").parquet(cfg.ledger_path)
+    # day-partitioned dynamic overwrite: each processed day replaces ONLY
+    # its own ledger partition (repair days swap in the new granule set,
+    # append days add a partition). No read-modify-rewrite of the whole
+    # ledger — and a mid-write failure can clobber at most the partitions
+    # being written, never the untouched history.
+    (
+        new_ledger.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(cfg.ledger_path)
+    )
     return report
 
 
