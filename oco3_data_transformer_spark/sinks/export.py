@@ -75,7 +75,9 @@ def encode_geotiff(
     profile = dict(
         driver="GTiff", height=h, width=w, count=1, dtype="float64",
         crs="EPSG:4326", transform=transform, compress="deflate",
-        tiled=True, blockxsize=min(256, max(16, w)), blockysize=min(256, max(16, h)),
+        # GDAL tile sizes must be multiples of 16; fixed 256 blocks are
+        # valid for any raster size (small rasters are padded)
+        tiled=True, blockxsize=256, blockysize=256,
     )
     with MemoryFile() as mem:
         with mem.open(**profile) as ds:
