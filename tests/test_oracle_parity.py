@@ -22,3 +22,24 @@ def duck():
 def test_query_matches_oracle(spark, duck, name):
     res = compare_query(spark, duck, name, SF_DIR)
     assert res["match"], res.get("why")
+
+
+def test_harness_detects_mismatches(spark, duck):
+    """Negative control: the comparison harness must actually FAIL on value,
+    rowcount, and column differences — otherwise 58 green rows prove
+    nothing about the checker itself."""
+    from oco3_data_transformer_spark.catalog import QueryDef
+
+    good = REGISTRY["q08_day_limit"]
+    broken = {
+        "wrong-values": good.sql.replace("count(*)", "count(*) + 1"),
+        "wrong-rowcount": good.sql.replace("LIMIT 5", "LIMIT 4"),
+        "wrong-columns": good.sql.replace("AS n_orders", "AS n_orderz"),
+    }
+    try:
+        for why, sql in broken.items():
+            REGISTRY["q08_day_limit"] = QueryDef(fn=good.fn, sql=sql, doc=good.doc)
+            res = compare_query(spark, duck, "q08_day_limit", SF_DIR)
+            assert not res["match"], f"harness missed a {why} mismatch"
+    finally:
+        REGISTRY["q08_day_limit"] = good
