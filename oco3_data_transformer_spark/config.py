@@ -58,6 +58,7 @@ class RunConfig:
     shuffle_partitions: int | None = None
     targets: dict[str, str] = field(default_factory=dict)
     naming: dict[str, str] = field(default_factory=dict)
+    title: dict[str, str] = field(default_factory=dict)
 
     @classmethod
     def parse(cls, text: str) -> "RunConfig":
@@ -149,4 +150,5 @@ class RunConfig:
             ),
             targets=targets,
             naming=dict((out.get("naming") or {})),
+            title=dict((out.get("title") or {})),
         )

@@ -166,6 +166,17 @@ def run_batch(spark: SparkSession, cfg: RunConfig, fmt: str = "npz") -> dict:
         report["missions"][mission] = {"rows_appended": appended}
 
     report["verify"] = store_ops.verify(spark, cfg.store_path)
+    # A7: persist store-level attrs (coverage + run metadata) on every write,
+    # the reference's Zarr-attr maintenance (ref writers/ZarrWriter.py:140-167)
+    report["attrs"] = store_ops.write_attrs(
+        spark, cfg.store_path,
+        {
+            "grid_lat_res": cfg.grid_lat_res, "grid_lon_res": cfg.grid_lon_res,
+            "grid_method": cfg.grid_method,
+            **{f"naming_{k}": v for k, v in cfg.naming.items()},
+            **{f"title_{k}": v for k, v in cfg.title.items()},
+        },
+    )
     if cfg.export_path:
         out = export_ops.export_slices(
             spark.read.parquet(cfg.store_path),

@@ -28,6 +28,7 @@ store-wide lock or backup copy.
 
 from __future__ import annotations
 
+import datetime as dt
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -220,6 +221,47 @@ def coverage(spark: SparkSession, path: str) -> dict:
         .collect()[0]
     )
     return {"coverage_start": row["s"], "coverage_end": row["e"]}
+
+
+_ATTRS_FILE = "_store_attrs.json"
+
+
+def write_attrs(spark: SparkSession, path: str, extra: dict | None = None) -> dict:
+    """A7: persist store-level attributes — time coverage plus caller
+    metadata (title, grid resolution, QF naming) — the reference maintains
+    these as Zarr attrs on every write (ref writers/ZarrWriter.py:140-167);
+    here they live in a ``_store_attrs.json`` sidecar next to the
+    partitions (underscore prefix → ignored by parquet readers)."""
+    import json
+
+    attrs = {k: str(v) for k, v in coverage(spark, path).items()}
+    attrs["updated_at"] = dt.datetime.now(dt.timezone.utc).isoformat()
+    attrs.update({k: v for k, v in (extra or {}).items()})
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path, _ATTRS_FILE)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    out.write(bytearray(json.dumps(attrs, indent=2).encode()))
+    out.close()
+    return attrs
+
+
+def read_attrs(spark: SparkSession, path: str) -> dict | None:
+    import json
+
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path, _ATTRS_FILE)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        data = bytes(
+            sc._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(data.decode())
 
 
 def checksum(spark: SparkSession, path: str, buckets: int = 256) -> str:

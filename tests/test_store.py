@@ -96,6 +96,21 @@ def test_time_range_reads_prune_day_partitions(spark, tmp_path):
     assert df.count() == 1  # only day-2 files were read
 
 
+def test_write_read_attrs_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "store")
+    store.append(spark, _slices(spark, D1, [1, 2]), path)
+    store.append(spark, _slices(spark, D2, [5]), path)
+    written = store.write_attrs(spark, path, {"title_pre_qf": "Pre QF"})
+    got = store.read_attrs(spark, path)
+    assert got == written
+    assert got["coverage_start"].startswith("2024-03-01")
+    assert got["coverage_end"].startswith("2024-03-02")
+    assert got["title_pre_qf"] == "Pre QF"
+    # the underscore-prefixed sidecar must not pollute the table read
+    assert spark.read.parquet(path).count() == 3
+    assert store.read_attrs(spark, str(tmp_path / "nope")) is None
+
+
 def test_compact_merges_small_files_and_preserves_data(spark, tmp_path):
     path = str(tmp_path / "store")
     # three separate appends to the same day -> >= 3 files in its partition
