@@ -191,6 +191,8 @@ def run_deploy(
         .partitionBy("day")
         .parquet(cfg.ledger_path)
     )
+    # A7: refresh store-level coverage attrs after a successful cycle
+    report["attrs"] = store_ops.write_attrs(spark, cfg.store_path)
     return report
 
 
