@@ -18,6 +18,17 @@ each designed shuffle-lean for 100 TB corpora:
 
 All stages are built-in expressions (groupBy/join/array ops) — no Python
 UDFs anywhere.
+
+Operational sequencing at corpus scale: run :func:`exact_dedup` FIRST and
+feed only canonical documents to the near-dup operators. LSH bucket
+expansion (minhash bands, simhash bands) emits C(k,2) pairs per bucket in
+one task — near-unique buckets by construction for *distinct* texts, but a
+flood of byte-identical documents lands in one bucket and would expand
+quadratically there. Exact dedup collapses those for the price of one
+hash-groupBy, which is also the standard pipeline order (exact → near-dup).
+The raw-shingle pair join (:func:`_join_cooccurrence_pairs`) is the one
+stage facing naturally hot keys (stop-shingles), and it uses a join so AQE
+can split them.
 """
 
 from __future__ import annotations
