@@ -66,3 +66,78 @@ def test_streaming_micro_batches(spark, tmp_path):
     # watermark passed the first session's close -> it must have been emitted
     a = [r for r in got if r.target_id == "a"]
     assert any(r.n_soundings == 5 for r in a)
+
+
+SIF_SCHEMA = T.StructType(
+    [
+        T.StructField("granule", T.StringType()),
+        T.StructField("sounding_idx", T.LongType()),
+        T.StructField("target_id", T.StringType()),
+    ]
+)
+
+
+def _sif_rows():
+    """Index-run shape exercising the none-adoption fold:
+    idx 0-2 'a'; 3-4 'none' (adopts 'a'); 5-6 'a' (chains);
+    gap to 12-13 'b'; 14 'none' (adopts 'b'); big gap; 30-31 'none' only."""
+    seq = (
+        [("g1", i, "a") for i in range(3)]
+        + [("g1", i, "none") for i in (3, 4)]
+        + [("g1", i, "a") for i in (5, 6)]
+        + [("g1", i, "b") for i in (12, 13)]
+        + [("g1", 14, "none")]
+        + [("g1", i, "none") for i in (30, 31)]
+    )
+    return seq
+
+
+EXPECTED_SIF_REGIONS = [
+    ("g1", "a", 0, 7, 7),      # 0-6 incl. adopted nones
+    ("g1", "b", 12, 15, 3),    # 12-14 incl. trailing none
+    ("g1", "none", 30, 32, 2), # all-none run stays none
+]
+
+
+def test_sif_stateful_stream_matches_fold(spark, tmp_path):
+    from oco3_data_transformer_spark.streaming.sessionize_stream import (
+        sessionize_stream_sif,
+    )
+
+    src = str(tmp_path / "src")
+    rows = _sif_rows()
+    # two micro-batch files splitting MID-RUN (idx 5 continues batch 1's run)
+    spark.createDataFrame(rows[:5], SIF_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows[5:], SIF_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(SIF_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = sessionize_stream_sif(stream, margin=2, timeout_ms=1500)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sif_regions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        import time
+
+        # wait past the processing-time timeout so the tail run flushes
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            got = spark.sql("SELECT * FROM sif_regions").collect()
+            if len(got) >= len(EXPECTED_SIF_REGIONS):
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    got_t = sorted(
+        (r.granule, r.target_id, r.start_idx, r.stop_excl, r.n_rows) for r in got
+    )
+    assert got_t == sorted(EXPECTED_SIF_REGIONS)
