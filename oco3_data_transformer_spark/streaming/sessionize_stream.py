@@ -78,27 +78,34 @@ SIF_REGION_SCHEMA = T.StructType(
 
 _SIF_STATE_SCHEMA = T.StructType(
     [
+        # flushed-but-still-mergeable slices (at most 1 after emission)
         T.StructField("starts", T.ArrayType(T.LongType())),
         T.StructField("stops", T.ArrayType(T.LongType())),
         T.StructField("tids", T.ArrayType(T.StringType())),
         T.StructField("ns", T.ArrayType(T.LongType())),
+        # the contiguous run currently being built (reference's
+        # in_region/start/target_id loop variables)
+        T.StructField("open_start", T.LongType()),
+        T.StructField("open_stop", T.LongType()),
+        T.StructField("open_tid", T.StringType()),
+        T.StructField("open_n", T.LongType()),
     ]
 )
 
 
-def _sif_fold(runs: list, start: int, stop: int, tid: str, n: int,
-              margin: int, none_id: str) -> None:
-    """One step of the reference's merge_last_or_append
-    (ref processors/OCO3SifProcessor.py:377-405), mutating ``runs``."""
-    if runs:
-        last = runs[-1]
-        if abs(start - last[1]) <= margin and (
-            last[2] == tid or none_id in (last[2], tid)
+def _sif_merge_last_or_append(slices: list, item: list, margin: int,
+                              none_id: str) -> None:
+    """The reference's merge_last_or_append
+    (ref processors/OCO3SifProcessor.py:377-405), mutating ``slices``."""
+    if slices:
+        last = slices[-1]
+        if abs(last[1] - item[0]) <= margin and (
+            last[2] == item[2] or none_id in (last[2], item[2])
         ):
-            rid = last[2] if last[2] != none_id else tid
-            runs[-1] = [last[0], stop, rid, last[3] + n]
+            rid = last[2] if last[2] != none_id else item[2]
+            slices[-1] = [last[0], item[1], rid, last[3] + item[3]]
             return
-    runs.append([start, stop, tid, n])
+    slices.append(list(item))
 
 
 def sessionize_stream_sif(
@@ -108,49 +115,80 @@ def sessionize_stream_sif(
     timeout_ms: int = 10_000,
 ) -> DataFrame:
     """Streaming SIF segmentation as a CUSTOM STATEFUL operator
-    (``applyInPandasWithState``): per granule, open runs live in state as
-    parallel arrays; each micro-batch folds its (index-sorted) soundings
-    into them with the none-adoption merge; runs that can no longer merge
-    (a newer run starts beyond the margin) emit immediately, and a
-    processing-time timeout flushes the tail once a granule goes quiet.
+    (``applyInPandasWithState``), a faithful streaming transcription of the
+    reference's row loop (ref processors/OCO3SifProcessor.py:368-477):
 
-    State is O(open runs) per granule — bounded by the merge margin, not by
-    stream length. Emission is append-mode (each region exactly once).
+      - contiguous soundings extend the OPEN run; a leading ``none`` id
+        upgrades to the run's first real id (``if target_id == 'none':
+        target_id = target``); a ``none`` inside a real-id run is absorbed;
+      - an index gap (= an off-mode stretch in the reference's full-index
+        loop) FLUSHES the open run through ``merge_last_or_append`` — where
+        the none-adoption left fold lives: a flushed run within ``margin``
+        of the previous slice merges when ids match or either is none;
+      - every slice except the most recent is final (the fold only ever
+        touches ``slices[-1]``) and emits immediately; the open run + last
+        slice live in group state (O(1) per granule, not O(stream));
+      - a processing-time timeout flushes a quiet granule's tail.
+
+    session_window cannot express this: whether two runs merge depends on
+    the previously-merged run's (possibly upgraded) id, not just on
+    proximity. Emission is append-mode, each region exactly once.
 
     Assumes each granule's soundings arrive in index order across batches
     (the reference's queue delivers whole granules; within a batch any
-    order is fine — the fold sorts). Late out-of-order rows for an emitted
-    region would start a new region, the same behavior the reference's
-    repair path corrects."""
+    order is fine — the fold sorts). A late row for an emitted region
+    starts a new region — the same situation the reference fixes via its
+    repair path."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fn(key, pdfs: Iterator, state: GroupState) -> Iterator:
         import pandas as pd
 
         granule = key[0]
-        runs: list = (
-            [list(r) for r in zip(*state.get)] if state.exists else []
-        )
+        if state.exists:
+            starts, stops, tids, ns, o_start, o_stop, o_tid, o_n = state.get
+            slices = [list(r) for r in zip(starts, stops, tids, ns)]
+            open_run = (
+                [o_start, o_stop, o_tid, o_n] if o_start is not None else None
+            )
+        else:
+            slices, open_run = [], None
+
         if not state.hasTimedOut:
-            batch = pd.concat(list(pdfs))
-            batch = batch.sort_values("sounding_idx")
+            batch = pd.concat(list(pdfs)).sort_values("sounding_idx")
             for idx, tid in zip(batch["sounding_idx"], batch["target_id"]):
-                i = int(idx)
-                # each sounding is a width-1 run [i, i+1)
-                _sif_fold(runs, i, i + 1, str(tid), 1, margin, none_id)
+                i, tid = int(idx), str(tid)
+                if open_run is None:
+                    open_run = [i, i + 1, tid, 1]
+                elif i == open_run[1]:  # contiguous: extend / upgrade / split
+                    if open_run[2] == none_id:
+                        open_run[2] = tid
+                    if tid != open_run[2] and tid != none_id:
+                        _sif_merge_last_or_append(slices, open_run, margin, none_id)
+                        open_run = [i, i + 1, tid, 1]
+                    else:  # same id, or an absorbed interior none
+                        open_run[1] = i + 1
+                        open_run[3] += 1
+                else:  # index gap = off-mode stretch -> flush the region
+                    _sif_merge_last_or_append(slices, open_run, margin, none_id)
+                    open_run = [i, i + 1, tid, 1]
         else:
             list(pdfs)  # exhaust the (empty) iterator per contract
 
         if state.hasTimedOut:
-            closed, runs = runs, []
+            if open_run is not None:
+                _sif_merge_last_or_append(slices, open_run, margin, none_id)
+                open_run = None
+            closed, slices = slices, []
         else:
-            # the fold only ever extends the LAST run, so every non-last
-            # run is final the moment a newer one exists — emit them now;
-            # only the tail run stays open in state
-            closed, runs = runs[:-1], runs[-1:]
+            # the fold only ever touches slices[-1]; everything before it
+            # is final and emits now
+            closed, slices = slices[:-1], slices[-1:]
 
-        if runs:
-            state.update(tuple(list(c) for c in zip(*runs)))
+        if slices or open_run is not None:
+            cols = tuple(list(c) for c in zip(*slices)) if slices else ([], [], [], [])
+            o = open_run or [None, None, None, None]
+            state.update((*cols, o[0], o[1], o[2], o[3]))
             state.setTimeoutDuration(timeout_ms)
         else:
             state.remove()

@@ -107,9 +107,12 @@ def test_sif_stateful_stream_matches_fold(spark, tmp_path):
     src = str(tmp_path / "src")
     rows = _sif_rows()
     # two micro-batch files splitting MID-RUN (idx 5 continues batch 1's run)
+    import time as _time
+
     spark.createDataFrame(rows[:5], SIF_SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(src)
+    _time.sleep(1.1)  # distinct mtimes -> deterministic arrival order
     spark.createDataFrame(rows[5:], SIF_SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(src)
@@ -141,3 +144,95 @@ def test_sif_stateful_stream_matches_fold(spark, tmp_path):
         (r.granule, r.target_id, r.start_idx, r.stop_excl, r.n_rows) for r in got
     )
     assert got_t == sorted(EXPECTED_SIF_REGIONS)
+
+
+def test_sif_stream_equals_batch_on_random_sequences(spark, tmp_path):
+    """Randomized batch-vs-stream equivalence: the applyInPandasWithState
+    fold must produce the same region table as the batch span/fill/fold
+    pipeline (detect_regions) on arbitrary index walks with 'none' ids and
+    gaps, across arbitrary micro-batch splits."""
+    import random
+
+    from oco3_data_transformer_spark.operators.sessionize import detect_regions
+    from oco3_data_transformer_spark.streaming.sessionize_stream import (
+        sessionize_stream_sif,
+    )
+
+    rng = random.Random(20240813)
+    rows = []
+    for g in range(6):
+        idx = 0
+        for _ in range(rng.randint(4, 25)):
+            rows.append((f"g{g}", idx, rng.choice(["a", "b", "none"])))
+            idx += rng.choice([1, 1, 1, 2, 3, 4])  # mostly dense, some gaps
+
+    # batch authority: the span/ffill/fold pipeline (mode-pass trivial)
+    bdf = spark.createDataFrame(rows, SIF_SCHEMA).withColumn("m", F.lit(1))
+    batch = detect_regions(
+        bdf, ["granule"], "sounding_idx", "m", 1, "target_id",
+        margin=2, merge_inclusive=True, none_id="none",
+    )
+    expect = sorted(
+        (r.granule, r.target_id, r.start_idx, r.stop_excl, r.n_mode_rows)
+        for r in batch.collect()
+    )
+
+    # stream: 3 micro-batch files; the operator contract requires each
+    # granule's soundings to arrive in INDEX ORDER across batches (the
+    # reference's queue delivers granules sequentially), so each file takes
+    # a per-granule prefix slice at a random cut — order preserved, cuts
+    # landing mid-run
+    src = str(tmp_path / "src")
+    by_g: dict = {}
+    for r in rows:
+        by_g.setdefault(r[0], []).append(r)
+    # every granule gets rows in EVERY part: a granule quiet for a whole
+    # micro-batch can hit the processing-time timeout mid-stream, which
+    # correctly closes its tail run early - valid operator behavior, but
+    # not the batch-equivalence scenario under test
+    parts = [[], [], []]
+    for g, grows in by_g.items():
+        c1 = rng.randint(1, len(grows) - 2)
+        c2 = rng.randint(c1 + 1, len(grows) - 1)
+        parts[0] += grows[:c1]
+        parts[1] += grows[c1:c2]
+        parts[2] += grows[c2:]
+    import time as _time
+
+    for part in parts:
+        if part:
+            spark.createDataFrame(part, SIF_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            # FileStreamSource orders files by modification time; same-ms
+            # writes would arrive in arbitrary order and violate the
+            # operator's per-granule arrival-order contract
+            _time.sleep(1.1)
+
+    stream = spark.readStream.schema(SIF_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = sessionize_stream_sif(stream, margin=2, timeout_ms=1500)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sif_rand")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 120
+        got = []
+        while time.time() < deadline:
+            got = spark.sql("SELECT * FROM sif_rand").collect()
+            if len(got) >= len(expect):
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    got_t = sorted(
+        (r.granule, r.target_id, r.start_idx, r.stop_excl, r.n_rows) for r in got
+    )
+    assert got_t == expect
