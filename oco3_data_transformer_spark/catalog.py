@@ -1014,6 +1014,27 @@ def q23(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q59_cube_totals",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(l_quantity), 0) AS BIGINT) AS total_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="A6 multi-dimensional consolidation: CUBE over (returnflag, "
+    "linestatus) — per-cell, per-axis subtotal, and grand-total rows in one "
+    "pass (the mission x qf reporting shape); Spark computes all grouping "
+    "sets in a single Expand+aggregate, no N-pass unioning.",
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 0).cast("long").alias("total_qty"),
+    )
+
+
+@register(
     "q24_coverage_attrs",
     """
     SELECT CAST(min(ts) AS TIMESTAMP) AS coverage_start,
