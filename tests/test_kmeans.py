@@ -73,3 +73,21 @@ def test_ivf_knn_with_built_centroids_has_high_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"recall {recall}"
+
+
+def test_kmeans_sampled_build_still_recovers_clusters(spark):
+    # the 100 TB path: build centroids from a corpus SAMPLE; separable
+    # clusters survive heavy sampling
+    df = _separable(spark, n_per=60)
+    cents = sim.kmeans_centroids(df, k=3, iters=4, sample_fraction=0.5)
+    got = np.array([r.centroid for r in cents.orderBy("cell").collect()])
+    anchors = np.eye(3, 8) * 10.0
+    for a in anchors:
+        assert np.linalg.norm(got - a, axis=1).min() < 1.5
+    # assignment over the FULL corpus still lands everything in 3 cells
+    sizes = sorted(
+        r.n
+        for r in sim.ivf_assign(df, cents)
+        .groupBy("cell").agg(F.count("*").alias("n")).collect()
+    )
+    assert sum(sizes) == 180 and len(sizes) == 3

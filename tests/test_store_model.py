@@ -86,3 +86,19 @@ def test_random_append_upsert_interleaving(spark, tmp_path):
         # key per batch, so equality is exact)
         assert got == model, f"step {step}: values diverged"
         assert store.verify(spark, path)["duplicate_keys"] == 0
+
+
+def test_compact_is_checksum_invariant_after_random_history(spark, tmp_path):
+    """compact() must never change store content, whatever write history
+    produced the fragmentation."""
+    rng = random.Random(99)
+    path = str(tmp_path / "store")
+    for step in range(6):
+        rows, df = _batch(spark, rng, step)
+        (store.append if step % 2 == 0 else store.merge)(spark, df, path)
+    before = store.checksum(spark, path)
+    n = store.compact(spark, path)
+    assert store.checksum(spark, path) == before
+    assert store.verify(spark, path)["duplicate_keys"] == 0
+    # second compact is a no-op (nothing fragmented anymore)
+    assert store.compact(spark, path) == 0
