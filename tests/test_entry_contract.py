@@ -19,7 +19,7 @@ def test_entry_runs_and_returns_rows(spark):
 
 def test_queries_and_oracles_consistent():
     qs, osql = E.queries(), E.oracle_sql()
-    assert len(qs) >= 59
+    assert len(qs) >= 60
     # every oracle belongs to a query; every SQL string is substantive
     assert set(osql) <= set(qs)
     for name, sql in osql.items():
