@@ -167,25 +167,52 @@ def ivf_knn(
     """IVF search: route each query to its ``nprobe`` nearest cells, then
     exact top-k within those cells only. Returns (query_id, neighbor_id,
     rank, cos). At 100 TB the cell equi-join key makes this a partitioned
-    hash join touching nprobe/nlist of the corpus."""
-    cents = F.broadcast(
-        centroids.select(F.col(cent_id), F.col(cent_vec)).withColumn(
-            "__cn", vector.norm(F.col(cent_vec))
-        )
+    hash join touching nprobe/nlist of the corpus.
+
+    Probe routing is a pure projection, not a window: the (small by
+    construction) centroid bank is folded into ONE broadcast array row, and
+    each query picks its top-``nprobe`` cells with
+    ``slice(array_sort(transform(bank, ...)))`` — no crossJoin row
+    explosion, no shuffle, no sort of |Q|·nlist rows. Ordering matches the
+    old rank window exactly: cos desc, cell asc tiebreak (struct sort on
+    (-cos, cell))."""
+    bank = F.broadcast(
+        centroids.select(
+            F.struct(
+                F.col(cent_id).alias("cell"),
+                F.col(cent_vec).alias("cv"),
+                vector.norm(F.col(cent_vec)).alias("cn"),
+            ).alias("__c")
+        ).agg(F.collect_list("__c").alias("__bank"))
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).withColumn("q_norm", vector.norm(F.col("q_vec")))
-    routed = q.crossJoin(cents).withColumn(
-        "__cos_c",
-        vector.dot(F.col("q_vec"), F.col(cent_vec))
-        / (F.col("q_norm") * F.col("__cn")),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("__cos_c"), F.asc(cent_id))
     probes = (
-        routed.withColumn("__rk", F.row_number().over(wq))
-        .filter(F.col("__rk") <= nprobe)
-        .select("query_id", "q_vec", "q_norm", cent_id)
+        q.crossJoin(bank)
+        .withColumn(
+            "__scored",
+            F.transform(
+                "__bank",
+                lambda c: F.struct(
+                    (
+                        -(
+                            vector.dot(F.col("q_vec"), c["cv"])
+                            / (F.col("q_norm") * c["cn"])
+                        )
+                    ).alias("negcos"),
+                    c["cell"].alias("cell"),
+                ),
+            ),
+        )
+        .select(
+            "query_id",
+            "q_vec",
+            "q_norm",
+            F.explode(
+                F.slice(F.array_sort("__scored"), 1, nprobe)["cell"]
+            ).alias(cent_id),
+        )
     )
     c = assigned_corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), F.col(cent_id)
