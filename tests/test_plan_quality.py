@@ -102,10 +102,11 @@ def test_knn_single_topk_window(spark):
 
 def test_ivf_assign_is_aggregate_not_window(spark):
     # the corpus-assignment argmax must be an aggregate (map-side combine,
-    # shuffles 1x corpus), leaving exactly the two query-side windows:
-    # probe routing + final top-k
+    # shuffles 1x corpus), and probe routing must be a projection over the
+    # broadcast centroid bank (slice/array_sort), NOT a rank window — so the
+    # ONLY window in the whole plan is the final per-query top-k
     plan = final_plan_of(spark, "q40_ivf_knn")
-    assert plan.count("Window [") == 2
+    assert plan.count("Window [") == 1
     assert "SortAggregate" in plan or "HashAggregate" in plan
 
 
