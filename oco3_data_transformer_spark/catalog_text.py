@@ -363,10 +363,15 @@ def _q50_sql() -> str:
         SELECT cell, generate_subscripts(embedding, 1) AS pos,
                CAST(unnest(embedding) AS DOUBLE) AS x
         FROM a1),
-    c1 AS (
+    upd AS (
         SELECT cell, list(m ORDER BY pos) AS centroid
         FROM (SELECT cell, pos, avg(x) AS m FROM flat GROUP BY cell, pos)
         GROUP BY cell),
+    c1 AS (
+        -- a cell that empties after the Lloyd step keeps its previous
+        -- centroid (mirrors kmeans_centroids' cents[nonempty]-only update)
+        SELECT i.cell, coalesce(u.centroid, i.centroid) AS centroid
+        FROM init i LEFT JOIN upd u ON i.cell = u.cell),
     a2 AS (
         SELECT vec_id, cell FROM (
             SELECT e.vec_id, c.cell,

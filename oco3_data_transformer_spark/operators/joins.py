@@ -242,8 +242,11 @@ def asof_join(
     fwd = F.first(rv, ignorenulls=True).over(
         wf.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    # fractional seconds: cast(double) keeps sub-second precision, where
+    # unix_timestamp truncates to whole seconds and would misroute 'nearest'
+    # (and quantize the tolerance) on sub-second data
     gap = lambda m: F.abs(  # noqa: E731 - seconds between left time and match
-        F.unix_timestamp(F.col("__t")) - F.unix_timestamp(m["__mt"])
+        F.col("__t").cast("double") - m["__mt"].cast("double")
     )
     if direction == "backward":
         match = back

@@ -158,6 +158,7 @@ def run_deploy(
         "append_days": [str(d) for d in append_days],
         "repair_days": [str(d) for d in repair_days],
         "rows_appended": 0,
+        "rows_repaired": 0,
     }
     if not append_days and not repair_days:
         return report
@@ -171,7 +172,7 @@ def run_deploy(
         # previously processed collections, ref run.py:315-331) so the
         # partition-scoped overwrite rebuilds the complete day
         batch = features.filter(F.col("day").isin(repair_days))
-        store_ops.upsert(spark, transform(batch), cfg.store_path)
+        report["rows_repaired"] = store_ops.upsert(spark, transform(batch), cfg.store_path)
 
     done_days = [*append_days, *repair_days]
     new_ledger = (

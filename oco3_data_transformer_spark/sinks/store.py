@@ -64,8 +64,12 @@ def append(spark: SparkSession, df: DataFrame, path: str) -> int:
     new = _with_day(df.dropDuplicates(SLICE_KEY))
     if store_exists(spark, path):
         existing = spark.read.parquet(path)
-        days = [r.day for r in new.select("day").distinct().collect()]
-        existing = existing.filter(F.col("day").isin(days)).select(*SLICE_KEY)
+        # restrict the anti-join to the touched days via a broadcast
+        # semi-join on the distinct-day frame: dynamic partition pruning
+        # skips the untouched store partitions, and a backfill spanning
+        # thousands of days never materializes a thousands-literal IN list
+        days = F.broadcast(new.select("day").distinct())
+        existing = existing.join(days, on="day", how="left_semi").select(*SLICE_KEY)
         new = new.join(existing, on=SLICE_KEY, how="left_anti")
     n = new.count()
     if n:
@@ -73,18 +77,22 @@ def append(spark: SparkSession, df: DataFrame, path: str) -> int:
     return n
 
 
-def upsert(spark: SparkSession, df: DataFrame, path: str) -> None:
+def upsert(spark: SparkSession, df: DataFrame, path: str) -> int:
     """Late-data repair path: replace every (mission, qf, day) partition the
     batch touches with the batch's rows for it (ref tools/deploy/run.py:315-331
     — a new granule for an already-processed day reprocesses that day).
-    Dynamic partition overwrite = partition-scoped MERGE."""
+    Dynamic partition overwrite = partition-scoped MERGE.
+    Returns the number of rows written (so repair-only cycles report their
+    rewrite volume, not 0)."""
     new = _with_day(df.dropDuplicates(SLICE_KEY))
+    n = new.count()
     (
         new.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*PARTITION_COLS)
         .parquet(path)
     )
+    return n
 
 
 def merge(spark: SparkSession, df: DataFrame, path: str) -> None:

@@ -73,7 +73,8 @@ def test_empty_catalog_is_a_clean_noop(spark, cfg):
     feats = _features(spark, [])
     rep = orc.run_deploy(spark, feats, _transform, cfg)
     assert rep == {
-        "watermark": None, "append_days": [], "repair_days": [], "rows_appended": 0,
+        "watermark": None, "append_days": [], "repair_days": [],
+        "rows_appended": 0, "rows_repaired": 0,
     }
 
 
@@ -104,6 +105,8 @@ def test_deploy_cycle_append_then_late_granule_repair(spark, cfg):
     rep2 = orc.run_deploy(spark, feats2, _transform, cfg)
     assert rep2["repair_days"] == [str(D1)]
     assert rep2["append_days"] == [str(D2)]
+    # the repair rewrite is reported, not silently folded into 0
+    assert rep2["rows_repaired"] == 6  # 3 day1 granules x 2 cells
 
     stored = spark.read.parquet(cfg.store_path).withColumn("d", F.to_date("time"))
     day1_vals = {r.value for r in stored.filter(F.col("d") == D1).collect()}

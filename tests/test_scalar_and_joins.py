@@ -95,6 +95,42 @@ def test_asof_join_matches_pandas_merge_asof(spark, direction):
         assert got[row.id] == expect, f"id {row.id} ({direction})"
 
 
+def test_asof_join_subsecond_precision(spark):
+    """'nearest' and tolerance must resolve at sub-second granularity:
+    unix_timestamp-based gaps truncate to whole seconds and pick the wrong
+    side when both candidates fall inside the same second."""
+    from oco3_data_transformer_spark.operators.joins import asof_join
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    us = dt.timedelta(microseconds=1)
+    left = spark.createDataFrame(
+        [(1, "k", base + 400_000 * us)], "id long, k string, ts timestamp"
+    )
+    # backward candidate 0.4 s away, forward candidate 0.2 s away — equal
+    # (0) under whole-second truncation, so only fractional gaps pick fwd
+    right = spark.createDataFrame(
+        [("k", base, 1.0), ("k", base + 600_000 * us, 2.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = asof_join(
+        left, right, ["k"], "ts", "ts", ["v"], direction="nearest"
+    ).collect()
+    assert out[0].v == 2.0
+
+    # tolerance is fractional too: 0.3 s tolerance keeps the 0.2 s-away
+    # match but would not keep a 0.4 s-away one
+    tol = asof_join(
+        left, right, ["k"], "ts", "ts", ["v"],
+        direction="nearest", tolerance_seconds=0.3,
+    ).collect()
+    assert tol[0].v == 2.0
+    tol2 = asof_join(
+        left, right, ["k"], "ts", "ts", ["v"],
+        direction="backward", tolerance_seconds=0.3,
+    ).collect()
+    assert tol2[0].v is None
+
+
 def _ref_argmin(region, targets):
     """The reference's association: np.argmin over squared centroid distance,
     first index wins on ties (targets in list order)."""
