@@ -178,9 +178,23 @@ def run_batch(spark: SparkSession, cfg: RunConfig, fmt: str = "npz") -> dict:
         },
     )
     if cfg.export_path:
+        # georeference each raster with ITS target's grid bbox (global
+        # slices fall back to the global mesh bbox inside export_slices)
+        bboxes = None
+        tframes = [
+            load_targets(spark, path, mission)
+            .select("target_id", "min_lon", "min_lat", "max_lon", "max_lat")
+            for mission, path in cfg.targets.items()
+        ]
+        if tframes:
+            bboxes = tframes[0]
+            for t in tframes[1:]:
+                bboxes = bboxes.unionByName(t)
+            bboxes = bboxes.dropDuplicates(["target_id"])
         out = export_ops.export_slices(
             spark.read.parquet(cfg.store_path),
             lat_res=cfg.grid_lat_res, lon_res=cfg.grid_lon_res,
+            target_bboxes=bboxes,
         )
         out.write.mode("overwrite").parquet(cfg.export_path)
         report["exported_slices"] = spark.read.parquet(cfg.export_path).count()

@@ -30,6 +30,9 @@ from pyspark.sql import types as T
 
 SLICE_COLS = ["mission", "target_id", "qf", "time", "variable"]
 
+# mesh bbox of the global grid — CELL-CENTER extents (ref utils/XI.py:86-87)
+GLOBAL_BBOX = (-180.0, -90.0, 180.0, 90.0)
+
 EXPORT_SCHEMA = T.StructType(
     [
         T.StructField("mission", T.StringType()),
@@ -41,6 +44,14 @@ EXPORT_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("n_valid", T.LongType()),
+        # georeference EDGE bounds of the raster (half a pixel beyond the
+        # cell-center mesh extents, the rioxarray convention — ref
+        # writers/CoGWriter.py:172 data.rio.to_raster derives the transform
+        # from the slice's own lat/lon coords, NOT a global constant)
+        T.StructField("min_lon", T.DoubleType()),
+        T.StructField("min_lat", T.DoubleType()),
+        T.StructField("max_lon", T.DoubleType()),
+        T.StructField("max_lat", T.DoubleType()),
         T.StructField("payload", T.BinaryType()),
     ]
 )
@@ -53,14 +64,31 @@ def _npy_bytes(arr: np.ndarray) -> bytes:
 
 
 def encode_geotiff(
-    arr: np.ndarray, bounds: tuple[float, float, float, float] | None = None
+    arr: np.ndarray,
+    bounds: tuple[float, float, float, float] | None = None,
+    driver_kwargs: dict | None = None,
 ) -> bytes:  # pragma: no cover - optional dep, golden-tested when present
-    """S8 final container encode: tiled+deflate GeoTIFF (CoG layout,
-    ref writers/CoGWriter.py:42-248), EPSG:4326, row 0 = northernmost (the
-    caller already flipped latitude descending). Import-gated on rasterio;
-    the body is complete and activates via tests/test_ready_goldens.py."""
+    """S8 final container encode: Cloud-Optimized GeoTIFF
+    (ref writers/CoGWriter.py:42-248), EPSG:4326, row 0 = northernmost (the
+    caller already flipped latitude descending), NaN nodata.
+
+    ``bounds`` are raster EDGE bounds (min_lon, min_lat, max_lon, max_lat) —
+    :func:`export_slices` derives them per slice from the target's mesh bbox
+    with the half-pixel expansion rioxarray applies to cell-center coords.
+    ``driver_kwargs`` passes COG creation options through, mirroring the
+    reference's validated driver options (ref writers/CoGWriter.py:44-50,
+    172: ``data.rio.to_raster(driver='COG', **driver_kwargs)``).
+
+    Body: write a tiled+deflate GTiff into /vsimem, build power-of-two
+    average overviews down to one tile (the CoG pyramid), then copy-convert
+    with GDAL's COG driver (which enforces the cloud-optimized layout:
+    header-first IFDs, tile ordering). Falls back to the plain tiled GTiff
+    bytes when the COG driver is unavailable. Import-gated on rasterio; the
+    golden in tests/test_ready_goldens.py activates when present.
+    """
     try:
-        import rasterio  # type: ignore
+        import rasterio  # type: ignore  # noqa: F401
+        from rasterio.enums import Resampling  # type: ignore
         from rasterio.io import MemoryFile  # type: ignore
         from rasterio.transform import from_bounds  # type: ignore
     except ImportError as e:
@@ -75,21 +103,47 @@ def encode_geotiff(
     profile = dict(
         driver="GTiff", height=h, width=w, count=1, dtype="float64",
         crs="EPSG:4326", transform=transform, compress="deflate",
+        nodata=float("nan"),
         # GDAL tile sizes must be multiples of 16; fixed 256 blocks are
         # valid for any raster size (small rasters are padded)
         tiled=True, blockxsize=256, blockysize=256,
     )
+    # CoG overview pyramid: halve until the level fits in one 256 tile
+    factors = []
+    f = 2
+    while max(h, w) // f >= 256:
+        factors.append(f)
+        f *= 2
     with MemoryFile() as mem:
         with mem.open(**profile) as ds:
             ds.write(arr.astype(np.float64), 1)
-        return mem.read()
+            if factors:
+                ds.build_overviews(factors, Resampling.average)
+                ds.update_tags(ns="rio_overview", resampling="average")
+        try:
+            from rasterio.shutil import copy as rio_copy  # type: ignore
+
+            opts = dict(compress="deflate", blocksize=256)
+            opts.update(driver_kwargs or {})
+            with MemoryFile() as cog:
+                rio_copy(mem.name, cog.name, driver="COG", **opts)
+                return cog.read()
+        except Exception:
+            # COG create-copy driver missing (GDAL < 3.1): the tiled,
+            # overviewed, deflate GTiff is still a valid (non-certified) CoG
+            return mem.read()
 
 
 def encode_netcdf(
-    arr: np.ndarray, var_name: str = "value"
+    arr: np.ndarray,
+    var_name: str = "value",
+    bounds: tuple[float, float, float, float] | None = None,
 ) -> bytes:  # pragma: no cover - optional dep, golden-tested when present
     """S9 final container encode: zlib-9 NetCDF (ref
-    writers/NetCDFWriter.py:26-61) via xarray/h5netcdf; import-gated."""
+    writers/NetCDFWriter.py:26-61) via xarray/h5netcdf; import-gated.
+    With ``bounds`` (raster EDGE bounds, as produced by export_slices) the
+    dataset carries cell-center lat/lon coordinate variables — latitude
+    DESCENDING to match the pre-flipped row order."""
     try:
         import xarray as xr  # type: ignore
     except ImportError as e:
@@ -98,7 +152,17 @@ def encode_netcdf(
             "(unavailable here); export_slices' npy payload carries the "
             "same dense array"
         ) from e
-    ds = xr.Dataset({var_name: (("lat", "lon"), arr.astype(np.float64))})
+    coords = {}
+    if bounds is not None:
+        min_lon, min_lat, max_lon, max_lat = bounds
+        h, w = arr.shape
+        res_x = (max_lon - min_lon) / w
+        res_y = (max_lat - min_lat) / h
+        coords["lat"] = (max_lat - res_y / 2) - res_y * np.arange(h)
+        coords["lon"] = (min_lon + res_x / 2) + res_x * np.arange(w)
+    ds = xr.Dataset(
+        {var_name: (("lat", "lon"), arr.astype(np.float64))}, coords=coords
+    )
     return bytes(
         ds.to_netcdf(
             engine="h5netcdf",
@@ -108,9 +172,9 @@ def encode_netcdf(
 
 
 _SLICE_ENCODERS = {
-    "npy": (_npy_bytes, ".npy"),
+    "npy": (lambda arr, bounds: _npy_bytes(arr), ".npy"),
     "geotiff": (encode_geotiff, ".tif"),
-    "netcdf": (encode_netcdf, ".nc"),
+    "netcdf": (lambda arr, bounds: encode_netcdf(arr, bounds=bounds), ".nc"),
 }
 
 
@@ -119,11 +183,24 @@ def export_slices(
     lat_res: int,
     lon_res: int,
     fmt: str = "npy",
+    target_bboxes: DataFrame | None = None,
+    global_bbox: tuple[float, float, float, float] = GLOBAL_BBOX,
 ) -> DataFrame:
     """Assemble every (mission, target, qf, time, variable) slice into a
     dense (lat_res, lon_res) float64 array — NaN where the mask dropped the
     cell — with rows ordered latitude-DESCENDING (C10, ref
-    writers/CoGWriter.py:153-161), and emit filename + binary payload.
+    writers/CoGWriter.py:153-161), and emit filename + georeference bounds +
+    binary payload.
+
+    ``target_bboxes``: optional (target_id, min_lon, min_lat, max_lon,
+    max_lat) dim frame — the same J1 target table the gridding step used —
+    broadcast onto the slices so each raster is georeferenced with ITS grid's
+    extent, not a global constant (the reference derives the transform from
+    the dataset's own lat/lon coords, ref writers/CoGWriter.py:172). Slices
+    without a bbox row fall back to ``global_bbox``. Bboxes are CELL-CENTER
+    mesh extents (operators.grid.make_mesh endpoint-inclusive linspace); the
+    emitted bounds are the half-pixel-expanded EDGE bounds rioxarray derives
+    from center coords.
 
     One Arrow-batched group per slice; slices are independent, so export
     parallelism is the number of slices. ``fmt='npy'`` is the portable
@@ -132,8 +209,26 @@ def export_slices(
     """
     encoder, ext = _SLICE_ENCODERS[fmt]
     if fmt != "npy":
-        encoder(np.zeros((1, 1)))  # driver-side availability probe: raises
-        # NotImplementedError at plan time, not inside executor tasks
+        encoder(np.zeros((1, 1)), None)  # driver-side availability probe:
+        # raises NotImplementedError at plan time, not inside executor tasks
+
+    bbox_cols = ["__bb_min_lon", "__bb_min_lat", "__bb_max_lon", "__bb_max_lat"]
+    if target_bboxes is not None:
+        bb = F.broadcast(
+            target_bboxes.select(
+                "target_id",
+                *[
+                    F.col(c).cast("double").alias(a)
+                    for c, a in zip(
+                        ["min_lon", "min_lat", "max_lon", "max_lat"], bbox_cols
+                    )
+                ],
+            )
+        )
+        store_rows = store_rows.join(bb, on="target_id", how="left")
+    else:
+        for c in bbox_cols:
+            store_rows = store_rows.withColumn(c, F.lit(None).cast("double"))
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         head = pdf.iloc[0]
@@ -147,6 +242,15 @@ def export_slices(
             f"{head['mission']}_{head['target_id']}_{ts}_"
             f"{head['qf']}_{head['variable']}{ext}"
         )
+        if pd.notna(head["__bb_min_lon"]):
+            c_min_lon, c_min_lat = head["__bb_min_lon"], head["__bb_min_lat"]
+            c_max_lon, c_max_lat = head["__bb_max_lon"], head["__bb_max_lat"]
+        else:
+            c_min_lon, c_min_lat, c_max_lon, c_max_lat = global_bbox
+        # cell-center extents -> edge bounds (half-pixel expansion)
+        rx = (c_max_lon - c_min_lon) / (2 * max(lon_res - 1, 1))
+        ry = (c_max_lat - c_min_lat) / (2 * max(lat_res - 1, 1))
+        bounds = (c_min_lon - rx, c_min_lat - ry, c_max_lon + rx, c_max_lat + ry)
         return pd.DataFrame(
             [
                 {
@@ -159,7 +263,11 @@ def export_slices(
                     "height": lat_res,
                     "width": lon_res,
                     "n_valid": int(pdf["value"].notna().sum()),
-                    "payload": encoder(arr),
+                    "min_lon": bounds[0],
+                    "min_lat": bounds[1],
+                    "max_lon": bounds[2],
+                    "max_lat": bounds[3],
+                    "payload": encoder(arr, bounds),
                 }
             ]
         )

@@ -55,6 +55,38 @@ def test_geotiff_encoder_stubbed():
         export.encode_geotiff(np.zeros((2, 2)))
 
 
+def test_export_per_target_bounds(spark):
+    """Each slice is georeferenced with ITS target's bbox (half-pixel-
+    expanded edge bounds), not a hardcoded global extent; targets without a
+    bbox row fall back to the global mesh bbox."""
+    rows = [
+        ("oco3", "t1", "post", DAY, 0, 0, "xco2", 1.0),
+        ("oco3", "nobox", "post", DAY, 0, 0, "xco2", 2.0),
+    ]
+    df = spark.createDataFrame(rows, STORE_SLICE)
+    bboxes = spark.createDataFrame(
+        [("t1", 10.0, 40.0, 12.0, 41.0)],
+        "target_id string, min_lon double, min_lat double, "
+        "max_lon double, max_lat double",
+    )
+    out = {
+        r.target_id: r
+        for r in export.export_slices(
+            df, lat_res=3, lon_res=5, target_bboxes=bboxes
+        ).collect()
+    }
+    # t1: centers span lon 10..12 over 5 cells (rx=0.25), lat 40..41 over
+    # 3 cells (ry=0.25) -> edges expand half a pixel each side
+    t1 = out["t1"]
+    assert (t1.min_lon, t1.min_lat, t1.max_lon, t1.max_lat) == (
+        9.75, 39.75, 12.25, 41.25
+    )
+    # unmatched target: global cell-center bbox expanded by half a pixel
+    nb = out["nobox"]
+    assert nb.min_lon == pytest.approx(-180.0 - 360.0 / (2 * 4))
+    assert nb.max_lat == pytest.approx(90.0 + 180.0 / (2 * 2))
+
+
 def test_melt_values(spark):
     df = spark.createDataFrame(
         [{"k": 1, "xco2": 400.0, "unc": 0.5}]
