@@ -533,36 +533,43 @@ def simhash_pairs(
     Banded candidates (pigeonhole: distance <= h ⇒ >= 1 of h+1 bands equal)
     via group-by-band-value pair expansion.
 
-    The fingerprint rides along in the bucket grouping as a struct field, so
-    the Hamming verify happens *inside* the pair-expansion task — no join
-    back to the fingerprint table, no candidate-pair aggregation. Two
-    shuffles total after the fingerprint build: group-by-bucket and the
-    final pair dedup (a pair can match in more than one band)."""
+    ONE shuffle total after the fingerprint build. The fingerprint rides
+    along in the bucket grouping as a struct field, so everything after the
+    group-by-(band, bucket) exchange happens inside the bucket task:
+      - pair expansion (each unordered pair appears at most once per band —
+        the slice expansion never repeats a pair within a bucket);
+      - the Hamming verify (no join back to the fingerprint table);
+      - cross-band dedup: a pair colliding in several bands is kept only in
+        its FIRST colliding band, decided from the two fingerprints already
+        in hand — no global dropDuplicates shuffle over the pair set.
+    """
     n_bands = max_hamming + 1
     width = bits // n_bands
     mask = (1 << width) - 1
+
+    def band_val(col: Column, i: int) -> Column:
+        return F.shiftright(col, width * i).bitwiseAND(F.lit(mask))
+
     band_rows = fingerprints.select(
         # struct sorts by id first → slice-expansion below yields id_a < id_b
         F.struct(F.col("id"), F.col("simhash")).alias("node"),
         F.explode(
             F.array(
                 *[
-                    F.concat_ws(
-                        "|",
-                        F.lit(i),
-                        F.shiftright(F.col("simhash"), width * i)
-                        .bitwiseAND(F.lit(mask))
-                        .cast("string"),
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        band_val(F.col("simhash"), i).alias("bucket"),
                     )
                     for i in range(n_bands)
                 ]
             )
         ).alias("bb"),
-    )
-    grouped = band_rows.groupBy("bb").agg(
+    ).select("node", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    grouped = band_rows.groupBy("band", "bucket").agg(
         F.array_sort(F.collect_list("node")).alias("nodes")
     )
     pairs = grouped.select(
+        "band",
         F.explode(
             F.flatten(
                 F.transform(
@@ -573,14 +580,27 @@ def simhash_pairs(
                     ),
                 )
             )
-        ).alias("p")
+        ).alias("p"),
     ).select(
+        "band",
         F.col("p.a.id").alias("id_a"),
         F.col("p.b.id").alias("id_b"),
+        F.col("p.a.simhash").alias("__fa"),
+        F.col("p.b.simhash").alias("__fb"),
         F.bit_count(F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))).alias(
             "hamming"
         ),
     )
-    return pairs.filter(F.col("hamming") <= max_hamming).dropDuplicates(
-        ["id_a", "id_b"]
+    # keep the pair only where this band is its first collision: every
+    # earlier band must differ (pure bit arithmetic on the carried
+    # fingerprints — evaluated in-task, inside codegen)
+    first_band = F.lit(True)
+    for j in range(n_bands - 1):
+        first_band = first_band & (
+            (F.col("band") <= j)
+            | (band_val(F.col("__fa"), j) != band_val(F.col("__fb"), j))
+        )
+    return (
+        pairs.filter((F.col("hamming") <= max_hamming) & first_band)
+        .select("id_a", "id_b", "hamming")
     )

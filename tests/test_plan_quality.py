@@ -110,6 +110,16 @@ def test_ivf_assign_is_aggregate_not_window(spark):
     assert "SortAggregate" in plan or "HashAggregate" in plan
 
 
+def test_simhash_two_shuffles_no_global_pair_dedup(spark):
+    # simhash near-dup: fingerprint groupBy(id) + groupBy(band, bucket) are
+    # the ONLY exchanges. Cross-band pair dedup is a first-colliding-band
+    # filter on the carried fingerprints (in-task, codegen) — a global
+    # dropDuplicates over the pair set would show as a third exchange.
+    plan = final_plan_of(spark, "q33_simhash_neardup")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "dropDuplicates" not in plan
+
+
 def test_semi_join_region_drop_broadcast(spark):
     plan = plan_of(spark, "q03_qf_region_drop")
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
