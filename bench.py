@@ -4,10 +4,16 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line:
 
     {"metric": "headline_total", "value": N, "unit": "sec",
-     "queries": {"q01_...": sec, ...}, "sf": "..."}
+     "queries": {"q01_...": sec, ...}, "sf": "...",
+     "duckdb_queries": {...}, "duckdb_total": N, "ratio": N}
 
 Execution is forced with the noop sink (full pipeline runs, nothing is
 collected to the driver), matching how a cluster job would behave.
+
+The DuckDB leg times each query's oracle SQL on the SAME parquet files in
+the SAME process window (min-of-3 warm, identical methodology), so the
+engine ratio in the output is self-contained and load-controlled — no
+cross-session baseline comparison needed.
 """
 
 from __future__ import annotations
@@ -83,18 +89,43 @@ def main() -> int:
         print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-            }
-        ),
-        flush=True,
-    )
+
+    # DuckDB leg: identical oracle SQL, same files, same min-of-3-warm
+    # methodology, timed in the same process window as the Spark leg.
+    duck: dict[str, float] = {}
+    try:
+        from oco3_data_transformer_spark.oracle_check import duck_connection
+
+        con = duck_connection(sf_dir)
+        con.execute("SELECT 1").fetchall()  # connection warmup
+        for name in HEADLINE:
+            sql = REGISTRY[name].sql
+            if sql is None:
+                continue
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            duck[name] = round(best, 3)
+            print(f"# duckdb {name}: {duck[name]}s", file=sys.stderr, flush=True)
+    except Exception as exc:  # bench must still emit the Spark leg
+        print(f"# duckdb leg failed: {exc}", file=sys.stderr, flush=True)
+
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+    }
+    if duck:
+        spark_comparable = round(sum(timings[n] for n in duck), 3)
+        duck_total = round(sum(duck.values()), 3)
+        out["duckdb_queries"] = duck
+        out["duckdb_total"] = duck_total
+        out["ratio"] = round(spark_comparable / duck_total, 2) if duck_total else None
+    print(json.dumps(out), flush=True)
     return 0
 
 
