@@ -94,13 +94,20 @@ def detect_regions(
         *[c if c != idx_col else "__idx" for c in order_cols]
     )
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    # Spans: contiguous stretches of in-mode rows.
     prev_idx = F.lag("__idx").over(w)
-    new_span = (prev_idx.isNull() | (F.col("__idx") - prev_idx > 1)).cast("int")
-    rows = rows.withColumn("__span", F.sum(new_span).over(cum))
 
     if none_id is not None:
+        # SIF path: spans are needed for 'none' resolution, and the merge
+        # is a LEFT FOLD over the run table (a merged run's possibly
+        # upgraded id participates in the next comparison, and 'none'
+        # matches either side — ref processors/OCO3SifProcessor.py:377-405
+        # — e.g. runs a, none, none chain-merge into one 'a' region, which
+        # no fixed-width window can express). Runs per granule are orders
+        # of magnitude fewer than soundings, so the fold is an exact
+        # grouped-map over the tiny run table (the fact table never
+        # touches that pass).
+        new_span = (prev_idx.isNull() | (F.col("__idx") - prev_idx > 1)).cast("int")
+        rows = rows.withColumn("__span", F.sum(new_span).over(cum))
         ws = Window.partitionBy(*partition_cols, "__span").orderBy("__idx")
         non_none = F.when(F.col("__tid") != none_id, F.col("__tid"))
         ffill = F.last(non_none, ignorenulls=True).over(
@@ -110,59 +117,53 @@ def detect_regions(
             ws.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         rows = rows.withColumn("__eff", F.coalesce(ffill, bfill, F.lit(none_id)))
-    else:
-        rows = rows.withColumn("__eff", F.col("__tid"))
 
-    # Runs: islands of constant effective id within a span.
-    prev_span = F.lag("__span").over(w)
-    prev_eff = F.lag("__eff").over(w)
-    new_run = (
-        prev_span.isNull()
-        | (F.col("__span") != prev_span)
-        | ~F.col("__eff").eqNullSafe(prev_eff)
-    ).cast("int")
-    rows = rows.withColumn("__run", F.sum(new_run).over(cum))
+        prev_span = F.lag("__span").over(w)
+        prev_eff = F.lag("__eff").over(w)
+        new_run = (
+            prev_span.isNull()
+            | (F.col("__span") != prev_span)
+            | ~F.col("__eff").eqNullSafe(prev_eff)
+        ).cast("int")
+        rows = rows.withColumn("__run", F.sum(new_run).over(cum))
 
-    runs = rows.groupBy(*partition_cols, "__run").agg(
-        F.first("__eff").alias("__tid"),
-        F.min("__idx").alias("__start"),
-        (F.max("__idx") + 1).alias("__stop"),
-        F.count(F.lit(1)).alias("__n"),
-    )
-
-    # Merge pass over the run table (ref merge_last_or_append).
-    if none_id is not None:
-        # The SIF merge is a LEFT FOLD: a merged run's (possibly upgraded)
-        # id participates in the next comparison, and 'none' matches
-        # either side (ref processors/OCO3SifProcessor.py:377-405) — e.g.
-        # runs a, none, none chain-merge into one 'a' region, which no
-        # fixed-width window can express. Runs per granule are few orders
-        # of magnitude fewer than soundings, so the fold is an exact
-        # grouped-map over the tiny run table (the fact table never
-        # touches this pass).
+        runs = rows.groupBy(*partition_cols, "__run").agg(
+            F.first("__eff").alias("__tid"),
+            F.min("__idx").alias("__start"),
+            (F.max("__idx") + 1).alias("__stop"),
+            F.count(F.lit(1)).alias("__n"),
+        )
         return _merge_runs_fold(
             runs, partition_cols, target_col, region_col, margin,
             merge_inclusive, none_id,
         )
 
-    wr = Window.partitionBy(*partition_cols).orderBy("__start")
-    cumr = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap_prev = F.col("__start") - F.lag("__stop").over(wr)
+    # CO2 path: run detection AND gap-merge in the SAME window pass — no
+    # intermediate run table. At the first row of a run, the previous row
+    # in this ordered window IS the last row of the previous run, so the
+    # run-table merge predicate  start − lag(stop)  is exactly
+    # idx − prev_idx − 1 here, and the previous run's id is prev __eff
+    # (constant within a run). Regions then aggregate straight off the row
+    # table; its grouping keys are a superset of the window's partitioning,
+    # so no second exchange is needed (q17/q18: ONE shuffle end-to-end,
+    # plan-asserted in tests/test_plan_quality.py).
+    prev_eff = F.lag("__tid").over(w)
+    same_id = F.col("__tid").eqNullSafe(prev_eff)
+    new_run = prev_idx.isNull() | (F.col("__idx") - prev_idx > 1) | ~same_id
+    gap_prev = F.col("__idx") - prev_idx - 1
     gap_ok = (gap_prev <= margin) if merge_inclusive else (gap_prev < margin)
-    same_id = F.col("__tid").eqNullSafe(F.lag("__tid").over(wr))
-
     merge_prev = F.coalesce(gap_ok & same_id, F.lit(False))
-    runs = runs.withColumn(region_col, F.sum((~merge_prev).cast("int")).over(cumr))
-
-    return (
-        runs.groupBy(*partition_cols, region_col)
-        .agg(
-            F.first("__tid").alias(target_col),
-            F.min("__start").alias("start_idx"),
-            F.max("__stop").alias("stop_excl"),
-            F.count(F.lit(1)).alias("n_runs"),
-            F.sum("__n").alias("n_mode_rows"),
-        )
+    rows = (
+        rows.withColumn("__new_run", new_run.cast("int"))
+        .withColumn("__new_region", (new_run & ~merge_prev).cast("int"))
+        .withColumn(region_col, F.sum("__new_region").over(cum))
+    )
+    return rows.groupBy(*partition_cols, region_col).agg(
+        F.first("__tid").alias(target_col),
+        F.min("__idx").alias("start_idx"),
+        (F.max("__idx") + 1).alias("stop_excl"),
+        F.sum("__new_run").alias("n_runs"),
+        F.count(F.lit(1)).alias("n_mode_rows"),
     )
 
 

@@ -68,11 +68,15 @@ def test_no_cartesian_products_anywhere(spark):
         assert "CartesianProduct" not in plan, name
 
 
-def test_sessionize_single_sort_per_window_chain(spark):
-    # the lag/sum/row_number chain shares one partitionBy(user) sort: at most
-    # two sort operators total (row window + run-table window)
-    plan = plan_of(spark, "q17_sessionize_islands")
-    assert plan.count("Exchange hashpartitioning") <= 3
+def test_sessionize_single_exchange(spark):
+    # CO2-path sessionization detects runs AND merges gaps in one window
+    # pass, then aggregates regions straight off the row table (the agg keys
+    # are a superset of the window partitioning): ONE exchange end-to-end.
+    for q in ("q17_sessionize_islands", "q18_sessionize_gap_merge"):
+        plan = plan_of(spark, q)
+        # formatted mode prints each exchange's detail as
+        # "Arguments: hashpartitioning(...)"; windows/aggs never do
+        assert plan.count("hashpartitioning(") == 1, q
 
 
 def test_neardup_joins_have_no_static_broadcast_hints(spark):
