@@ -502,6 +502,21 @@ def canonicalize_pairs_star(
         selfe = mins.select("u", F.col("m").alias("v"))
         return moved.unionByName(selfe).filter(F.col("u") != F.col("v")).distinct()
 
+    def signature(e: DataFrame) -> tuple:
+        # Order-insensitive fingerprint of a distinct edge set: one partial
+        # aggregate, no shuffle of the edges beyond a scalar reduce. The
+        # edge sets being compared are both distinct, so (count, xor of
+        # 64-bit edge hashes, min, max) equality means set equality up to a
+        # ~2^-64 collision; large/small-star is monotone (a reached fixpoint
+        # stays fixed), so even a collision could only end the loop one
+        # round early with an already-converged star forest in practice.
+        h = F.xxhash64("u", "v")
+        row = e.agg(
+            F.count(F.lit(1)), F.bit_xor(h), F.min(h), F.max(h)
+        ).first()
+        return tuple(row)
+
+    sig = signature(edges)
     for _ in range(max_iters):
         # large-star works on the symmetric closure; re-symmetrize first
         sym = edges.unionByName(
@@ -511,13 +526,11 @@ def canonicalize_pairs_star(
             small_star(large_star(sym))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_edges.exceptAll(edges).limit(1).count()
-            + edges.exceptAll(new_edges).limit(1).count()
-        )
+        new_sig = signature(new_edges)
         edges = new_edges
-        if changed == 0:
+        if new_sig == sig:
             break
+        sig = new_sig
     roots = edges.groupBy("u").agg(F.min("v").alias("canonical_id"))
     return (
         nodes.select("id")
