@@ -5,7 +5,8 @@ and prints ONE JSON line:
 
     {"metric": "headline_total", "value": N, "unit": "sec",
      "queries": {"q01_...": sec, ...}, "sf": "...",
-     "duckdb_queries": {...}, "duckdb_total": N, "ratio": N}
+     "duckdb_queries": {...}, "duckdb_total": N, "ratio": N,
+     "sf1": {... same keys at the 10x fixture ...}}
 
 Execution is forced with the noop sink (full pipeline runs, nothing is
 collected to the driver), matching how a cluster job would behave.
@@ -14,6 +15,13 @@ The DuckDB leg times each query's oracle SQL on the SAME parquet files in
 the SAME process window (min-of-3 warm, identical methodology), so the
 engine ratio in the output is self-contained and load-controlled — no
 cross-session baseline comparison needed.
+
+The sf1 leg re-runs both engines on a deterministic 10x scale-up of sf0.1
+(scripts/make_bench_sf.py, auto-materialized under .bench_data/ on first
+run). Local-mode scheduling overhead is a fixed per-query floor (~0.2-0.5 s)
+that dominates sub-second queries at sf0.1; the 10x leg is where
+data-proportional cost — the thing that survives on a cluster — is visible.
+Disable with SPARK_GRAFT_SF1=0.
 """
 
 from __future__ import annotations
@@ -64,6 +72,64 @@ def _settle(max_wait: int = 120, threshold: float = 4.0) -> None:
         waited += 10
 
 
+def spark_leg(spark, sf_dir: str, reps: int, tag: str) -> dict[str, float]:
+    # min of N runs per query: later runs reuse compiled codegen and
+    # warmed JVM paths, which is the steady-state a long-running cluster
+    # job sees; min-of-N is the standard variance-control for microbench
+    # and absorbs ambient-load spikes on a shared machine.
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = REGISTRY[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        print(f"# {tag} {name}: {timings[name]}s", file=sys.stderr, flush=True)
+    return timings
+
+
+def duckdb_leg(sf_dir: str, reps: int, tag: str) -> dict[str, float]:
+    """Identical oracle SQL, same files, same min-of-N-warm methodology,
+    timed in the same process window as the Spark leg."""
+    from oco3_data_transformer_spark.oracle_check import duck_connection
+
+    duck: dict[str, float] = {}
+    con = duck_connection(sf_dir)
+    con.execute("SELECT 1").fetchall()  # connection warmup
+    for name in HEADLINE:
+        sql = REGISTRY[name].sql
+        if sql is None:
+            continue
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        duck[name] = round(best, 3)
+        print(f"# {tag} duckdb {name}: {duck[name]}s", file=sys.stderr, flush=True)
+    con.close()
+    return duck
+
+
+def leg_summary(timings: dict, duck: dict, sf: str) -> dict:
+    out: dict = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if duck:
+        spark_comparable = round(sum(timings[n] for n in duck), 3)
+        duck_total = round(sum(duck.values()), 3)
+        out["duckdb_queries"] = duck
+        out["duckdb_total"] = duck_total
+        out["ratio"] = round(spark_comparable / duck_total, 2) if duck_total else None
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     _settle()
@@ -73,58 +139,29 @@ def main() -> int:
     # JVM/codegen warmup on a trivial plan (excluded from timings).
     REGISTRY["q24_coverage_attrs"].fn(spark, sf_dir).collect()
 
-    # min of 3 runs per query: later runs reuse compiled codegen and
-    # warmed JVM paths, which is the steady-state a long-running cluster
-    # job sees; min-of-N is the standard variance-control for microbench
-    # and absorbs ambient-load spikes on a shared machine.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = REGISTRY[name].fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
-
-    total = round(sum(timings.values()), 3)
-
-    # DuckDB leg: identical oracle SQL, same files, same min-of-3-warm
-    # methodology, timed in the same process window as the Spark leg.
-    duck: dict[str, float] = {}
+    timings = spark_leg(spark, sf_dir, reps=3, tag="sf0.1")
     try:
-        from oco3_data_transformer_spark.oracle_check import duck_connection
-
-        con = duck_connection(sf_dir)
-        con.execute("SELECT 1").fetchall()  # connection warmup
-        for name in HEADLINE:
-            sql = REGISTRY[name].sql
-            if sql is None:
-                continue
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                con.execute(sql).fetchall()
-                best = min(best, time.perf_counter() - t0)
-            duck[name] = round(best, 3)
-            print(f"# duckdb {name}: {duck[name]}s", file=sys.stderr, flush=True)
+        duck = duckdb_leg(sf_dir, reps=3, tag="sf0.1")
     except Exception as exc:  # bench must still emit the Spark leg
         print(f"# duckdb leg failed: {exc}", file=sys.stderr, flush=True)
+        duck = {}
+    out = leg_summary(timings, duck, sf_dir)
 
-    out = {
-        "metric": "headline_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf_dir,
-    }
-    if duck:
-        spark_comparable = round(sum(timings[n] for n in duck), 3)
-        duck_total = round(sum(duck.values()), 3)
-        out["duckdb_queries"] = duck
-        out["duckdb_total"] = duck_total
-        out["ratio"] = round(spark_comparable / duck_total, 2) if duck_total else None
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+            from make_bench_sf import ensure
+
+            sf1_dir = ensure(
+                sf_dir,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data", "sf1"),
+            )
+            t1 = spark_leg(spark, sf1_dir, reps=2, tag="sf1")
+            d1 = duckdb_leg(sf1_dir, reps=2, tag="sf1")
+            out["sf1"] = leg_summary(t1, d1, sf1_dir)
+        except Exception as exc:
+            print(f"# sf1 leg failed: {exc}", file=sys.stderr, flush=True)
+
     print(json.dumps(out), flush=True)
     return 0
 

@@ -82,9 +82,9 @@ def _minhash_sql() -> str:
                    % {hashing.MINHASH_PRIME}) AS minhash
         FROM shingles CROSS JOIN seeds GROUP BY id, seeds.i),
     banded AS (
-        SELECT id, CAST(seed_idx / {rows_per_band} AS INT) AS band,
+        SELECT id, seed_idx // {rows_per_band} AS band,
                md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed_idx)) AS bucket
-        FROM sigs GROUP BY id, CAST(seed_idx / {rows_per_band} AS INT)),
+        FROM sigs GROUP BY id, seed_idx // {rows_per_band}),
     cands AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
         FROM banded a JOIN banded b
