@@ -15,6 +15,8 @@ from 2-D points to d-dim embeddings.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -27,12 +29,90 @@ def brute_force_knn(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query (excluding self).
-    Returns (query_id, neighbor_id, rank). Queries are broadcast; the corpus
-    is scanned once — per-row work is O(d·|Q|) in codegen, no shuffle until
-    the final per-query top-k window over |Q|·|corpus| candidate rows,
-    pre-pruned by a rank window partitioned on query."""
+    Returns (query_id, neighbor_id, rank, cos).
+
+    ``kernel='arrow'`` (default): the query matrix is a Spark broadcast
+    variable; each corpus partition computes ONE numpy matmul against it
+    inside ``mapInPandas`` and emits only its local top-k per query — the
+    final per-query window ranks |partitions|·|Q|·k tiny rows. Local top-k
+    uses the same (cos desc, id asc) order as the global window, so rows a
+    partition drops can never reach the global top-k. The corpus is never
+    shuffled; per-task work is one (batch × d) · (d × |Q|) BLAS product —
+    ~100× the throughput of per-pair interpreted expression folds.
+
+    ``kernel='sql'``: the pure-relational form (broadcast nested-loop join
+    + higher-order-function dot products) — same results, kept as the
+    no-Arrow fallback and as the differential-testing reference."""
+    if kernel == "sql":
+        return _brute_force_knn_sql(corpus, queries, k, id_col, vec_col)
+    import numpy as np
+    import pandas as pd
+
+    qp = queries.select(id_col, vec_col).toPandas()  # small by contract
+    q_ids = qp[id_col].to_numpy()
+    Q = np.stack(qp[vec_col].to_numpy()).astype(np.float64)
+    q_norm = np.linalg.norm(Q, axis=1)
+    b = corpus.sparkSession.sparkContext.broadcast((q_ids, Q, q_norm))
+    out_schema = (
+        f"query_id {queries.schema[id_col].dataType.simpleString()}, "
+        f"neighbor_id {corpus.schema[id_col].dataType.simpleString()}, "
+        "cos double"
+    )
+
+    def local_topk(batches, _k=k, _id=id_col, _vec=vec_col):
+        q_ids, Q, q_norm = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf[_vec].to_numpy()).astype(np.float64)
+            cid = pdf[_id].to_numpy()
+            c_norm = np.linalg.norm(C, axis=1)
+            S = (C @ Q.T) / np.outer(c_norm, q_norm)
+            for j, qid in enumerate(q_ids):
+                mask = cid != qid
+                ids, cs = cid[mask], S[mask, j]
+                if not ids.size:
+                    continue
+                order = np.lexsort((ids, -cs))[: min(_k, ids.size)]
+                yield pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": ids[order], "cos": cs[order]}
+                )
+
+    local = corpus.select(id_col, vec_col).mapInPandas(local_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def _batch_cosine():
+    """Arrow-batched cosine of two array<float> columns (built per call so
+    each query plan owns its UDF instance)."""
+
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        return pd.Series(
+            (A * B).sum(axis=1)
+            / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
+        )
+
+    return cos
+
+
+def _brute_force_knn_sql(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
     # norms are precomputed per VECTOR (not per pair): the dot/norm folds are
     # higher-order expressions evaluated outside codegen, so computing each
     # row's norm once instead of |Q| (resp. |corpus|) times cuts 2/3 of the
@@ -99,18 +179,58 @@ def ivf_assign(
     vec_col: str = "embedding",
     cent_id: str = "cell",
     cent_vec: str = "centroid",
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Assign each corpus vector to its nearest centroid cell (broadcast
     centroids + per-vector argmax) — the IVF build step. Centroids typically
     come from a sampled k-means (or, as in the oracle tests, label means).
 
-    The argmax is a groupBy ``max(struct(cos, -cell, ...))`` rather than a
-    rank-1 window: the aggregate combines map-side, so the shuffle carries
-    one row per vector instead of nlist rows per vector — the difference
-    between shuffling 1× and nlist× the corpus at 100 TB. Ties break to the
-    lowest cell id (struct field 2), identical to the window form. Falls
-    back to the window when the cell id is a non-numeric type (no negation
-    for the tiebreak)."""
+    ``kernel='arrow'`` (default): the centroid bank (sorted by cell id) is a
+    Spark broadcast variable; each corpus partition computes one numpy
+    matmul + row argmax inside ``mapInPandas`` and emits its rows with the
+    cell attached — a pure per-partition projection, ZERO shuffle (the
+    relational form below shuffles once for its aggregate). ``np.argmax``
+    returns the first maximum, which on the ascending-sorted bank is the
+    lowest cell id — the same tiebreak as the relational form.
+
+    ``kernel='sql'``: the argmax is a groupBy ``max(struct(cos, -cell,
+    ...))`` rather than a rank-1 window: the aggregate combines map-side, so
+    the shuffle carries one row per vector instead of nlist rows per vector
+    — the difference between shuffling 1× and nlist× the corpus at 100 TB.
+    Ties break to the lowest cell id (struct field 2), identical to the
+    window form. Falls back to the window when the cell id is a non-numeric
+    type (no negation for the tiebreak)."""
+    if kernel == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        cp = (
+            centroids.select(cent_id, cent_vec)
+            .toPandas()
+            .sort_values(cent_id, kind="mergesort")  # argmax tiebreak = lowest cell
+        )
+        cells = cp[cent_id].to_numpy()
+        B = np.stack(cp[cent_vec].to_numpy()).astype(np.float64)
+        b_norm = np.linalg.norm(B, axis=1)
+        bank = corpus.sparkSession.sparkContext.broadcast((cells, B, b_norm))
+        out_schema = ", ".join(
+            [f"{f.name} {f.dataType.simpleString()}" for f in corpus.schema.fields]
+            + [f"{cent_id} {centroids.schema[cent_id].dataType.simpleString()}"]
+        )
+
+        def assign(batches, _vec=vec_col, _cell=cent_id):
+            cells, B, b_norm = bank.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf[_vec].to_numpy()).astype(np.float64)
+                v_norm = np.linalg.norm(V, axis=1)
+                S = (V @ B.T) / np.outer(v_norm, b_norm)
+                out = pdf.copy()
+                out[_cell] = cells[np.argmax(S, axis=1)]
+                yield out
+
+        return corpus.mapInPandas(assign, out_schema)
     cents = F.broadcast(
         centroids.select(F.col(cent_id), F.col(cent_vec)).withColumn(
             "__cn", vector.norm(F.col(cent_vec))
@@ -216,15 +336,14 @@ def ivf_knn(
     )
     c = assigned_corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), F.col(cent_id)
-    ).withColumn("c_norm", vector.norm(F.col("c_vec")))
+    )
+    # candidate scoring is Arrow-batched (one numpy matrix op per batch of
+    # joined rows) — the per-pair HOF fold is interpreted and dominates the
+    # probe join's cost once candidates ≫ queries
     scored = (
         probes.join(c, cent_id)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cos",
-            vector.dot(F.col("q_vec"), F.col("c_vec"))
-            / (F.col("q_norm") * F.col("c_norm")),
-        )
+        .withColumn("cos", _batch_cosine()(F.col("q_vec"), F.col("c_vec")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

@@ -91,3 +91,40 @@ def test_kmeans_sampled_build_still_recovers_clusters(spark):
         .groupBy("cell").agg(F.count("*").alias("n")).collect()
     )
     assert sum(sizes) == 180 and len(sizes) == 3
+
+
+def test_knn_arrow_kernel_matches_sql_kernel(spark):
+    # differential test: the Arrow matmul kernel and the relational
+    # HOF-fold kernel must produce identical (query, neighbor, rank) sets
+    # (cos agrees to float tolerance; ranking uses the same tiebreak)
+    emb = load(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    arrow = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.brute_force_knn(emb, queries, k=5, kernel="arrow").collect()
+    }
+    sql = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.brute_force_knn(emb, queries, k=5, kernel="sql").collect()
+    }
+    assert arrow == sql
+
+
+def test_ivf_assign_arrow_matches_sql(spark):
+    emb = load(spark, SF, "embeddings")
+    cents = emb.groupBy(F.col("label").alias("cell")).agg(
+        F.min_by("embedding", "vec_id").alias("centroid")
+    )
+    a = {
+        (r.vec_id, r.cell)
+        for r in sim.ivf_assign(
+            emb.select("vec_id", "embedding"), cents, kernel="arrow"
+        ).collect()
+    }
+    b = {
+        (r.vec_id, r.cell)
+        for r in sim.ivf_assign(
+            emb.select("vec_id", "embedding"), cents, kernel="sql"
+        ).collect()
+    }
+    assert a == b

@@ -97,21 +97,40 @@ def final_plan_of(spark, name: str) -> str:
 
 
 def test_knn_single_topk_window(spark):
-    # brute-force KNN: queries broadcast (no corpus shuffle for the join),
-    # exactly ONE window (the per-query top-k) touches the candidate rows
+    # brute-force KNN: the corpus is scored in one Arrow kernel pass against
+    # the broadcast query matrix (no corpus shuffle, no pair join); exactly
+    # ONE window — the global top-k over the partition-local top-k rows
     plan = final_plan_of(spark, "q34_knn_bruteforce")
+    assert plan.count("Window [") == 1
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # no |Q|x|corpus| rows
+
+
+def test_knn_sql_kernel_broadcasts_queries(spark):
+    # the no-Arrow fallback keeps the relational shape: broadcast queries,
+    # one top-k window over the candidate rows
+    from oco3_data_transformer_spark.operators import similarity as sim_ops
+    from oco3_data_transformer_spark.sources.registry import load
+    from pyspark.sql import functions as F
+    emb = load(spark, SF, "embeddings")
+    df = sim_ops.brute_force_knn(
+        emb, emb.filter(F.col("vec_id") < 3), k=3, kernel="sql"
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==", 1)[0]
     assert plan.count("Window [") == 1
     assert "BroadcastNestedLoopJoin" in plan
 
 
-def test_ivf_assign_is_aggregate_not_window(spark):
-    # the corpus-assignment argmax must be an aggregate (map-side combine,
-    # shuffles 1x corpus), and probe routing must be a projection over the
-    # broadcast centroid bank (slice/array_sort), NOT a rank window — so the
-    # ONLY window in the whole plan is the final per-query top-k
+def test_ivf_assign_zero_shuffle_projection(spark):
+    # corpus assignment is a per-partition Arrow projection (no shuffle at
+    # all), probe routing is a projection over the broadcast centroid bank
+    # (slice/array_sort) — so the ONLY window in the whole plan is the final
+    # per-query top-k, and the only exchange feeds it
     plan = final_plan_of(spark, "q40_ivf_knn")
     assert plan.count("Window [") == 1
-    assert "SortAggregate" in plan or "HashAggregate" in plan
+    assert "MapInPandas" in plan
 
 
 def test_simhash_two_shuffles_no_global_pair_dedup(spark):
