@@ -66,7 +66,7 @@ def hashed_shingle_table(
     text_col: str,
     n: int = 3,
     with_h28: bool = False,
-    partition_by_id: bool = False,
+    partition_by_id: bool = True,
 ) -> DataFrame:
     """(id, h[, h28]) distinct shingles with the *string replaced by a 64-bit
     hash before the distinct shuffle* — the join/distinct key is 8 bytes
@@ -80,12 +80,26 @@ def hashed_shingle_table(
     defines over the shingle *string* — so it must be computed before the
     string is dropped).
 
-    ``partition_by_id``: exchange on ``id`` (unique — skew-free) BEFORE the
-    distinct, so the dedup aggregation AND any downstream groupBy(id)
-    (sizes) run on the same single exchange; the trade is losing map-side
-    partial dedup. Wins when a per-id aggregate follows (q31's sizes);
-    loses when the heavy consumer re-keys anyway (minhash signatures +
-    verify joins)."""
+    The DOCUMENT table is exchanged on ``id`` (unique — skew-free) BEFORE
+    tokenization: the shuffle moves doc-count rows (not shingle-count), the
+    CPU-heavy tokenize/ngram/hash projection is spread across all cores
+    regardless of input split count (a packed parquet file can carry tens
+    of thousands of documents per 128 MB split — bytes-based splitting
+    underestimates text-processing cost), and hash-partitioning on ``id``
+    satisfies the clustering requirement of BOTH the per-doc distinct
+    (keys ``id, h`` ⊇ ``id``) and every downstream groupBy(id) (sizes,
+    MinHash signatures) — so the whole per-doc pipeline runs on that one
+    small exchange with no shingle-level shuffle at all.
+
+    ``partition_by_id=False`` skips the exchange (callers that already
+    partitioned, e.g. tests exercising raw explode plans)."""
+    if partition_by_id:
+        # explicit numPartitions: AQE would coalesce this tiny-BYTES
+        # exchange to a few partitions, serializing the CPU-heavy
+        # tokenize/hash projection that follows it
+        df = df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
     base = df.select(
         F.col(id_col).alias("id"),
         F.explode(text.word_ngrams(F.col(text_col), n)).alias("shingle"),
@@ -93,10 +107,7 @@ def hashed_shingle_table(
     cols = [F.xxhash64("shingle").alias("h")]
     if with_h28:
         cols.append(hashing.portable_hash28(F.col("shingle")).alias("h28"))
-    out = base.select("id", *cols)
-    if partition_by_id:
-        out = out.repartition(F.col("id"))
-    return out.dropDuplicates(["id", "h"])
+    return base.select("id", *cols).dropDuplicates(["id", "h"])
 
 
 def _join_cooccurrence_pairs(sh: DataFrame, key: str = "shingle") -> DataFrame:
@@ -337,6 +348,13 @@ def simhash_fingerprints(
     higher-order ``aggregate`` over the token array was measured ~40% slower
     at sf0.1: Spark evaluates HOF lambdas per element outside codegen.)
     """
+    # pre-exchange the DOCS on id (doc-count rows, skew-free): spreads the
+    # CPU-heavy tokenize/md5 across all cores independent of input split
+    # count, and makes the vote groupBy(id) exchange-free (same reasoning
+    # as hashed_shingle_table)
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(text.tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", hashing.portable_hash64(F.col("tok")))
