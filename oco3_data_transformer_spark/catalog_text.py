@@ -659,3 +659,74 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
         F.round("cos", 6).alias("cos"),
     )
+
+
+@register(
+    "q61_repetition_profile",
+    f"""
+    WITH toks AS (
+        SELECT doc_id AS id, u.tok
+        FROM documents, unnest({text.tokens_sql('text')}) u(tok)),
+    tokc AS (SELECT id, tok, count(*) AS c FROM toks GROUP BY id, tok),
+    tprof AS (
+        SELECT id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS DOUBLE) / sum(c) AS uniq_token_frac
+        FROM tokc GROUP BY id),
+    bg AS (
+        SELECT doc_id AS id, u.g
+        FROM documents, unnest({text.word_ngrams_sql('text', 2)}) u(g)),
+    bgc AS (SELECT id, g, count(*) AS c FROM bg GROUP BY id, g),
+    bprof AS (
+        SELECT id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac,
+               CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c)
+                   AS rep_bigram_frac
+        FROM bgc GROUP BY id)
+    SELECT t.id AS doc_id, n_tokens, uniq_token_frac,
+           coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+           coalesce(rep_bigram_frac, 0.0) AS rep_bigram_frac
+    FROM tprof t LEFT JOIN bprof b ON t.id = b.id
+    """,
+    doc="Gopher-style repetition/quality profile per document: distinct-"
+    "token ratio, most-frequent-bigram mass, and duplicated-bigram mass — "
+    "the standard corpus-filtering signals for boilerplate and degenerate "
+    "repetition (Rae et al. 2021, table A1). All fractions are exact "
+    "integer-ratio doubles (no rounding needed for oracle equality). "
+    "Same scale shape as the shingle pipelines: the doc table is "
+    "pre-exchanged on id once, every groupBy and the final profile join "
+    "then run exchange-free on doc-count rows.",
+)
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(text.tokens(F.col("text"))).alias("tok"),
+    )
+    tokc = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tprof = tokc.groupBy("id").agg(
+        F.sum("c").alias("n_tokens"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c")).alias("uniq_token_frac"),
+    )
+    bg = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(text.word_ngrams(F.col("text"), 2)).alias("g"),
+    )
+    bgc = bg.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+    bprof = bgc.groupBy("id").agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac"),
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("double")
+            / F.sum("c")
+        ).alias("rep_bigram_frac"),
+    )
+    return (
+        tprof.join(bprof, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            "uniq_token_frac",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("rep_bigram_frac", F.lit(0.0)).alias("rep_bigram_frac"),
+        )
+    )
