@@ -52,6 +52,8 @@ def brute_force_knn(
     import pandas as pd
 
     qp = queries.select(id_col, vec_col).toPandas()  # small by contract
+    if qp.empty:
+        return _brute_force_knn_sql(corpus, queries, k, id_col, vec_col)
     q_ids = qp[id_col].to_numpy()
     Q = np.stack(qp[vec_col].to_numpy()).astype(np.float64)
     q_norm = np.linalg.norm(Q, axis=1)
@@ -209,6 +211,8 @@ def ivf_assign(
             .toPandas()
             .sort_values(cent_id, kind="mergesort")  # argmax tiebreak = lowest cell
         )
+        if cp.empty:
+            raise ValueError("ivf_assign: empty centroid table")
         cells = cp[cent_id].to_numpy()
         B = np.stack(cp[cent_vec].to_numpy()).astype(np.float64)
         b_norm = np.linalg.norm(B, axis=1)

@@ -128,3 +128,10 @@ def test_ivf_assign_arrow_matches_sql(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_knn_empty_query_set(spark):
+    emb = load(spark, SF, "embeddings")
+    out = sim.brute_force_knn(emb, emb.filter(F.col("vec_id") < 0), k=5)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "rank", "cos"]
