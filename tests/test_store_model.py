@@ -102,3 +102,19 @@ def test_compact_is_checksum_invariant_after_random_history(spark, tmp_path):
     assert store.verify(spark, path)["duplicate_keys"] == 0
     # second compact is a no-op (nothing fragmented anymore)
     assert store.compact(spark, path) == 0
+
+
+def test_reapplying_any_write_is_idempotent(spark, tmp_path):
+    """Replaying the SAME batch through any write path must leave the store
+    unchanged — the at-least-once delivery contract every ingest retry
+    relies on (ref util/writer retry semantics)."""
+    rng = random.Random(7)
+    path = str(tmp_path / "store")
+    for step, op in enumerate([store.append, store.merge, store.upsert,
+                               store.append, store.upsert, store.merge]):
+        rows, df = _batch(spark, rng, step)
+        op(spark, df, path)
+        before = store.checksum(spark, path)
+        op(spark, df, path)  # replay the identical batch
+        assert store.checksum(spark, path) == before, f"step {step}: {op.__name__} not idempotent"
+        assert store.verify(spark, path)["duplicate_keys"] == 0
