@@ -68,7 +68,9 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jacc", 4).alias("jacc"))
 
 
-def _minhash_sql() -> str:
+def _minhash_cands_sql() -> str:
+    """WITH-clause prefix shared by the MinHash queries: shingles → seeds →
+    signatures → LSH bands → distinct candidate pairs."""
     seeds_values = ", ".join(
         f"({i}, {a}, {b})" for i, (a, b) in enumerate(hashing.MINHASH_SEEDS)
     )
@@ -88,7 +90,11 @@ def _minhash_sql() -> str:
     cands AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
         FROM banded a JOIN banded b
-          ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+          ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)"""
+
+
+def _minhash_sql() -> str:
+    return f"""{_minhash_cands_sql()},
     inter AS (
         SELECT c.id_a, c.id_b, count(*) AS n_common
         FROM cands c
@@ -730,3 +736,29 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("rep_bigram_frac", F.lit(0.0)).alias("rep_bigram_frac"),
         )
     )
+
+
+@register(
+    "q62_minhash_estimate",
+    f"""{_minhash_cands_sql()},
+    est AS (
+        SELECT c.id_a, c.id_b,
+               CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+                    AS DOUBLE) / {len(hashing.MINHASH_SEEDS)} AS jacc_est
+        FROM cands c
+        JOIN sigs sa ON sa.id = c.id_a
+        JOIN sigs sb ON sb.id = c.id_b AND sb.seed_idx = sa.seed_idx
+        GROUP BY c.id_a, c.id_b)
+    SELECT id_a, id_b, jacc_est FROM est WHERE jacc_est >= {JACCARD_T}
+    """,
+    doc="MinHash ESTIMATE near-dup: LSH candidates scored by signature "
+    "agreement alone (unbiased Jaccard estimator) — the screening pass "
+    "whose candidate join ships k*8 bytes per doc regardless of document "
+    "length. q32 is the verified variant.",
+)
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = dedup_ops.minhash_estimate_pairs(
+        load(spark, sf, "documents"), "doc_id", "text", NGRAM_N,
+        bands=4, threshold=JACCARD_T,
+    )
+    return pairs.select("id_a", "id_b", "jacc_est")

@@ -635,3 +635,46 @@ def simhash_pairs(
         pairs.filter((F.col("hamming") <= max_hamming) & first_band)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def minhash_estimate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash ESTIMATE near-dup: LSH candidates scored by signature
+    agreement alone — ``jacc_est = |{i : m_i(a) = m_i(b)}| / k`` — with no
+    exact verify. Returns (id_a, id_b, jacc_est >= threshold).
+
+    The cheap screening pass for a 100 TB corpus: the shingle arrays the
+    exact verify needs (8 bytes per distinct shingle per doc) never leave
+    the signature aggregation, so the candidate join ships only k minima
+    per doc (k·8 bytes, independent of document length). E[estimate] is the
+    true Jaccard (each permutation minimum agrees with probability J), so
+    the threshold keeps expected behavior while trading exactness for a
+    document-length-independent shuffle. Use :func:`minhash_dedup` when
+    downstream needs the verified value."""
+    k = len(hashing.MINHASH_SEEDS)
+    sh = hashed_shingle_table(df, id_col, text_col, n, with_h28=True)
+    sig = sh.groupBy("id").agg(
+        *[
+            F.min(hashing.minhash_value(F.col("h28"), i)).alias(f"m{i}")
+            for i in range(k)
+        ]
+    )
+    cands = minhash_lsh_candidates(sig, bands)
+    a = sig.select(F.col("id").alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(k)])
+    b = sig.select(F.col("id").alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(k)])
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(k)
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jacc_est", agree / F.lit(k))
+        .filter(F.col("jacc_est") >= threshold)
+        .select("id_a", "id_b", "jacc_est")
+    )
