@@ -1197,3 +1197,4 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
 # multimodal) register themselves into the same REGISTRY on import.
 from . import catalog_text  # noqa: E402,F401  (import-time registration)
 from . import catalog_kernels  # noqa: E402,F401  (import-time registration)
+from . import catalog_corpus  # noqa: E402,F401  (import-time registration)

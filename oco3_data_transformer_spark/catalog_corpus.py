@@ -1,0 +1,403 @@
+"""Catalog part 3: corpus-preparation and time-series operators — the
+training-data-pipeline surface downstream of dedup/quality (splits,
+sampling, packing, TF-IDF/PMI statistics, embedding quantization,
+cluster-representative selection) plus dense-spine gap-filling.
+
+Same conventions as catalog.py: every computed column aliased identically
+on both sides, fractions either exact integer-ratio doubles or rounded on
+both sides, counts BIGINT, window ties broken by a unique key. All
+operators are deterministic (hash-ranked sampling, not ``rand()``) so the
+DuckDB oracle checks them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import register
+from .catalog_text import _SHINGLES_SQL, JACCARD_T, NGRAM_N
+from .functions import text
+from .operators import corpus as corpus_ops
+from .operators import dedup as dedup_ops
+from .operators import timeseries as ts_ops
+from .sources.registry import load
+
+PACK_CAPACITY = 120
+PACK_SHARDS = 8
+GAPFILL_INTERVAL_S = 6 * 3600
+
+
+@register(
+    "q63_hash_split",
+    f"""
+    WITH b AS (
+        SELECT {corpus_ops.split_hash_sql('doc_id')} AS h,
+               {text.token_count_sql('text')} AS n_tok
+        FROM documents)
+    SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM b GROUP BY 1
+    """,
+    doc="Deterministic train/val/test split by portable id-hash bucket "
+    "(80/10/10), with per-split document and token totals. The split "
+    "column is a zero-shuffle projection — membership is decided row-local "
+    "from the md5 hash, so a 100 TB corpus splits without any exchange and "
+    "identically on every engine and rerun.",
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    docs = corpus_ops.hash_split(load(spark, sf, "documents"), "doc_id")
+    return docs.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count(F.col("text"))).alias("n_tokens"),
+    )
+
+
+@register(
+    "q64_stratified_sample",
+    f"""
+    SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank
+    FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {corpus_ops.split_hash_sql('doc_id')}, doc_id)
+                   AS sample_rank
+        FROM documents)
+    WHERE sample_rank <= 25
+    """,
+    doc="Stratified deterministic sample: 25 documents per language, "
+    "selected by smallest id-hash (equivalent to uniform sampling without "
+    "replacement, but reproducible and oracle-checkable). One shuffle on "
+    "the stratum key + one window pass.",
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    out = corpus_ops.stratified_sample(load(spark, sf, "documents"), "lang", "doc_id", k=25)
+    return out.select("doc_id", "lang", F.col("sample_rank").cast("int").alias("sample_rank"))
+
+
+@register(
+    "q65_gapfill_locf",
+    f"""
+    WITH b AS (
+        SELECT user_id, time_bucket(INTERVAL 6 HOURS, ts) AS bucket_ts, value AS v
+        FROM events),
+    agg AS (
+        SELECT user_id, bucket_ts, count(*) AS n, max(v) AS mx
+        FROM b GROUP BY user_id, bucket_ts),
+    spine AS (
+        SELECT unnest(generate_series(min(bucket_ts), max(bucket_ts),
+                                      INTERVAL 6 HOURS)) AS bucket_ts
+        FROM b),
+    grid AS (
+        SELECT u.user_id, s.bucket_ts
+        FROM (SELECT DISTINCT user_id FROM b) u CROSS JOIN spine s)
+    SELECT g.user_id, g.bucket_ts,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_events,
+           last_value(a.mx IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_max,
+           CAST(a.n IS NULL AS INT) AS is_gap
+    FROM grid g LEFT JOIN agg a
+      ON a.user_id = g.user_id AND a.bucket_ts = g.bucket_ts
+    """,
+    doc="Time-series gap-fill: 6-hour buckets per user, densified against "
+    "the global bucket spine, last observed bucket-max carried forward "
+    "into gaps (LOCF). The carried aggregate is a max (order-insensitive, "
+    "exact across engines); generalizes the reference's empty-day "
+    "densification (G9) to arbitrary series/intervals.",
+)
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    return ts_ops.gapfill_locf(
+        load(spark, sf, "events"), "user_id", "ts", "value", GAPFILL_INTERVAL_S
+    )
+
+
+_TOKS_SQL = f"""
+    toks AS (
+        SELECT doc_id AS id, u.tok
+        FROM documents, unnest({text.tokens_sql('text')}) u(tok))
+"""
+
+
+@register(
+    "q66_tfidf_topk",
+    f"""
+    WITH {_TOKS_SQL},
+    tokc AS (SELECT id, tok, count(*) AS tf FROM toks GROUP BY id, tok),
+    dfc AS (SELECT tok, count(*) AS dfreq FROM tokc GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT id, tok, tf,
+               tf * ln(CAST(n_docs AS DOUBLE) / dfreq) AS score
+        FROM tokc JOIN dfc USING (tok) CROSS JOIN n)
+    SELECT id AS doc_id, tok AS term, CAST(rk AS INT) AS rank,
+           round(score, 6) AS tfidf
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY id ORDER BY score DESC, tok) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+    doc="TF-IDF top-3 terms per document (natural-log idf, ties by term). "
+    "Scale shape: term counts groupBy(id, tok) after the id pre-exchange is "
+    "exchange-free; the document-frequency table is vocabulary-sized and "
+    "broadcasts back; one window pass per document partition.",
+)
+def q66(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    toks = docs.select(
+        F.col("doc_id").alias("id"), F.explode(text.tokens(F.col("text"))).alias("tok")
+    )
+    tokc = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tokc.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tokc.join(F.broadcast(dfc), "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("dfreq")),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("tok").alias("term"),
+            F.col("rk").cast("int").alias("rank"),
+            F.round("score", 6).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "q67_pmi_bigrams",
+    f"""
+    WITH {_TOKS_SQL},
+    uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni),
+    bg AS (
+        SELECT u.g
+        FROM documents, unnest({text.word_ngrams_sql('text', 2)}) u(g)),
+    btot AS (SELECT CAST(count(*) AS DOUBLE) AS bt FROM bg),
+    bgc AS (SELECT g, count(*) AS c_ab FROM bg GROUP BY g HAVING count(*) >= 5),
+    scored AS (
+        SELECT g AS bigram, c_ab,
+               ln(CAST(c_ab AS DOUBLE) * t * t / (bt * ua.c * ub.c)) AS pmi
+        FROM bgc CROSS JOIN tot CROSS JOIN btot
+        JOIN uni ua ON ua.tok = split_part(g, ' ', 1)
+        JOIN uni ub ON ub.tok = split_part(g, ' ', 2))
+    SELECT bigram, CAST(c_ab AS BIGINT) AS n_pair, round(pmi, 6) AS pmi
+    FROM scored ORDER BY pmi DESC, bigram LIMIT 20
+    """,
+    doc="Corpus collocations: top-20 bigrams by pointwise mutual "
+    "information (min pair count 5). Unigram/bigram counts are two "
+    "map-side-combined aggregations; the scalar totals broadcast; output "
+    "is a global top-k (tiny). PMI is computed with an identical "
+    "double-expression shape on both engines so even the ln() inputs are "
+    "bit-equal.",
+)
+def q67(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").cast("double").alias("t"))
+    bg = docs.select(F.explode(text.word_ngrams(F.col("text"), 2)).alias("g"))
+    btot = bg.agg(F.count(F.lit(1)).cast("double").alias("bt"))
+    bgc = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c_ab")).filter(F.col("c_ab") >= 5)
+    ua = uni.select(F.col("tok").alias("__w1"), F.col("c").alias("__ca"))
+    ub = uni.select(F.col("tok").alias("__w2"), F.col("c").alias("__cb"))
+    scored = (
+        bgc.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .withColumn("__w1", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
+        .withColumn("__w2", F.split_part(F.col("g"), F.lit(" "), F.lit(2)))
+        .join(F.broadcast(ua), "__w1")
+        .join(F.broadcast(ub), "__w2")
+        .withColumn(
+            "pmi",
+            F.log(
+                F.col("c_ab").cast("double") * F.col("t") * F.col("t")
+                / (F.col("bt") * F.col("__ca") * F.col("__cb"))
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), F.col("g").asc())
+        .limit(20)
+        .select(
+            F.col("g").alias("bigram"),
+            F.col("c_ab").alias("n_pair"),
+            F.round("pmi", 6).alias("pmi"),
+        )
+    )
+
+
+@register(
+    "q68_embedding_quantize",
+    """
+    WITH ex AS (
+        SELECT unnest(range(0, len(embedding))) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+    am AS (SELECT dim, max(abs(v)) AS amax FROM ex GROUP BY dim),
+    codes AS (
+        SELECT ex.dim, amax,
+               CASE WHEN amax = 0 THEN 0
+                    ELSE CAST(round(v / amax * 127, 0) AS BIGINT) END AS code
+        FROM ex JOIN am USING (dim))
+    SELECT CAST(dim AS INT) AS dim,
+           round(max(amax), 6) AS amax_r,
+           CAST(sum(code) AS BIGINT) AS sum_code,
+           CAST(sum(abs(code)) AS BIGINT) AS sum_abs_code,
+           CAST(count(CASE WHEN abs(code) = 127 THEN 1 END) AS BIGINT) AS n_sat
+    FROM codes GROUP BY dim
+    """,
+    doc="Per-dimension symmetric int8 quantization of the embedding "
+    "column: absmax scale per dimension, code = round(v/amax*127). Output "
+    "is per-dim integer aggregates (exact, order-insensitive — no float "
+    "summation) plus the rounded scale. Scale shape: the per-dim scale "
+    "table is dims-sized and broadcasts back onto the exploded values; "
+    "both aggregations are map-side combined.",
+)
+def q68(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("dim", "__f")).select(
+        "dim", F.col("__f").cast("double").alias("v")
+    )
+    am = ex.groupBy("dim").agg(F.max(F.abs("v")).alias("amax"))
+    codes = ex.join(F.broadcast(am), "dim").select(
+        "dim",
+        "amax",
+        F.when(F.col("amax") == 0, F.lit(0).cast("long"))
+        .otherwise(F.round(F.col("v") / F.col("amax") * 127, 0).cast("long"))
+        .alias("code"),
+    )
+    return codes.groupBy(F.col("dim").cast("int").alias("dim")).agg(
+        F.round(F.max("amax"), 6).alias("amax_r"),
+        F.sum("code").alias("sum_code"),
+        F.sum(F.abs("code")).alias("sum_abs_code"),
+        F.count(F.when(F.abs(F.col("code")) == 127, 1)).alias("n_sat"),
+    )
+
+
+_CC_SQL = f"""
+    {_SHINGLES_SQL},
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter JOIN sizes x ON id_a = x.id JOIN sizes y ON id_b = y.id
+        WHERE CAST(n_common AS DOUBLE) / (x.n_sh + y.n_sh - n_common) >= {JACCARD_T}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+    cc AS (
+        WITH RECURSIVE walk(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, w.label FROM walk w JOIN edges e ON w.node = e.dst)
+        SELECT node AS id, min(label) AS canonical_id FROM walk GROUP BY node)
+"""
+
+
+@register(
+    "q69_cluster_representative",
+    f"""
+    WITH {_CC_SQL},
+    ranked AS (
+        SELECT cc.canonical_id, d.doc_id,
+               {text.token_count_sql('d.text')} AS n_words,
+               row_number() OVER (
+                   PARTITION BY cc.canonical_id
+                   ORDER BY {text.token_count_sql('d.text')} DESC, d.doc_id)
+                   AS rk,
+               count(*) OVER (PARTITION BY cc.canonical_id) AS gs
+        FROM cc JOIN documents d ON d.doc_id = cc.id)
+    SELECT canonical_id, doc_id AS rep_doc_id,
+           CAST(gs AS BIGINT) AS group_size,
+           CAST(n_words AS BIGINT) AS rep_n_words
+    FROM ranked WHERE rk = 1
+    """,
+    doc="Near-dup cluster representative selection: connected components "
+    "over n-gram-Jaccard pairs, then keep each group's BEST document "
+    "(longest by token count, ties to smallest id) rather than q51's "
+    "min-id canonical — the quality-aware dedup survivor policy a "
+    "training pipeline actually wants. One window pass over the "
+    "(component, doc) table.",
+)
+def q69(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, "doc_id", "text", NGRAM_N, JACCARD_T)
+    comp = dedup_ops.canonicalize_pairs(
+        docs.select(F.col("doc_id").alias("id")), pairs.select("id_a", "id_b")
+    )
+    scored = comp.join(
+        docs.select("doc_id", text.token_count(F.col("text")).alias("n_words")),
+        comp.id == F.col("doc_id"),
+    )
+    w = Window.partitionBy("canonical_id")
+    ranked = scored.select(
+        "canonical_id",
+        "doc_id",
+        "n_words",
+        F.row_number()
+        .over(w.orderBy(F.col("n_words").desc(), F.col("doc_id").asc()))
+        .alias("rk"),
+        F.count(F.lit(1)).over(w).alias("gs"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "canonical_id",
+        F.col("doc_id").alias("rep_doc_id"),
+        F.col("gs").alias("group_size"),
+        F.col("n_words").cast("long").alias("rep_n_words"),
+    )
+
+
+@register(
+    "q70_pack_sequences",
+    f"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id,
+               CAST({corpus_ops.shard_hash_sql('doc_id', PACK_SHARDS)} AS INT)
+                   AS shard,
+               CAST({text.token_count_sql('text')} AS BIGINT) AS n_tok,
+               row_number() OVER (
+                   PARTITION BY {corpus_ops.shard_hash_sql('doc_id', PACK_SHARDS)}
+                   ORDER BY doc_id) AS rn
+        FROM documents),
+    pack AS (
+        SELECT shard, rn, doc_id, n_tok, n_tok AS fill, CAST(0 AS BIGINT) AS bin
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT d.shard, d.rn, d.doc_id, d.n_tok,
+               CASE WHEN p.fill + d.n_tok > {PACK_CAPACITY}
+                    THEN d.n_tok ELSE p.fill + d.n_tok END,
+               CASE WHEN p.fill + d.n_tok > {PACK_CAPACITY}
+                    THEN p.bin + 1 ELSE p.bin END
+        FROM pack p JOIN base d ON d.shard = p.shard AND d.rn = p.rn + 1)
+    SELECT doc_id, n_tok, shard, bin, fill AS fill_after FROM pack
+    """,
+    doc="Sharded next-fit sequence packing: documents are sharded by id "
+    "hash, each shard packs independently (ordered by id) into "
+    f"{PACK_CAPACITY}-token bins. The per-shard recurrence is sequential "
+    "by nature, so it runs as an Arrow-batched applyInPandas kernel per "
+    "shard — shard count tracks cluster width, which is how packing "
+    "parallelizes at corpus scale. Oracle is a recursive CTE running the "
+    "identical recurrence.",
+)
+def q70(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select(
+        "doc_id", text.token_count(F.col("text")).alias("n_tok")
+    )
+    return corpus_ops.pack_next_fit(
+        docs, "doc_id", "n_tok", capacity=PACK_CAPACITY, n_shards=PACK_SHARDS
+    )

@@ -1,0 +1,132 @@
+"""Corpus-preparation operators for training-data pipelines: deterministic
+dataset splits, stratified sampling, and sequence packing.
+
+These are the operations a pretraining pipeline runs downstream of dedup
+(operators/dedup.py) and quality scoring (functions/text.py) to turn a
+cleaned corpus into training shards. All are deterministic (hash- or
+window-based, never ``rand()``) so runs are reproducible and the DuckDB
+oracle can check them bit-for-bit.
+
+Scale design:
+  - :func:`hash_split` is a pure projection — no shuffle at all; the split
+    of a 100 TB corpus is decided row-local from the portable md5 hash.
+  - :func:`stratified_sample` is one shuffle on the stratum key; per-stratum
+    top-k by hash is a single window pass (rank over hash = deterministic
+    uniform sample without replacement).
+  - :func:`pack_next_fit` shards the corpus by id hash and packs each shard
+    independently. Global next-fit packing is inherently sequential (bin
+    state threads through every document), so the scalable form is per-shard
+    packing — shard count tracks cluster width, each shard's loop runs in
+    one Arrow-batched task, and bin ids are (shard, local_bin) pairs. This
+    is the standard practice for sequence packing at corpus scale; packing
+    quality is unaffected because capacity waste is per-bin, not per-shard.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing
+
+
+def split_hash(id_col: Column) -> Column:
+    """Deterministic [0, 100) bucket from the portable md5 hash of the id.
+
+    Engine-portable (functions/hashing.py): DuckDB computes the identical
+    bucket from the same SQL, so split membership is oracle-checkable and
+    stable across runs, partitionings, and engines.
+    """
+    return hashing.portable_hash64(id_col.cast("string")) % 100
+
+
+def split_hash_sql(id_expr: str) -> str:
+    return f"({hashing.portable_hash64_sql(f'CAST({id_expr} AS VARCHAR)')} % 100)"
+
+
+def shard_hash_sql(id_expr: str, n_shards: int) -> str:
+    """DuckDB SQL for the shard assignment used by :func:`pack_next_fit`
+    (raw portable hash mod ``n_shards`` — NOT the [0,100) split bucket)."""
+    return f"({hashing.portable_hash64_sql(f'CAST({id_expr} AS VARCHAR)')} % {n_shards})"
+
+
+def hash_split(df: DataFrame, id_col: str, train_pct: int = 80, val_pct: int = 10) -> DataFrame:
+    """Assign every row to train/val/test by deterministic id-hash bucket.
+
+    Zero-shuffle: the split column is a projection. The reference has no
+    analog (it is a geoscience pipeline); this is part of the
+    training-data-pipeline surface the engine adds on top.
+    """
+    h = split_hash(F.col(id_col))
+    split = (
+        F.when(h < train_pct, F.lit("train"))
+        .when(h < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def stratified_sample(df: DataFrame, stratum_col: str, id_col: str, k: int) -> DataFrame:
+    """Deterministic uniform sample of ``k`` rows per stratum.
+
+    Ranking by a uniform hash of the id is equivalent to a uniform random
+    sample without replacement, but reproducible and engine-portable —
+    unlike ``rand()``-based sampling which can never be oracle-checked.
+    One shuffle (on the stratum key) + one window pass.
+    """
+    h = split_hash(F.col(id_col))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def pack_next_fit(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    capacity: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Next-fit sequence packing of documents into fixed-capacity bins.
+
+    Documents are sharded by id hash; within a shard (ordered by id) the
+    next-fit rule runs: if the current bin cannot take the document, open a
+    new bin. A document larger than ``capacity`` gets a bin of its own (and
+    the next document always starts a fresh bin). The per-shard loop is a
+    genuine sequential recurrence — not expressible as a prefix sum — so it
+    runs as an Arrow-batched ``applyInPandas`` kernel per shard; everything
+    around it (sharding, ordering) is relational.
+
+    Returns ``(id, size, shard, bin, fill_after)`` with ``bin`` local to the
+    shard and ``fill_after`` the bin's running fill after placing the row.
+    """
+    shard = (hashing.portable_hash64(F.col(id_col).cast("string")) % n_shards).cast("int")
+    base = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(size_col).cast("long").alias(size_col),
+    ).withColumn("shard", shard)
+
+    schema = f"{id_col} long, {size_col} long, shard int, bin long, fill_after long"
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins: list[int] = []
+        fills: list[int] = []
+        fill, b = 0, -1
+        for s in pdf[size_col]:
+            s = int(s)
+            if b < 0 or fill + s > capacity:
+                b += 1
+                fill = s
+            else:
+                fill += s
+            bins.append(b)
+            fills.append(fill)
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        pdf["fill_after"] = pd.Series(fills, dtype="int64")
+        return pdf[[id_col, size_col, "shard", "bin", "fill_after"]]
+
+    return base.groupBy("shard").applyInPandas(_pack, schema=schema)

@@ -1,0 +1,121 @@
+"""Unit tests for the corpus-preparation operators (operators/corpus.py,
+operators/timeseries.py) — semantics and determinism, independent of the
+DuckDB parity check in test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from oco3_data_transformer_spark.operators import corpus as corpus_ops
+from oco3_data_transformer_spark.operators import timeseries as ts_ops
+
+
+def _docs(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("lang"),
+        (F.col("id") % 37 + 1).alias("n_tok"),
+    )
+
+
+def test_hash_split_partition_invariant_and_exhaustive(spark):
+    df = _docs(spark)
+    a = {r["doc_id"]: r["split"] for r in corpus_ops.hash_split(df, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in corpus_ops.hash_split(df.repartition(7), "doc_id").collect()
+    }
+    assert a == b
+    assert set(a.values()) <= {"train", "val", "test"}
+    assert len(a) == 200
+    # hash buckets should land near 80/10/10 (loose: the hash is uniform)
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 130 <= n_train <= 190
+
+
+def test_stratified_sample_exact_k_per_stratum(spark):
+    df = _docs(spark)
+    out = corpus_ops.stratified_sample(df, "lang", "doc_id", k=10).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["lang"], []).append(r["sample_rank"])
+    assert set(per) == {"0", "1", "2", "3"}
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, 11))
+    # small stratum: k larger than the stratum returns the whole stratum
+    tiny = df.filter(F.col("doc_id") < 6)
+    assert corpus_ops.stratified_sample(tiny, "lang", "doc_id", k=10).count() == 6
+
+
+def test_pack_next_fit_invariants(spark):
+    df = _docs(spark)
+    cap = 60
+    rows = corpus_ops.pack_next_fit(df, "doc_id", "n_tok", capacity=cap, n_shards=4).collect()
+    assert len(rows) == 200
+    by_bin: dict[tuple, list] = {}
+    for r in rows:
+        by_bin.setdefault((r["shard"], r["bin"]), []).append(r)
+    for (shard, b), members in by_bin.items():
+        total = sum(r["n_tok"] for r in members)
+        # a bin only exceeds capacity if it is a single oversized document
+        assert total <= cap or len(members) == 1
+        # fill_after of the id-latest member equals the bin total
+        last = max(members, key=lambda r: r["doc_id"])
+        assert last["fill_after"] == total
+    # bins are contiguous 0..max per shard
+    for shard in {r["shard"] for r in rows}:
+        bins = sorted({r["bin"] for r in rows if r["shard"] == shard})
+        assert bins == list(range(len(bins)))
+    # next-fit is deterministic in the id order, not the physical partitioning
+    again = corpus_ops.pack_next_fit(
+        df.repartition(13), "doc_id", "n_tok", capacity=cap, n_shards=4
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pack_next_fit_oversized_doc_gets_own_bin(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 999), (3, 10)], "doc_id long, n_tok long"
+    )
+    rows = {r["doc_id"]: r for r in corpus_ops.pack_next_fit(
+        df, "doc_id", "n_tok", capacity=50, n_shards=1
+    ).collect()}
+    assert rows[2]["bin"] not in (rows[1]["bin"],)
+    # the doc after an oversized one starts a fresh bin (fill already > cap)
+    assert rows[3]["bin"] == rows[2]["bin"] + 1
+
+
+def test_gapfill_locf_semantics(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(h):
+        return t0 + dt.timedelta(hours=h)
+
+    ev = spark.createDataFrame(
+        [
+            ("a", at(0), 1.0),
+            ("a", at(1), 5.0),   # same 6h bucket as hour 0
+            ("a", at(13), 2.0),  # bucket 2; bucket 1 is a gap for a
+            ("b", at(7), 9.0),   # bucket 1 only
+        ],
+        "user string, ts timestamp, value double",
+    )
+    out = {
+        (r["user"], r["bucket_ts"]): r
+        for r in ts_ops.gapfill_locf(ev, "user", "ts", "value", 6 * 3600).collect()
+    }
+    # spine spans bucket 0..2 for both series -> 6 rows
+    assert len(out) == 6
+    a0 = out[("a", at(0))]
+    assert a0["n_events"] == 2 and a0["filled_max"] == 5.0 and a0["is_gap"] == 0
+    a1 = out[("a", at(6))]
+    assert a1["n_events"] == 0 and a1["filled_max"] == 5.0 and a1["is_gap"] == 1
+    a2 = out[("a", at(12))]
+    assert a2["n_events"] == 1 and a2["filled_max"] == 2.0 and a2["is_gap"] == 0
+    # b has no events in bucket 0: LOCF has nothing to carry -> null
+    b0 = out[("b", at(0))]
+    assert b0["n_events"] == 0 and b0["filled_max"] is None and b0["is_gap"] == 1
+    b2 = out[("b", at(12))]
+    assert b2["filled_max"] == 9.0 and b2["is_gap"] == 1
