@@ -146,3 +146,48 @@ def test_simhash_two_shuffles_no_global_pair_dedup(spark):
 def test_semi_join_region_drop_broadcast(spark):
     plan = plan_of(spark, "q03_qf_region_drop")
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+def test_hash_split_zero_shuffle_projection(spark):
+    # the split column itself must be a row-local projection; the only
+    # exchange in q63 belongs to the 3-group aggregate ON TOP of the split
+    plan = plan_of(spark, "q63_hash_split")
+    assert plan.count("hashpartitioning(") == 1
+    # and splitting WITHOUT aggregating is exchange-free
+    from oco3_data_transformer_spark.operators import corpus as corpus_ops
+    from oco3_data_transformer_spark.sources.registry import load
+    df = corpus_ops.hash_split(load(spark, SF, "documents"), "doc_id")
+    raw = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in raw
+
+
+def test_stratified_sample_single_window_pass(spark):
+    # one shuffle on the stratum key; the rank filter is pushed into the
+    # shuffle as a WindowGroupLimit (partial top-k before the exchange)
+    plan = plan_of(spark, "q64_stratified_sample")
+    assert plan.count("hashpartitioning(") == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_tfidf_tokenize_once(spark):
+    # the term-count subtree feeds both the document-frequency aggregate and
+    # the scoring join; the executed plan must reuse that exchange rather
+    # than tokenizing the corpus twice
+    plan = executed_plan_of(spark, "q66_tfidf_topk")
+    assert "ReusedExchange" in plan
+
+
+def test_pmi_unigram_exchange_reused(spark):
+    # the unigram-count table is consumed three times (totals + both join
+    # sides); the token explode + aggregate must run once
+    plan = executed_plan_of(spark, "q67_pmi_bigrams")
+    assert "ReusedExchange" in plan
+
+
+def test_quantize_scale_table_broadcasts(spark):
+    # the per-dimension scale table (dims rows) joins back onto the exploded
+    # values as a broadcast — a shuffle join here would re-exchange the
+    # whole exploded corpus on dim (64 hot keys) at scale
+    plan = plan_of(spark, "q68_embedding_quantize")
+    assert "BroadcastHashJoin" in plan
