@@ -362,6 +362,80 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+MIX_BUDGET_SQL = "CASE WHEN source IN ('src0','src1','src2') THEN 600 ELSE 250 END"
+CHUNK_WINDOW = 40
+CHUNK_STRIDE = 30
+
+
+@register(
+    "q71_corpus_mix",
+    f"""
+    WITH sized AS (
+        SELECT doc_id, source,
+               CAST({text.token_count_sql('text')} AS BIGINT) AS n_tok,
+               {corpus_ops.split_hash_sql('doc_id')} AS h
+        FROM documents),
+    ranked AS (
+        SELECT doc_id, source, n_tok,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY h, doc_id) AS mix_rank,
+               coalesce(sum(n_tok) OVER (
+                   PARTITION BY source ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM sized)
+    SELECT doc_id, source, CAST(mix_rank AS INT) AS mix_rank,
+           CAST(cum_before AS BIGINT) AS cum_before
+    FROM ranked WHERE cum_before < ({MIX_BUDGET_SQL})
+    """,
+    doc="Corpus mixing: each source subsampled to a per-source token budget "
+    "(600 tokens for src0-2, 250 for the rest), documents taken in "
+    "deterministic hash order until the budget is crossed — the quota step "
+    "of a data-mixture schedule. One shuffle on the source key; the "
+    "running-total window and the quota filter share that partitioning.",
+)
+def q71(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "source", text.token_count(F.col("text")).alias("n_tok")
+    )
+    budget = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), F.lit(600))
+        .otherwise(F.lit(250))
+    )
+    out = corpus_ops.mix_by_budget(docs, "source", "doc_id", "n_tok", budget)
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("mix_rank").cast("int").alias("mix_rank"),
+        F.col("cum_before").cast("long").alias("cum_before"),
+    )
+
+
+@register(
+    "q72_chunk_overlap",
+    f"""
+    WITH toked AS (
+        SELECT doc_id, {text.tokens_sql('text')} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(u.s // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(toks[u.s + 1 : u.s + {CHUNK_WINDOW}]) AS INT) AS n_chunk_tok,
+           md5(array_to_string(toks[u.s + 1 : u.s + {CHUNK_WINDOW}], ' '))
+               AS chunk_md5
+    FROM toked, unnest(range(0, len(toks), {CHUNK_STRIDE})) u(s)
+    """,
+    doc=f"Context-window chunking: overlapping {CHUNK_WINDOW}-token windows "
+    f"at stride {CHUNK_STRIDE} per document (last chunk short, empty docs "
+    "produce none), each chunk carried as an md5 fingerprint + token "
+    "count. Zero shuffles — a pure projection+explode that runs scan-local "
+    "at any scale.",
+)
+def q72(spark: SparkSession, sf: str) -> DataFrame:
+    return corpus_ops.chunk_tokens(
+        load(spark, sf, "documents"), "doc_id", "text",
+        window=CHUNK_WINDOW, stride=CHUNK_STRIDE,
+    )
+
+
 @register(
     "q70_pack_sequences",
     f"""

@@ -83,6 +83,75 @@ def stratified_sample(df: DataFrame, stratum_col: str, id_col: str, k: int) -> D
     )
 
 
+def mix_by_budget(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    size_col: str,
+    budget_col: Column,
+) -> DataFrame:
+    """Corpus mixing: deterministically subsample each source to a token
+    budget.
+
+    Documents are ordered per source by id hash (a reproducible uniform
+    shuffle) and kept while the cumulative token count BEFORE the document
+    is under the source's budget — so the budget is always reached (the
+    crossing document is included) and membership is stable under
+    repartitioning. One shuffle on the source key + one window pass; this
+    is the per-source quota step of a data-mixture schedule (e.g. "2 parts
+    web, 1 part code" re-weighting before training).
+
+    Returns the kept rows with ``mix_rank`` (per-source hash order) and
+    ``cum_before`` (tokens accepted from this source before the row).
+    """
+    h = split_hash(F.col(id_col))
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    cum_before = F.coalesce(
+        F.sum(size_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return (
+        df.withColumn("mix_rank", F.row_number().over(w))
+        .withColumn("cum_before", cum_before)
+        .filter(F.col("cum_before") < budget_col)
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int,
+    stride: int,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows (the
+    context-window chunking step before tokenizer/packing): chunk ``i``
+    covers tokens ``[i*stride, i*stride + window)``; the last chunk may be
+    short; empty documents produce no chunks.
+
+    Pure projection + explode — zero shuffles; chunk text is carried as an
+    md5 fingerprint (compact, join-friendly) plus its token count.
+    """
+    from ..functions import text as text_fns
+
+    toks = text_fns.tokens(F.col(text_col))
+    # sequence(0, -1, +step) raises rather than returning [] — guard empties
+    starts = F.when(
+        F.size(toks) > 0, F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    ex = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(starts).alias("__start"),
+    )
+    chunk = F.slice("__toks", F.col("__start") + 1, window)
+    return ex.select(
+        F.col(id_col),
+        (F.col("__start") / stride).cast("long").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tok"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
 def pack_next_fit(
     df: DataFrame,
     id_col: str,

@@ -119,3 +119,39 @@ def test_gapfill_locf_semantics(spark):
     assert b0["n_events"] == 0 and b0["filled_max"] is None and b0["is_gap"] == 1
     b2 = out[("b", at(12))]
     assert b2["filled_max"] == 9.0 and b2["is_gap"] == 1
+
+
+def test_mix_by_budget_reaches_budget_and_stops(spark):
+    df = _docs(spark)  # n_tok = id % 37 + 1 per doc, lang strata reused as source
+    budget = F.lit(100)
+    out = corpus_ops.mix_by_budget(df, "lang", "doc_id", "n_tok", budget).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["lang"], []).append(r)
+    assert set(by_src) == {"0", "1", "2", "3"}
+    for rows in by_src.values():
+        rows.sort(key=lambda r: r["mix_rank"])
+        # ranks are a contiguous prefix of the hash order
+        assert [r["mix_rank"] for r in rows] == list(range(1, len(rows) + 1))
+        # every kept doc started under budget; total crosses it exactly once
+        assert all(r["cum_before"] < 100 for r in rows)
+        total = sum(r["n_tok"] for r in rows)
+        assert total >= 100  # budget reached (crossing doc included)
+        assert total - rows[-1]["n_tok"] < 100  # dropping the last re-opens it
+
+
+def test_chunk_tokens_offsets_and_coverage(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(25))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = corpus_ops.chunk_tokens(df, "doc_id", "text", window=10, stride=7).collect()
+    d1 = sorted((r["chunk_idx"], r["n_chunk_tok"]) for r in rows if r["doc_id"] == 1)
+    # starts 0,7,14,21 over 25 tokens: sizes 10,10,10,4
+    assert d1 == [(0, 10), (1, 10), (2, 10), (3, 4)]
+    d2 = [(r["chunk_idx"], r["n_chunk_tok"]) for r in rows if r["doc_id"] == 2]
+    assert d2 == [(0, 2)]
+    assert not [r for r in rows if r["doc_id"] == 3]  # empty doc -> no chunks
+    # consecutive chunks overlap by window - stride tokens (fingerprints differ)
+    md5s = [r["chunk_md5"] for r in rows if r["doc_id"] == 1]
+    assert len(set(md5s)) == 4
