@@ -15,6 +15,12 @@
     python -m oco3_data_transformer_spark.tools sync <local.parquet> <remote.parquet>
                                    (ref tools/s3Sync/sync.py — manifests of
                                    (key, size, mtime); prints the action plan)
+    python -m oco3_data_transformer_spark.tools corpus-prep <docs.parquet> <out> \\
+        [--min-tokens N] [--no-near-dup] [--capacity N] [--shards N]
+                                   (training-corpus pipeline: exact dedup ->
+                                   near-dup components -> quality floor ->
+                                   hash split -> sequence packing; engine
+                                   addition, no reference analog)
 
 The deploy orchestrator has its own entry point
 (``python -m oco3_data_transformer_spark.orchestrator``, ref tools/deploy).
@@ -118,6 +124,25 @@ def _sync(args) -> int:
     return 0
 
 
+def _corpus_prep(args) -> int:
+    from .plans.corpus_prep import corpus_prep
+    from .session import get_spark
+
+    spark = get_spark("corpus-prep-tool")
+    packed, stats = corpus_prep(
+        spark.read.parquet(args.documents),
+        min_tokens=args.min_tokens,
+        near_dup=not args.no_near_dup,
+        capacity=args.capacity,
+        n_shards=args.shards,
+    )
+    packed.write.mode("overwrite" if args.overwrite else "errorifexists").parquet(
+        args.output
+    )
+    print(json.dumps({**stats.as_dict(), "output": args.output}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="oco3-spark-tools")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -146,6 +171,19 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("remote")
     s.add_argument("--plan-output", default=None)
     s.set_defaults(fn=_sync)
+
+    cp = sub.add_parser(
+        "corpus-prep",
+        help="training-corpus pipeline: dedup -> quality -> split -> pack",
+    )
+    cp.add_argument("documents")
+    cp.add_argument("output")
+    cp.add_argument("--min-tokens", type=int, default=5)
+    cp.add_argument("--no-near-dup", action="store_true")
+    cp.add_argument("--capacity", type=int, default=2048)
+    cp.add_argument("--shards", type=int, default=64)
+    cp.add_argument("--overwrite", action="store_true")
+    cp.set_defaults(fn=_corpus_prep)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -71,3 +71,33 @@ def test_sync_cli(spark, tmp_path, capsys):
     assert rc == 0
     counts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert counts == {"upload_new": 1, "unchanged": 1, "upload_changed": 1, "delete_orphan": 1}
+
+
+def test_corpus_prep_cli(spark, tmp_path, capsys):
+    # corpus with byte-identical dupes, a near-dup pair, and a too-short doc
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base), (2, base), (3, base),            # exact dupes of each other
+        (4, base + " extra"),                        # near-dup of the canonical
+        (5, "short text"),                           # fails the 5-token floor
+        (6, "a completely different document about spark shuffles and joins"),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "packed")
+    rc = tools.main([
+        "corpus-prep", src, out, "--min-tokens", "5",
+        "--capacity", "30", "--shards", "2",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_input"] == 6
+    assert rep["n_after_exact"] == 4          # 2,3 collapsed into 1
+    assert rep["n_after_neardup"] == 3        # 4 collapsed into 1
+    assert rep["n_after_quality"] == 2        # 5 dropped
+    assert sum(rep["split_counts"].values()) == 2
+    packed = spark.read.parquet(out)
+    assert packed.count() == 2
+    assert {f.name for f in packed.schema.fields} >= {
+        "doc_id", "n_tok", "shard", "bin", "fill_after", "split"
+    }
