@@ -362,6 +362,97 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q73_funnel",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id)
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(1 + (c.t_click IS NOT NULL)::INT
+                  + (p.t_purchase IS NOT NULL)::INT AS INT) AS stage_reached
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    doc="Ordered event funnel per user: earliest view, earliest click "
+    "AFTER that view, earliest purchase AFTER that click — the sequential "
+    "constraint that a plain per-type min() gets wrong. Three conditional "
+    "aggregations chained on the user key; each stage's type filter pushes "
+    "to the scan, the per-user stage tables shrink monotonically, and "
+    "every join is keyed on user_id so AQE broadcasts the later stages.",
+)
+def q73(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", "t_view", "t_click", "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).cast("int").alias("stage_reached"),
+        )
+    )
+
+
+@register(
+    "q74_key_skew_profile",
+    """
+    WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(cnt) AS BIGINT) AS max_key_rows,
+           round(quantile_cont(cnt, 0.95), 4) AS p95_key_rows,
+           (CAST(sum(cnt) AS DOUBLE) / count(*)) AS mean_key_rows
+    FROM c
+    """,
+    doc="Shuffle-key skew profile: per-key row counts for a prospective "
+    "join/groupBy key reduced to the numbers that predict skew at scale "
+    "(max vs mean vs p95). This is the diagnostic run before choosing "
+    "salting/AQE-skew-split for a 100 TB join; two map-side-combined "
+    "aggregations, output is one row. Exact percentile matches DuckDB "
+    "quantile_cont (q60 semantics); at scale swap percentile_approx.",
+)
+def q74(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_key_rows"),
+        F.round(F.expr("percentile(cnt, 0.95)"), 4).alias("p95_key_rows"),
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("mean_key_rows"),
+    )
+
+
 MIX_BUDGET_SQL = "CASE WHEN source IN ('src0','src1','src2') THEN 600 ELSE 250 END"
 CHUNK_WINDOW = 40
 CHUNK_STRIDE = 30
