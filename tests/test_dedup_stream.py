@@ -1,0 +1,106 @@
+"""Streaming exact dedup (streaming/dedup_stream.py): first-seen-wins over
+a file-drop document stream, unbounded-state and watermarked variants,
+checked against the batch exact_dedup result on the same data."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from oco3_data_transformer_spark.operators import dedup as dedup_ops
+from oco3_data_transformer_spark.streaming import dedup_stream
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _rows(spec):
+    """spec: list of (doc_id, text, minutes_after_t0)."""
+    return [(i, t, T0 + dt.timedelta(minutes=m)) for i, t, m in spec]
+
+
+def _drive(spark, tmp_path, batches, dedup_fn, name):
+    src = str(tmp_path / f"{name}-src")
+    out = str(tmp_path / f"{name}-out")
+    ckpt = str(tmp_path / f"{name}-ckpt")
+    collected = []
+    for batch in batches:
+        spark.createDataFrame(_rows(batch), DOC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(DOC_SCHEMA).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            dedup_fn(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path):
+    b1 = [(1, "alpha", 0), (2, "beta", 1), (3, "alpha", 2)]
+    b2 = [(4, "alpha", 3), (5, "gamma", 4), (6, "beta", 5)]
+    got = _drive(
+        spark, tmp_path, [b1, b2],
+        lambda s: dedup_stream.streaming_exact_dedup(s, "text"),
+        "unbounded",
+    )
+    # one survivor per distinct text, across batch boundaries
+    texts = [r["text"] for r in got.collect()]
+    assert sorted(texts) == ["alpha", "beta", "gamma"]
+    # matches the batch operator's group count on the union of all rows
+    batch = dedup_ops.exact_dedup(
+        spark.createDataFrame(_rows(b1 + b2), DOC_SCHEMA), "doc_id", "text"
+    )
+    assert batch.count() == got.count()
+    # dedup state persists across restarts via the checkpoint: a third batch
+    # of already-seen texts emits nothing
+    got2 = _drive(
+        spark, tmp_path, [[(7, "alpha", 6), (8, "gamma", 7)]],
+        lambda s: dedup_stream.streaming_exact_dedup(s, "text"),
+        "unbounded",
+    )
+    assert got2.count() == 3
+
+
+def test_watermarked_dedup_suppresses_near_dupes_only(spark, tmp_path):
+    # duplicate arriving 5 min after the original: inside the 30 min
+    # watermark -> suppressed. The watermark variant trades completeness
+    # for bounded state; in-window behavior must match the exact variant.
+    b1 = [(1, "alpha", 0), (2, "beta", 1)]
+    b2 = [(3, "alpha", 5), (4, "gamma", 6)]
+    got = _drive(
+        spark, tmp_path, [b1, b2],
+        lambda s: dedup_stream.streaming_exact_dedup_within_watermark(
+            s, "text", "ts", "30 minutes"
+        ),
+        "watermarked",
+    )
+    texts = sorted(r["text"] for r in got.collect())
+    assert texts == ["alpha", "beta", "gamma"]
+
+
+def test_digest_column_matches_batch_key(spark):
+    df = spark.createDataFrame(_rows([(1, "alpha", 0)]), DOC_SCHEMA)
+    dig = dedup_stream.with_digest(df, "text").select("digest").first()[0]
+    batch_dig = (
+        dedup_ops.exact_dedup(df, "doc_id", "text").select("digest").first()[0]
+    )
+    assert dig == batch_dig
