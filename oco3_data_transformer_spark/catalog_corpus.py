@@ -453,6 +453,34 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q75_weighted_sample",
+    f"""
+    WITH sized AS (
+        SELECT doc_id, CAST({text.token_count_sql('text')} AS BIGINT) AS n_tok
+        FROM documents),
+    keyed AS (
+        SELECT doc_id, n_tok,
+               {corpus_ops.weighted_sample_key_sql('doc_id', 'n_tok')} AS sample_key
+        FROM sized WHERE n_tok > 0)
+    SELECT doc_id, n_tok, round(sample_key, 6) AS sample_key
+    FROM keyed ORDER BY sample_key, doc_id LIMIT 50
+    """,
+    doc="Weighted sample without replacement (50 docs, inclusion "
+    "probability ∝ token count) via Efraimidis-Spirakis exponential keys "
+    "computed from the portable id hash — deterministic and "
+    "partition-invariant where rand()-based sampling is neither. The "
+    "global top-k by key is a TakeOrdered (per-partition heaps, no full "
+    "sort) at any scale.",
+)
+def q75(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select(
+        "doc_id", text.token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    out = corpus_ops.weighted_sample(docs, "doc_id", "n_tok", k=50)
+    return out.select("doc_id", "n_tok", F.round("sample_key", 6).alias("sample_key"))
+
+
 MIX_BUDGET_SQL = "CASE WHEN source IN ('src0','src1','src2') THEN 600 ELSE 250 END"
 CHUNK_WINDOW = 40
 CHUNK_STRIDE = 30

@@ -83,6 +83,43 @@ def stratified_sample(df: DataFrame, stratum_col: str, id_col: str, k: int) -> D
     )
 
 
+#: 2^60 — the portable hash's domain size (15 hex chars); exactly
+#: representable as a double.
+_HASH_DOMAIN = float(1 << 60)
+
+
+def weighted_sample_key(id_col: Column, weight_col: Column) -> Column:
+    """Efraimidis-Spirakis sampling key: the k rows with the SMALLEST
+    ``-ln(u)/w`` (u uniform in (0,1], w the row weight) are a weighted
+    sample without replacement with inclusion probability proportional to
+    weight. ``u`` is derived from the portable id hash, so the sample is
+    deterministic, engine-portable, and partition-invariant — the
+    reproducible substitute for ``rand()``-based weighted sampling.
+    """
+    u = (hashing.portable_hash64(id_col.cast("string")) + 1) / F.lit(_HASH_DOMAIN)
+    return -F.log(u) / weight_col.cast("double")
+
+
+def weighted_sample_key_sql(id_expr: str, weight_expr: str) -> str:
+    h = hashing.portable_hash64_sql(f"CAST({id_expr} AS VARCHAR)")
+    return f"(-ln(({h} + 1) / {_HASH_DOMAIN:.1f}) / CAST({weight_expr} AS DOUBLE))"
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str, k: int) -> DataFrame:
+    """Deterministic weighted sample without replacement of ``k`` rows
+    (inclusion probability ∝ weight). One global top-k by the sampling key
+    — a TakeOrdered (no full sort) at any scale. Rows with non-positive
+    weight are excluded (their key is undefined).
+    """
+    key = weighted_sample_key(F.col(id_col), F.col(weight_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def mix_by_budget(
     df: DataFrame,
     source_col: str,

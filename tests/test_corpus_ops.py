@@ -155,3 +155,35 @@ def test_chunk_tokens_offsets_and_coverage(spark):
     # consecutive chunks overlap by window - stride tokens (fingerprints differ)
     md5s = [r["chunk_md5"] for r in rows if r["doc_id"] == 1]
     assert len(set(md5s)) == 4
+
+
+def test_weighted_sample_uniform_weights_follow_hash_order(spark):
+    from oco3_data_transformer_spark.functions import hashing
+    df = _docs(spark, 50).withColumn("w", F.lit(1))
+    got = [r["doc_id"] for r in corpus_ops.weighted_sample(df, "doc_id", "w", 10).collect()]
+    # constant weights: key = -ln(u) is monotone decreasing in u, so the
+    # sample is exactly the top-10 ids by hash value
+    hs = {
+        r["doc_id"]: r["h"]
+        for r in df.select("doc_id", hashing.portable_hash64(
+            F.col("doc_id").cast("string")).alias("h")).collect()
+    }
+    expect = sorted(hs, key=lambda d: -hs[d])[:10]
+    assert sorted(got) == sorted(expect)
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    # two strata of equal size, weight 100 vs 1: the heavy stratum must
+    # dominate a k=20 sample of 200 rows
+    df = _docs(spark).withColumn(
+        "w", F.when(F.col("doc_id") < 100, 100).otherwise(1)
+    )
+    got = corpus_ops.weighted_sample(df, "doc_id", "w", 20).collect()
+    n_heavy = sum(1 for r in got if r["doc_id"] < 100)
+    assert n_heavy >= 16
+    # zero/negative weights are excluded entirely
+    df0 = df.withColumn("w", F.when(F.col("doc_id") == 0, 0).otherwise(F.col("w")))
+    assert not [
+        r for r in corpus_ops.weighted_sample(df0, "doc_id", "w", 200).collect()
+        if r["doc_id"] == 0
+    ]
