@@ -594,3 +594,69 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
     return corpus_ops.pack_next_fit(
         docs, "doc_id", "n_tok", capacity=PACK_CAPACITY, n_shards=PACK_SHARDS
     )
+
+
+DEBOUNCE_GAP_S = 600
+ROLL_WINDOW_S = 3600
+
+
+@register(
+    "q78_event_debounce",
+    f"""
+    WITH g AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > {DEBOUNCE_GAP_S} * 1000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+    b AS (
+        SELECT user_id, event_type, ts,
+               sum(brk) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst_id
+        FROM g)
+    SELECT user_id, event_type, CAST(burst_id AS BIGINT) AS burst_id,
+           min(ts) AS burst_start, CAST(count(*) AS BIGINT) AS n_events
+    FROM b GROUP BY user_id, event_type, burst_id
+    """,
+    doc=f"Event debounce: per (user, type), bursts of events chained "
+    f"closer than {DEBOUNCE_GAP_S} s collapse to one row (first "
+    "timestamp + size) — gap-based sessionization over event time, "
+    "complementing q17/q18's key-change islands. One exchange end-to-end "
+    "(break flag, running burst id, and the burst aggregate all share the "
+    "key partitioning); gaps compare as exact microsecond integers.",
+)
+def q78(spark: SparkSession, sf: str) -> DataFrame:
+    return ts_ops.debounce(
+        load(spark, sf, "events"), ["user_id", "event_type"], "ts", "event_id",
+        DEBOUNCE_GAP_S,
+    )
+
+
+@register(
+    "q79_rolling_features",
+    f"""
+    SELECT user_id, ts, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_window,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6)
+               AS sum_window
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL {ROLL_WINDOW_S} SECONDS PRECEDING
+                 AND CURRENT ROW)
+    """,
+    doc=f"Per-event trailing {ROLL_WINDOW_S} s window features (count + "
+    "sum) via a RANGE frame over the microsecond epoch — frame membership "
+    "is defined by time, not row position, so ties and irregular sampling "
+    "are exact and no tie-break ordering is needed. The sum accumulates "
+    "in DECIMAL (order-invariant, bit-identical across engines and "
+    "partitionings) and surfaces as a double. One exchange on the key, "
+    "one window pass.",
+)
+def q79(spark: SparkSession, sf: str) -> DataFrame:
+    return ts_ops.rolling_features(
+        load(spark, sf, "events"), "user_id", "ts", "event_id", "value",
+        ROLL_WINDOW_S,
+    )

@@ -762,3 +762,82 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
         bands=4, threshold=JACCARD_T,
     )
     return pairs.select("id_a", "id_b", "jacc_est")
+
+
+SEG_LEN = 8
+SEG_MIN_DOCS = 3
+EDIT_MAX_REL = 0.2
+
+
+@register(
+    "q76_segment_dedup",
+    f"""
+    WITH toked AS (SELECT doc_id, {text.tokens_sql('text')} AS t FROM documents),
+    segs AS (
+        SELECT doc_id, CAST((u.s - 1) // {SEG_LEN} AS BIGINT) AS seg_idx,
+               array_to_string(t[u.s : u.s + {SEG_LEN} - 1], ' ') AS seg_text
+        FROM toked, unnest(generate_series(1, len(t), {SEG_LEN})) u(s)),
+    cnts AS (
+        SELECT seg_text, count(DISTINCT doc_id) AS n_docs_seg
+        FROM segs GROUP BY seg_text)
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_seg,
+           CAST(count(*) FILTER (WHERE c.n_docs_seg >= {SEG_MIN_DOCS}) AS BIGINT)
+               AS n_seg_dropped,
+           md5(coalesce(string_agg(g.seg_text, ' ' ORDER BY g.seg_idx)
+                        FILTER (WHERE c.n_docs_seg < {SEG_MIN_DOCS}), ''))
+               AS clean_md5
+    FROM segs g JOIN cnts c USING (seg_text)
+    GROUP BY g.doc_id
+    """,
+    doc=f"Cross-document segment dedup (C4-style line dedup over "
+    f"{SEG_LEN}-token segments): segments occurring in >= {SEG_MIN_DOCS} "
+    "distinct documents are boilerplate, removed from every document; "
+    "surviving segments reassemble in order (md5-fingerprinted). One "
+    "count shuffle + one join back (AQE splits hot boilerplate keys) + "
+    "one per-doc reassembly groupBy.",
+)
+def q76(spark: SparkSession, sf: str) -> DataFrame:
+    out = dedup_ops.segment_dedup(
+        load(spark, sf, "documents"), "doc_id", "text",
+        seg_len=SEG_LEN, min_docs=SEG_MIN_DOCS,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "n_seg", "n_seg_dropped", "clean_md5"
+    )
+
+
+@register(
+    "q77_edit_distance_neardup",
+    f"""
+    WITH {_SHINGLES_SQL},
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id),
+    cand AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes x ON id_a = x.id JOIN sizes y ON id_b = y.id
+        WHERE CAST(n_common AS DOUBLE) / (x.n_sh + y.n_sh - n_common)
+              >= {JACCARD_T}),
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
+               round(CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                     / greatest(length(da.text), length(db.text)), 4) AS rel_dist
+        FROM cand c
+        JOIN documents da ON da.doc_id = c.id_a
+        JOIN documents db ON db.doc_id = c.id_b)
+    SELECT id_a, id_b, dist, rel_dist
+    FROM scored WHERE rel_dist <= {EDIT_MAX_REL}
+    """,
+    doc="Blocked edit-distance near-dup: shingle-co-occurrence Jaccard "
+    "prefilter (sound for the near-dup regime — d edits destroy at most "
+    "d*n shingles), then exact character Levenshtein on surviving pairs "
+    "only, relative-distance thresholded. Levenshtein is a built-in JVM "
+    "expression on both engines; it never runs all-pairs.",
+)
+def q77(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup_ops.edit_distance_pairs(
+        load(spark, sf, "documents"), "doc_id", "text", NGRAM_N,
+        prefilter_jaccard=JACCARD_T, max_rel=EDIT_MAX_REL,
+    )

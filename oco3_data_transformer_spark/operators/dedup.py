@@ -678,3 +678,106 @@ def minhash_estimate_pairs(
         .filter(F.col("jacc_est") >= threshold)
         .select("id_a", "id_b", "jacc_est")
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_len: int = 8,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document segment dedup (the C4/RefinedWeb "line dedup" step,
+    generalized to token segments): every document is cut into
+    non-overlapping ``seg_len``-token segments, segments occurring in
+    >= ``min_docs`` *distinct* documents are boilerplate and removed from
+    every document, and the surviving segments are reassembled in order.
+
+    Returns ``(id, n_seg, n_seg_dropped, clean_md5)`` — the md5 of the
+    reassembled text (kept compact; a doc whose every segment is
+    boilerplate reassembles to the empty string).
+
+    Scale shape: one shuffle to count distinct docs per segment, one
+    shuffle join back (segment keys can be hot — a boilerplate segment by
+    definition occurs in many documents — the join form lets AQE split
+    those), one groupBy(id) to reassemble. Reassembly order is carried by
+    ``array_sort`` over (seg_idx, seg_text) structs, so it is
+    partitioning-invariant; ``collect_list`` skips the NULLs that
+    ``when(keep, ...)`` assigns to dropped segments, which removes them
+    without a second pass.
+    """
+    toks = text.tokens(F.col(text_col))
+    starts = F.when(
+        F.size(toks) > 0, F.sequence(F.lit(1), F.size(toks), F.lit(seg_len))
+    ).otherwise(F.array().cast("array<int>"))
+    segs = (
+        df.select(F.col(id_col).alias("id"), toks.alias("__toks"), starts.alias("__starts"))
+        .select("id", "__toks", F.explode("__starts").alias("__start"))
+        .select(
+            "id",
+            ((F.col("__start") - 1) / seg_len).cast("long").alias("seg_idx"),
+            F.array_join(F.slice("__toks", F.col("__start"), seg_len), " ").alias("seg_text"),
+        )
+    )
+    cnts = segs.groupBy("seg_text").agg(F.count_distinct("id").alias("n_docs_seg"))
+    joined = segs.join(cnts, "seg_text")
+    keep = F.col("n_docs_seg") < min_docs
+    kept_struct = F.when(keep, F.struct(F.col("seg_idx"), F.col("seg_text")))
+    return joined.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_seg"),
+        F.sum((~keep).cast("long")).alias("n_seg_dropped"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["seg_text"]
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    prefilter_jaccard: float = 0.5,
+    max_rel: float = 0.2,
+) -> DataFrame:
+    """Blocked edit-distance near-dup join: n-gram-Jaccard candidate pairs
+    (the shingle co-occurrence machinery of :func:`ngram_jaccard_pairs`)
+    refined with character-level Levenshtein distance — the standard
+    two-phase shape for edit-similarity joins (cheap set-similarity block,
+    exact DP verify on the surviving pairs only).
+
+    Returns ``(id_a, id_b, dist, rel_dist)`` with ``id_a < id_b`` and
+    ``rel_dist = dist / max(len_a, len_b) <= max_rel``.
+
+    The prefilter is sound for the near-dup regime: an edit of ``d``
+    characters destroys at most ``d * n`` word shingles, so truly close
+    pairs always share far more than ``prefilter_jaccard`` of their
+    shingles. Levenshtein is a built-in JVM expression on both engines
+    (identical unit-cost DP), and it runs only on candidate pairs — never
+    all-pairs. Texts are fetched by two id-equi-joins against the document
+    table (id keys are unique, hence skew-free).
+    """
+    cands = ngram_jaccard_pairs(df, id_col, text_col, n, prefilter_jaccard).select(
+        "id_a", "id_b"
+    )
+    docs = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    return (
+        cands.join(
+            docs.select(F.col("__id").alias("id_a"), F.col("__t").alias("__ta")), "id_a"
+        )
+        .join(docs.select(F.col("__id").alias("id_b"), F.col("__t").alias("__tb")), "id_b")
+        .withColumn("dist", F.levenshtein("__ta", "__tb").cast("long"))
+        .withColumn(
+            "rel_dist",
+            F.round(
+                F.col("dist") / F.greatest(F.length("__ta"), F.length("__tb")), 4
+            ),
+        )
+        .filter(F.col("rel_dist") <= max_rel)
+        .select("id_a", "id_b", "dist", "rel_dist")
+    )

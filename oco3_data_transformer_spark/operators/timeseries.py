@@ -75,3 +75,89 @@ def gapfill_locf(
             F.col("__n").isNull().cast("int").alias("is_gap"),
         )
     )
+
+
+def _epoch_us(ts):
+    """Exact integer microseconds since epoch. ``unix_micros`` rejects
+    TIMESTAMP_NTZ (the type parquet event tables read as); the cast to
+    TIMESTAMP is lossless because the engine pins the session timezone to
+    UTC (session.py), making NTZ→TZ an identity."""
+    return F.unix_micros(ts.cast("timestamp"))
+
+
+def debounce(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    gap_s: int,
+) -> DataFrame:
+    """Burst-collapse (debounce): per key, consecutive events closer than
+    ``gap_s`` seconds chain into one *burst*; each burst is reported once
+    with its first timestamp and size — the alert/event-suppression
+    pattern ("notify once per burst, not once per occurrence").
+
+    This is gap-based sessionization over event time (complementing the
+    key-change islands of operators/sessionize.py): a burst breaks when
+    ``ts - lag(ts) > gap_s``, so membership is relative to the *previous
+    event*, not the burst head — a burst can extend indefinitely while
+    events keep arriving inside the gap.
+
+    One exchange end-to-end: the break flag, the running burst id, and the
+    final per-burst aggregate all share the key partitioning (agg keys ⊇
+    window partitioning). Timestamp gaps compare as exact microsecond
+    integers (``unix_micros``, never second-truncating
+    ``unix_timestamp``). Returns
+    ``(*key_cols, burst_id, burst_start, n_events)``.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    us = _epoch_us(F.col(ts_col))
+    gap = us - F.lag(us).over(w)
+    brk = F.when(gap.isNull() | (gap > gap_s * 1_000_000), F.lit(1)).otherwise(F.lit(0))
+    with_id = events.withColumn("__brk", brk).withColumn(
+        "burst_id",
+        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return with_id.groupBy(*key_cols, "burst_id").agg(
+        F.min(ts_col).alias("burst_start"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def rolling_features(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window_s: int,
+) -> DataFrame:
+    """Per-event trailing-window features: for every event, the count and
+    sum of the key's events in the preceding ``window_s`` seconds
+    (inclusive) — the rolling-aggregate feature shape (rate limits,
+    activity scores, per-user request velocity).
+
+    Uses a RANGE frame over the microsecond epoch, so the frame is defined
+    by *time*, not row position: ties and irregular sampling are handled
+    exactly, and the result is independent of any tie-break ordering. The
+    sum accumulates in DECIMAL (exact, order-invariant — double summation
+    would differ across partitionings in the last ulp) and surfaces as a
+    double. One exchange on the key; the frame is computed in a single
+    window pass per partition.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(_epoch_us(F.col(ts_col)))
+        .rangeBetween(-window_s * 1_000_000, 0)
+    )
+    return events.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(id_col),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.round(
+            F.sum(F.col(value_col).cast("decimal(18,6)")).over(w).cast("double"), 6
+        ).alias("sum_window"),
+    )
