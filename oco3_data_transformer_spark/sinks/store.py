@@ -305,3 +305,131 @@ def checksum(spark: SparkSession, path: str, buckets: int = 256) -> str:
         ).alias("digest")
     )
     return out.collect()[0]["digest"]
+
+
+# ---------------------------------------------------------------------------
+# Continuous aggregate (incremental rollup maintenance)
+# ---------------------------------------------------------------------------
+#
+# The reference's climatology tool (A1/A2, ref tools/climatology/main.py:
+# 183-329) recomputes temporal means from the full store on every run. A
+# table store can maintain the monthly aggregate *incrementally*: writes
+# invalidate the (mission, qf, month) groups they touch, and a refresh
+# recomputes exactly those groups from the partition-pruned facts — the
+# hypertable "continuous aggregate" pattern. The rollup stores PARTIAL
+# aggregates (sum/count, not mean) so coarser consolidations (A2
+# month-of-year across years) re-merge rollup rows without ever re-reading
+# facts. Sums accumulate in DECIMAL, so a refresh is bit-identical however
+# the underlying scan is partitioned — incremental and full refreshes can
+# be compared with exact equality.
+
+ROLLUP_GROUP = ["mission", "target_id", "qf", "variable", "month"]
+ROLLUP_PARTITION_COLS = ["mission", "qf", "month"]
+_SUM_DEC = "decimal(30,10)"
+
+
+def _rollup_aggregate(facts: DataFrame) -> DataFrame:
+    return (
+        facts.withColumn("month", F.trunc(F.col("day"), "month"))
+        .groupBy(*ROLLUP_GROUP)
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.col("value").cast(_SUM_DEC)).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count_distinct("day").alias("n_days"),
+        )
+    )
+
+
+def rollup_refresh(
+    spark: SparkSession,
+    store_path: str,
+    rollup_path: str,
+    touched_days: DataFrame | None = None,
+) -> int:
+    """Refresh the monthly continuous aggregate.
+
+    ``touched_days`` — a (mission, qf, day) frame of the partitions a write
+    just touched (what :func:`append`/:func:`upsert`/:func:`merge` batches
+    know row-locally) — scopes the refresh to the invalidated months only:
+    the month set expands to its day spans, and the facts scan is a
+    broadcast semi-join on (mission, qf, day), so dynamic partition pruning
+    reads only those store partitions. With ``touched_days=None`` the whole
+    rollup is rebuilt. Either way the write is a dynamic partition
+    overwrite of the affected (mission, qf, month) rollup partitions —
+    untouched months keep their files.
+
+    Note: a month that loses ALL its rows to an external deletion keeps a
+    stale rollup partition until a full refresh; the store's own write
+    paths never empty a partition, so incremental refresh is exact for
+    them (the model test replays random write histories to prove it).
+    Returns the number of rollup rows written.
+    """
+    facts = spark.read.parquet(store_path)
+    if touched_days is not None:
+        month_days = (
+            touched_days.select(
+                "mission", "qf", F.trunc(F.col("day"), "month").alias("month")
+            )
+            .distinct()
+            .select(
+                "mission",
+                "qf",
+                F.explode(
+                    F.sequence(F.col("month"), F.last_day("month"))
+                ).alias("day"),
+            )
+        )
+        facts = facts.join(
+            F.broadcast(month_days), on=["mission", "qf", "day"], how="left_semi"
+        )
+    agg = _rollup_aggregate(facts)
+    n = agg.count()
+    if n or touched_days is None:
+        (
+            agg.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*ROLLUP_PARTITION_COLS)
+            .parquet(rollup_path)
+        )
+    return n
+
+
+def touched_days_of(df: DataFrame) -> DataFrame:
+    """The (mission, qf, day) partitions a batch touches — the invalidation
+    set to hand :func:`rollup_refresh` after a write of ``df``."""
+    return _with_day(df).select("mission", "qf", "day").distinct()
+
+
+def rollup_monthly(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """Finalized monthly climatology served from the rollup (A1 shape):
+    mean = sum/count materializes only at read time; no fact rows are
+    touched."""
+    r = spark.read.parquet(rollup_path)
+    return r.select(
+        *ROLLUP_GROUP,
+        "n_obs",
+        "n_days",
+        (F.col("sum_value") / F.col("n_obs")).cast("double").alias("mean_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+def rollup_month_of_year(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """A2 month-of-year consolidation ACROSS years, computed purely by
+    re-merging rollup partials (sums add, counts add, min/max fold) —
+    the payoff of storing partial aggregates: the consolidation never
+    reads facts (ref tools/climatology/main.py:281-329)."""
+    r = spark.read.parquet(rollup_path)
+    return (
+        r.groupBy("mission", "target_id", "qf", "variable", F.month("month").alias("moy"))
+        .agg(
+            F.sum("n_obs").alias("n_obs"),
+            F.sum("n_days").alias("n_days"),
+            (F.sum("sum_value") / F.sum("n_obs")).cast("double").alias("mean_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
