@@ -191,3 +191,34 @@ def test_quantize_scale_table_broadcasts(spark):
     # whole exploded corpus on dim (64 hot keys) at scale
     plan = plan_of(spark, "q68_embedding_quantize")
     assert "BroadcastHashJoin" in plan
+
+
+def test_debounce_single_exchange(spark):
+    # gap-based burst sessionization: break flag, running burst id, and the
+    # per-burst aggregate all share the (user, type) partitioning — ONE
+    # exchange end-to-end, same property as q17/q18's islands.
+    plan = plan_of(spark, "q78_event_debounce")
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_rolling_features_single_exchange_single_window(spark):
+    plan = plan_of(spark, "q79_rolling_features")
+    assert plan.count("hashpartitioning(") == 1
+    # one Window operator node (count tree lines, not the mentions inside
+    # windowspecdefinition details)
+    assert plan.count("+- Window") == 1
+
+
+def test_segment_dedup_no_static_broadcast(spark):
+    # the per-segment doc-count table is corpus-sized; a static broadcast
+    # hint would force it driver-side at 100 TB
+    df = REGISTRY["q76_segment_dedup"].fn(spark, SF)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical
+
+
+def test_edit_distance_verify_rides_candidate_pairs(spark):
+    # levenshtein must appear above the candidate join, never in a
+    # cartesian/all-pairs shape
+    plan = plan_of(spark, "q77_edit_distance_neardup")
+    assert "CartesianProduct" not in plan and "levenshtein" in plan
