@@ -49,6 +49,9 @@ class IngestConfig:
     expected_missions: tuple[str, ...] = ("oco3", "oco2", "oco3_sif")
     # (mission, day) pairs expected absent: mission gaps / out-of-range dates
     expected_absent: tuple[tuple[str, str], ...] = ()
+    # optional continuous aggregate: when set, every batch's writes also
+    # refresh the monthly rollup for exactly the months they invalidated
+    rollup_path: str | None = None
 
 
 def read_granule_stream(spark: SparkSession, cfg: IngestConfig, schema) -> DataFrame:
@@ -169,6 +172,18 @@ def make_batch_processor(
                 # stored slices (other granules/targets) the producer never
                 # re-dropped.
                 store_ops.merge(spark, redo, cfg.store_path)
+
+            if cfg.rollup_path is not None:
+                # continuous aggregate: the batch knows its invalidation set
+                # row-locally (the days it just wrote); refresh recomputes
+                # only those months, partition-pruned — no full-store pass
+                # per micro-batch
+                store_ops.rollup_refresh(
+                    spark,
+                    cfg.store_path,
+                    cfg.rollup_path,
+                    store_ops.touched_days_of(slices.drop("day")),
+                )
 
             ledger = (
                 good.join(F.broadcast(ready), "day", "left_semi")

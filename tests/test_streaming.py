@@ -152,3 +152,38 @@ def test_mission_dispatch_routes_per_mission(spark, cfg):
     stored = spark.read.parquet(cfg.store_path)
     got = {(r.mission, r.variable, r.value) for r in stored.collect()}
     assert got == {("oco3", "xco2", 1.0), ("oco2", "sif", 2.0)}
+
+
+def test_ingest_maintains_continuous_aggregate(spark, tmp_path):
+    """With rollup_path set, every micro-batch's writes refresh the monthly
+    rollup; after an append batch AND a late-data repair batch, the rollup
+    equals a from-scratch rebuild over the final store."""
+    cfg = ingest.IngestConfig(
+        input_dir=str(tmp_path / "drop"),
+        store_path=str(tmp_path / "store"),
+        ledger_path=str(tmp_path / "ledger"),
+        dead_letter_path=str(tmp_path / "dead"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        expected_missions=("oco3",),
+        rollup_path=str(tmp_path / "rollup"),
+    )
+    _drop(spark, cfg, [("g1", "oco3", 0, D1, 1.0), ("g1", "oco3", 1, D1, 3.0)], "b1")
+    _run(spark, cfg)
+    # late data for processed D1 -> repair path; rollup must follow
+    _drop(spark, cfg, [("g2", "oco3", 2, D1, 5.0)], "b2")
+    _run(spark, cfg)
+
+    full = str(tmp_path / "rollup_full")
+    store.rollup_refresh(spark, cfg.store_path, full, None)
+
+    def canon(path):
+        df = spark.read.parquet(path)
+        return sorted(
+            tuple(str(v) for v in row)
+            for row in df.select(*sorted(df.columns)).collect()
+        )
+
+    assert canon(cfg.rollup_path) == canon(full)
+    monthly = store.rollup_monthly(spark, cfg.rollup_path).collect()
+    assert len(monthly) == 1
+    assert monthly[0]["n_obs"] == 3 and monthly[0]["mean_value"] == 3.0
