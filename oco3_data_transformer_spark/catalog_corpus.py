@@ -618,7 +618,8 @@ ROLL_WINDOW_S = 3600
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst_id
         FROM g)
     SELECT user_id, event_type, CAST(burst_id AS BIGINT) AS burst_id,
-           min(ts) AS burst_start, CAST(count(*) AS BIGINT) AS n_events
+           min(ts) AS burst_start, max(ts) AS burst_end,
+           CAST(count(*) AS BIGINT) AS n_events
     FROM b GROUP BY user_id, event_type, burst_id
     """,
     doc=f"Event debounce: per (user, type), bursts of events chained "
@@ -659,4 +660,90 @@ def q79(spark: SparkSession, sf: str) -> DataFrame:
     return ts_ops.rolling_features(
         load(spark, sf, "events"), "user_id", "ts", "event_id", "value",
         ROLL_WINDOW_S,
+    )
+
+
+WINDOW_GAP_S = 60
+INTERVAL_BIN_S = 3600
+
+
+@register(
+    "q81_interval_overlap_join",
+    f"""
+    WITH g1 AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > {DEBOUNCE_GAP_S} * 1000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+    s1 AS (
+        SELECT user_id, event_type, ts,
+               sum(brk) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS burst_id
+        FROM g1),
+    bursts AS (
+        SELECT user_id, event_type, min(ts) AS burst_start, max(ts) AS burst_end
+        FROM s1 GROUP BY user_id, event_type, burst_id),
+    g2 AS (
+        SELECT event_type, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > {WINDOW_GAP_S} * 1000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+    s2 AS (
+        SELECT event_type, ts,
+               sum(brk) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS win_id
+        FROM g2),
+    wins AS (
+        SELECT event_type, min(ts) AS window_start, max(ts) AS window_end
+        FROM s2 GROUP BY event_type, win_id)
+    SELECT x.user_id, x.event_type AS burst_type, x.burst_start,
+           w.event_type AS window_type, w.window_start
+    FROM bursts x JOIN wins w
+      ON x.event_type <> w.event_type
+     AND x.burst_start <= w.window_end AND w.window_start <= x.burst_end
+    """,
+    doc=f"Interval-overlap join: per-(user,type) activity bursts "
+    f"(gap {DEBOUNCE_GAP_S} s) joined to cross-type global spike windows "
+    f"(gap {WINDOW_GAP_S} s) on closed-interval overlap — 'which user "
+    "bursts co-occurred with spikes of a different event type'. The "
+    "engine form bins both interval sets into fixed time bins, "
+    "equi-joins on the bin, refines the exact predicate in-task, and "
+    "emits multi-bin pairs exactly once via the overlap-start bin rule — "
+    "no theta-join/BroadcastNestedLoop, both sides shuffle once. The "
+    "oracle is the naive overlap join.",
+)
+def q81(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import joins as join_ops
+
+    ev = load(spark, sf, "events")
+    bursts = ts_ops.debounce(
+        ev, ["user_id", "event_type"], "ts", "event_id", DEBOUNCE_GAP_S
+    ).select("user_id", "event_type", "burst_start", "burst_end")
+    wins = ts_ops.debounce(ev, ["event_type"], "ts", "event_id", WINDOW_GAP_S).select(
+        "event_type", F.col("burst_start").alias("window_start"),
+        F.col("burst_end").alias("window_end"),
+    )
+    pairs = join_ops.interval_overlap_join(
+        bursts, wins,
+        "burst_start", "burst_end", "window_start", "window_end",
+        bin_s=INTERVAL_BIN_S,
+    )
+    return (
+        pairs.filter(F.col("a_event_type") != F.col("b_event_type"))
+        .select(
+            F.col("a_user_id").alias("user_id"),
+            F.col("a_event_type").alias("burst_type"),
+            F.col("a_burst_start").alias("burst_start"),
+            F.col("b_event_type").alias("window_type"),
+            F.col("b_window_start").alias("window_start"),
+        )
     )

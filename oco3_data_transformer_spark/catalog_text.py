@@ -841,3 +841,27 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
         load(spark, sf, "documents"), "doc_id", "text", NGRAM_N,
         prefilter_jaccard=JACCARD_T, max_rel=EDIT_MAX_REL,
     )
+
+
+@register(
+    "q80_shingle_novelty",
+    f"""
+    WITH {_SHINGLES_SQL},
+    first AS (SELECT shingle, min(id) AS first_id FROM shingles GROUP BY shingle)
+    SELECT s.id AS doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+           CAST(sum(CASE WHEN s.id = f.first_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           CAST(sum(CASE WHEN s.id = f.first_id THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS novelty
+    FROM shingles s JOIN first f USING (shingle)
+    GROUP BY s.id
+    """,
+    doc="Per-document novelty: fraction of the doc's distinct shingles "
+    "first seen (min doc id = arrival order) in this doc — the cheap "
+    "content-growth curation signal before pairwise dedup. Near-dups of "
+    "earlier material score ~0. Reuses the id-partitioned shingle "
+    "exchange; first-owner is one min-aggregate per 8-byte shingle hash.",
+)
+def q80(spark: SparkSession, sf: str) -> DataFrame:
+    out = dedup_ops.shingle_novelty(load(spark, sf, "documents"), "doc_id", "text", NGRAM_N)
+    return out.select(F.col("id").alias("doc_id"), "n_sh", "n_novel", "novelty")

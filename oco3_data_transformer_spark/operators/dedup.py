@@ -781,3 +781,34 @@ def edit_distance_pairs(
         .filter(F.col("rel_dist") <= max_rel)
         .select("id_a", "id_b", "dist", "rel_dist")
     )
+
+
+def shingle_novelty(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Per-document novelty score for incremental corpus curation: the
+    fraction of a document's distinct word-n-grams whose FIRST occurrence
+    (minimum document id — ids are the arrival order in an append-only
+    corpus) is this document. A near-duplicate of earlier material scores
+    ~0; genuinely new text scores ~1 — the cheap content-growth signal
+    computed before any pairwise dedup.
+
+    Returns ``(id, n_sh, n_novel, novelty)`` with ``novelty`` an exact
+    integer-ratio double.
+
+    Scale shape: reuses the single id-partitioned shingle exchange
+    (:func:`hashed_shingle_table`); the first-owner table is one
+    groupBy(shingle) aggregate — shuffled on the 8-byte hash, hot
+    boilerplate shingles are still one (key, min) row each, so no skew
+    materializes. The join back is shingle-keyed; the final per-doc
+    aggregate returns to the id clustering.
+    """
+    sh = hashed_shingle_table(df, id_col, text_col, n, partition_by_id=True)
+    first = sh.groupBy("h").agg(F.min("id").alias("first_id"))
+    return (
+        sh.join(first, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum((F.col("id") == F.col("first_id")).cast("long")).alias("n_novel"),
+        )
+        .withColumn("novelty", F.col("n_novel").cast("double") / F.col("n_sh"))
+    )

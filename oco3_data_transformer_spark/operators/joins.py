@@ -301,3 +301,73 @@ def sync_diff(
         .otherwise("unchanged")
     )
     return joined.withColumn("action", action)
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bin_s: int = 3600,
+    prefix_a: str = "a_",
+    prefix_b: str = "b_",
+) -> DataFrame:
+    """Interval-overlap join (``a.start <= b.end AND b.start <= a.end``,
+    closed intervals) in the shuffle-scalable *binned* form: each interval
+    explodes to the fixed ``bin_s``-second time bins it spans, the join is
+    an equi-join on the bin, and the exact overlap predicate refines in-task
+    — the generalization of the reference's coarse-bbox-then-exact spatial
+    join (J4, ref processors/OCO3SamProcessor.py:253-295) to 1-D time.
+
+    A naive theta-join is a cartesian product per key (Spark would emit
+    BroadcastNestedLoopJoin — unusable when both sides are large); the
+    binned form shuffles both sides once on the bin key, so cost tracks
+    bins-spanned x bin occupancy. Pick ``bin_s`` near the typical interval
+    length: long intervals span many bins (duplication), short bins pack
+    many intervals (per-bin quadratic refine).
+
+    Pairs overlapping in several bins are emitted ONCE without any
+    dropDuplicates shuffle: a pair is kept only in the bin containing the
+    overlap's start (``greatest(a.start, b.start)``) — both intervals span
+    that bin by construction, so exactly one bin keeps it.
+
+    All columns of ``a``/``b`` are carried, renamed with the prefixes.
+    """
+    us = 1_000_000
+    bin_len = bin_s * us
+
+    def prep(df: DataFrame, prefix: str, s: str, e: str):
+        out = df.select(*[F.col(c).alias(prefix + c) for c in df.columns])
+        s2, e2 = prefix + s, prefix + e
+        out = (
+            out.withColumn("__s_us", F.unix_micros(F.col(s2).cast("timestamp")))
+            .withColumn("__e_us", F.unix_micros(F.col(e2).cast("timestamp")))
+            .withColumn(
+                "__bin",
+                F.explode(
+                    F.sequence(
+                        F.expr(f"__s_us div {bin_len}"),
+                        F.expr(f"__e_us div {bin_len}"),
+                    )
+                ),
+            )
+        )
+        return out
+
+    A = prep(a, prefix_a, a_start, a_end).withColumnsRenamed(
+        {"__s_us": "__as", "__e_us": "__ae"}
+    )
+    B = prep(b, prefix_b, b_start, b_end).withColumnsRenamed(
+        {"__s_us": "__bs", "__e_us": "__be"}
+    )
+    overlap = (F.col("__as") <= F.col("__be")) & (F.col("__bs") <= F.col("__ae"))
+    first_bin = F.col("__bin") == F.expr(
+        f"greatest(__as, __bs) div {bin_len}"
+    )
+    return (
+        A.join(B, "__bin")
+        .filter(overlap & first_bin)
+        .drop("__bin", "__as", "__ae", "__bs", "__be")
+    )

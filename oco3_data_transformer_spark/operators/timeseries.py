@@ -108,7 +108,9 @@ def debounce(
     window partitioning). Timestamp gaps compare as exact microsecond
     integers (``unix_micros``, never second-truncating
     ``unix_timestamp``). Returns
-    ``(*key_cols, burst_id, burst_start, n_events)``.
+    ``(*key_cols, burst_id, burst_start, burst_end, n_events)`` — the
+    burst extent doubles as an interval table for overlap joins
+    (``interval_overlap_join`` in operators/joins.py).
     """
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(ts_col).asc(), F.col(tiebreak_col).asc()
@@ -122,6 +124,7 @@ def debounce(
     )
     return with_id.groupBy(*key_cols, "burst_id").agg(
         F.min(ts_col).alias("burst_start"),
+        F.max(ts_col).alias("burst_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

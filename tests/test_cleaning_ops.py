@@ -145,3 +145,65 @@ def test_rolling_features_partition_invariant(spark):
     b = sorted(map(tuple, ts_ops.rolling_features(
         ev.repartition(7), "user_id", "ts", "event_id", "value", 20).collect()))
     assert a == b
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Differential test: binned interval join == naive cross-join overlap
+    on random interval sets (including multi-bin spans and exact-touch
+    boundaries)."""
+    import random
+
+    from oco3_data_transformer_spark.operators import joins as join_ops
+
+    rng = random.Random(99)
+    T0 = dt.datetime(2024, 1, 1)
+
+    def intervals(n, max_len_s):
+        rows = []
+        for i in range(n):
+            s = rng.randint(0, 50000)
+            e = s + rng.randint(0, max_len_s)
+            rows.append(
+                (i, T0 + dt.timedelta(seconds=s), T0 + dt.timedelta(seconds=e))
+            )
+        return spark.createDataFrame(rows, ["iid", "start", "end"])
+
+    a, b = intervals(80, 20000), intervals(60, 3000)
+    got = sorted(
+        (r["a_iid"], r["b_iid"])
+        for r in join_ops.interval_overlap_join(
+            a, b, "start", "end", "start", "end", bin_s=1800
+        ).collect()
+    )
+    naive = sorted(
+        (r["x"], r["y"])
+        for r in a.alias("a")
+        .crossJoin(b.alias("b"))
+        .filter(
+            (F.col("a.start") <= F.col("b.end")) & (F.col("b.start") <= F.col("a.end"))
+        )
+        .select(F.col("a.iid").alias("x"), F.col("b.iid").alias("y"))
+        .collect()
+    )
+    assert got == naive and len(got) > 100
+
+
+def test_interval_overlap_join_no_nested_loop(spark):
+    """The binned form must plan as a hash equi-join on the bin, never a
+    BroadcastNestedLoopJoin/CartesianProduct theta-join."""
+    from oco3_data_transformer_spark.operators import joins as join_ops
+
+    T0 = dt.datetime(2024, 1, 1)
+    a = spark.createDataFrame([(1, T0, T0)], ["iid", "start", "end"])
+    b = spark.createDataFrame([(2, T0, T0)], ["iid", "start", "end"])
+    plan = join_ops.interval_overlap_join(
+        a, b, "start", "end", "start", "end"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_debounce_burst_end_is_last_event(spark):
+    ev = _ev(spark, [(0, 1, "a", 1.0), (5, 1, "a", 1.0), (12, 1, "a", 1.0)])
+    out = ts_ops.debounce(ev, ["user_id", "event_type"], "ts", "event_id", 10).collect()
+    assert len(out) == 1
+    assert out[0]["burst_end"] == dt.datetime(2024, 1, 1, 0, 0, 12)
