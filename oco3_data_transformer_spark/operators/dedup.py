@@ -697,15 +697,26 @@ def segment_dedup(
     reassembled text (kept compact; a doc whose every segment is
     boilerplate reassembles to the empty string).
 
-    Scale shape: one shuffle to count distinct docs per segment, one
-    shuffle join back (segment keys can be hot — a boilerplate segment by
-    definition occurs in many documents — the join form lets AQE split
-    those), one groupBy(id) to reassemble. Reassembly order is carried by
-    ``array_sort`` over (seg_idx, seg_text) structs, so it is
+    Scale shape (same discipline as :func:`hashed_shingle_table` — full
+    text never crosses a shuffle): the document table pre-exchanges on the
+    unique id, segments are a row-local projection carrying an 8-byte
+    ``xxhash64`` of each segment, the doc-count aggregate ships only
+    (hash, id) pairs, and ONLY the hot set (segments in >= ``min_docs``
+    docs — the boilerplate, small by definition relative to the corpus)
+    joins back, where AQE broadcasts it at runtime when it fits. With a
+    broadcast hot set, the final per-doc reassembly groupBy rides the id
+    pre-exchange — so the full pipeline moves one (hash, id) shuffle plus
+    the hot set, and the segment TEXT stays in its scan-local task from
+    explode to md5. (A hash collision against a hot segment would
+    misclassify one segment; at 10^9 segments the expected count is ~0,
+    the same accepted tradeoff as the shingle table.) Reassembly order is
+    carried by ``array_sort`` over (seg_idx, seg_text) structs —
     partitioning-invariant; ``collect_list`` skips the NULLs that
-    ``when(keep, ...)`` assigns to dropped segments, which removes them
-    without a second pass.
+    ``when(keep, ...)`` assigns to dropped segments.
     """
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     toks = text.tokens(F.col(text_col))
     starts = F.when(
         F.size(toks) > 0, F.sequence(F.lit(1), F.size(toks), F.lit(seg_len))
@@ -718,10 +729,16 @@ def segment_dedup(
             ((F.col("__start") - 1) / seg_len).cast("long").alias("seg_idx"),
             F.array_join(F.slice("__toks", F.col("__start"), seg_len), " ").alias("seg_text"),
         )
+        .withColumn("h", F.xxhash64("seg_text"))
     )
-    cnts = segs.groupBy("seg_text").agg(F.count_distinct("id").alias("n_docs_seg"))
-    joined = segs.join(cnts, "seg_text")
-    keep = F.col("n_docs_seg") < min_docs
+    hot = (
+        segs.select("h", "id")
+        .groupBy("h")
+        .agg(F.count_distinct("id").alias("n_docs_seg"))
+        .filter(F.col("n_docs_seg") >= min_docs)
+    )
+    joined = segs.join(hot, "h", "left")
+    keep = F.col("n_docs_seg").isNull()
     kept_struct = F.when(keep, F.struct(F.col("seg_idx"), F.col("seg_text")))
     return joined.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_seg"),

@@ -222,3 +222,16 @@ def test_edit_distance_verify_rides_candidate_pairs(spark):
     # cartesian/all-pairs shape
     plan = plan_of(spark, "q77_edit_distance_neardup")
     assert "CartesianProduct" not in plan and "levenshtein" in plan
+
+
+def test_segment_dedup_text_never_shuffles(spark):
+    # count branch ships only (hash, id) pairs; the hot (boilerplate) set
+    # broadcasts back at runtime; the reassembly groupBy rides the single
+    # id pre-exchange. Total: one REPARTITION exchange (reused by both
+    # branches) + one (h, id) count exchange — segment TEXT stays task-local.
+    plan = executed_plan_of(spark, "q76_segment_dedup").split("== Initial Plan ==")[0]
+    assert plan.count("ReusedExchange") >= 1
+    assert "BroadcastHashJoin" in plan
+    # count Exchange tree NODES (a ReusedExchange's descriptor line repeats
+    # the text "Exchange hashpartitioning" without being one)
+    assert plan.count("- Exchange hashpartitioning") <= 2
