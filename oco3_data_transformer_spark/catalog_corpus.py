@@ -747,3 +747,32 @@ def q81(spark: SparkSession, sf: str) -> DataFrame:
             F.col("b_window_start").alias("window_start"),
         )
     )
+
+
+@register(
+    "q82_transition_matrix",
+    """
+    WITH p AS (
+        SELECT event_type AS from_state,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+        FROM events),
+    c AS (
+        SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n_transitions
+        FROM p WHERE to_state IS NOT NULL
+        GROUP BY from_state, to_state)
+    SELECT from_state, to_state, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+               / sum(n_transitions) OVER (PARTITION BY from_state) AS p
+    FROM c
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences (counts + per-source-state probabilities) — the "
+    "user-journey profile. One key-partitioned lead-window pass, then a "
+    "|states|^2 aggregate whose exchange moves only map-side-combined "
+    "partials; probabilities are exact integer-ratio doubles.",
+)
+def q82(spark: SparkSession, sf: str) -> DataFrame:
+    return ts_ops.transition_matrix(
+        load(spark, sf, "events"), "user_id", "ts", "event_id", "event_type"
+    )

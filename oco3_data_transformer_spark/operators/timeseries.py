@@ -164,3 +164,39 @@ def rolling_features(
             F.sum(F.col(value_col).cast("decimal(18,6)")).over(w).cast("double"), 6
         ).alias("sum_window"),
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    state_col: str,
+) -> DataFrame:
+    """First-order transition counts and probabilities over each key's
+    event sequence (the Markov-chain / user-journey profile): for every
+    consecutive pair of events per key, count ``state -> next_state`` and
+    normalize per source state.
+
+    Shape: one window pass on the key partitioning, then a global
+    (from_state, to_state) aggregate — its exchange carries at most
+    |states|^2 x partition-count partial rows thanks to map-side combine,
+    and the per-source normalization window runs over that tiny result.
+    Probabilities are exact integer-ratio doubles.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    pairs = (
+        events.withColumn("__next", F.lead(F.col(state_col)).over(w))
+        .filter(F.col("__next").isNotNull())
+        .groupBy(
+            F.col(state_col).alias("from_state"), F.col("__next").alias("to_state")
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_tot = Window.partitionBy("from_state")
+    return pairs.withColumn(
+        "p",
+        F.col("n_transitions").cast("double") / F.sum("n_transitions").over(w_tot),
+    )
