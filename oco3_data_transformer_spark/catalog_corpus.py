@@ -776,3 +776,50 @@ def q82(spark: SparkSession, sf: str) -> DataFrame:
     return ts_ops.transition_matrix(
         load(spark, sf, "events"), "user_id", "ts", "event_id", "event_type"
     )
+
+
+HOP_LEN_S = 3600
+HOP_SLIDE_S = 900
+
+
+@register(
+    "q83_hopping_windows",
+    f"""
+    WITH w AS (
+        SELECT event_type, user_id,
+               make_timestamp(
+                   (epoch_us(ts) // ({HOP_SLIDE_S} * 1000000))
+                       * ({HOP_SLIDE_S} * 1000000)
+                   - CAST(k.k AS BIGINT) * {HOP_SLIDE_S} * 1000000)
+                   AS window_start
+        FROM events, unnest([0, 1, 2, 3]) k(k))
+    SELECT event_type, window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM w GROUP BY event_type, window_start
+    """,
+    doc=f"Hopping (sliding) window aggregation: {HOP_LEN_S // 60}-minute "
+    f"windows every {HOP_SLIDE_S // 60} minutes per event type — counts "
+    "and distinct users. Spark's window() expands each event to its "
+    "len/slide = 4 overlapping windows in a projection (no self-join); "
+    "the aggregate shuffles map-side-combined partials. The identical "
+    "epoch-aligned expansion is spelled out in the oracle with unnest.",
+)
+def q83(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", f"{HOP_LEN_S} seconds", f"{HOP_SLIDE_S} seconds"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            "event_type",
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "n_users",
+        )
+    )

@@ -28,8 +28,9 @@ def time_bound_join(
     watermark: str,
     prefix_left: str = "l_",
     prefix_right: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two (streaming or batch) frames on ``key_cols`` where the
+    """Join two (streaming or batch) frames on ``key_cols`` where the
     right event happens within ``[left_ts, left_ts + bound_s]`` — the
     "click followed by a purchase within N minutes" shape.
 
@@ -38,6 +39,12 @@ def time_bound_join(
     streaming planner can size and evict state. The same expression runs
     identically on batch frames — the equivalence test drives it both
     ways on the same data.
+
+    ``how='left_outer'`` additionally emits left rows that never matched,
+    with nulls on the right — in streaming they surface only once the
+    watermark proves no in-bound right row can still arrive (the
+    "clicks that did NOT convert" feed), which is why outer stream joins
+    REQUIRE the watermark + bound the inner form merely exploits.
     """
     l = left.select(*[F.col(c).alias(prefix_left + c) for c in left.columns])
     r = right.select(*[F.col(c).alias(prefix_right + c) for c in right.columns])
@@ -49,4 +56,4 @@ def time_bound_join(
     cond = (rt >= lt) & (rt <= lt + F.expr(f"INTERVAL {bound_s} SECONDS"))
     for k in key_cols:
         cond = cond & (F.col(prefix_left + k) == F.col(prefix_right + k))
-    return l.join(r, cond)
+    return l.join(r, cond, how)

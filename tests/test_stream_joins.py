@@ -97,3 +97,39 @@ def test_streaming_matches_batch(spark, tmp_path):
         if p[0] != 99  # drop flush-row self-pairs
     ]
     assert got == EXPECT
+
+
+def test_streaming_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    csrc, bsrc = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    flush_c = [(99, 9, T0 + dt.timedelta(days=2))]
+    flush_b = [(98, 9, T0 + dt.timedelta(days=3))]
+    for cwave, bwave in [(CLICKS, BUYS), (flush_c, flush_b)]:
+        spark.createDataFrame(cwave, CLICK_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(csrc)
+        spark.createDataFrame(bwave, BUY_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(bsrc)
+        clicks = spark.readStream.schema(CLICK_SCHEMA).parquet(csrc)
+        buys = spark.readStream.schema(BUY_SCHEMA).parquet(bsrc)
+        q = (
+            sjoins.time_bound_join(
+                clicks, buys, ["user_id"], "ts", "ts", 600, "10 minutes",
+                how="left_outer",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    rows = [r for r in spark.read.parquet(out).collect() if r["l_click_id"] != 99]
+    matched = sorted(
+        (r["l_click_id"], r["r_buy_id"]) for r in rows if r["r_buy_id"] is not None
+    )
+    unmatched = sorted(r["l_click_id"] for r in rows if r["r_buy_id"] is None)
+    assert matched == EXPECT
+    assert unmatched == [3]  # click 3's only candidate buy happened BEFORE it
