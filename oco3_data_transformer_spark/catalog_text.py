@@ -792,9 +792,10 @@ EDIT_MAX_REL = 0.2
     doc=f"Cross-document segment dedup (C4-style line dedup over "
     f"{SEG_LEN}-token segments): segments occurring in >= {SEG_MIN_DOCS} "
     "distinct documents are boilerplate, removed from every document; "
-    "surviving segments reassemble in order (md5-fingerprinted). One "
-    "count shuffle + one join back (AQE splits hot boilerplate keys) + "
-    "one per-doc reassembly groupBy.",
+    "surviving segments reassemble in order (md5-fingerprinted). Segment "
+    "text never crosses a shuffle: the doc-count aggregate ships (8-byte "
+    "hash, id) pairs, only the small hot set joins back (AQE-broadcast), "
+    "and the reassembly groupBy rides the id pre-exchange (plan-asserted).",
 )
 def q76(spark: SparkSession, sf: str) -> DataFrame:
     out = dedup_ops.segment_dedup(

@@ -51,6 +51,9 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource V2 scans (sources/granule_datasource.py) absorb
+        # scalar predicates into the decode task; off by default in 4.1
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
         # Parquet TIMESTAMP(NANOS) (e.g. events.ts) is read as long nanos and

@@ -1,0 +1,160 @@
+"""Granule DataSource V2 (Python Data Source API, Spark 4): the engine's
+custom-source form of the granule scan — ``spark.read.format("granule")``.
+
+SURVEY §4 names "a NetCDF DataSource V2 with column pruning" as the one
+piece of custom Catalyst-adjacent work the reference's projection pushdown
+maps to; ``read_granules`` (granules.py) is the pragmatic ``mapInPandas``
+form, and this module is the real source integration:
+
+  - **planning**: one :class:`InputPartition` per granule file — Spark
+    schedules decode tasks exactly like the reference's granule thread
+    pool (ref sam_extract/main.py:324-329), but across executors.
+  - **projection**: the ``variables`` option (default: every schema
+    column) reaches the decoder, which never materializes unselected
+    variables — the reference's NEEDED∪config projection
+    (ref readers/GranuleReader.py:115-117).
+  - **filter pushdown** (:meth:`GranuleReader.pushFilters`): scalar
+    comparison predicates are absorbed into the scan and applied inside
+    the decode task on the pandas batch — rows die before Arrow
+    serialization, the DataSource-V2 analog of parquet PushedFilters.
+    Unsupported shapes are yielded back for Spark to evaluate.
+  - **schema inference**: without an explicit ``.schema(...)``, the first
+    granule is decoded once on the driver and its dtypes mapped.
+  - **output**: Arrow ``RecordBatch`` per granule (zero row-by-row Python).
+
+Register per session with ``spark.dataSource.register(GranuleDataSource)``.
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import operator
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from . import granules as granules_mod
+
+_PUSHABLE = {
+    EqualTo: operator.eq,
+    GreaterThan: operator.gt,
+    GreaterThanOrEqual: operator.ge,
+    LessThan: operator.lt,
+    LessThanOrEqual: operator.le,
+}
+
+
+def _infer_schema(pdf: pd.DataFrame) -> T.StructType:
+    fields = [T.StructField("granule", T.StringType())]
+    for name in pdf.columns:
+        dt = pdf[name].dtype
+        if dt == np.int64:
+            spark_t: T.DataType = T.LongType()
+        elif dt == np.int32:
+            spark_t = T.IntegerType()
+        elif dt == np.int8:
+            spark_t = T.ByteType()
+        elif dt == np.float32:
+            spark_t = T.FloatType()
+        elif dt == np.float64:
+            spark_t = T.DoubleType()
+        elif dt == object and len(pdf) and isinstance(pdf[name].iloc[0], np.ndarray):
+            elem = pdf[name].iloc[0].dtype
+            spark_t = T.ArrayType(
+                T.FloatType() if elem == np.float32 else T.DoubleType()
+            )
+        else:
+            spark_t = T.StringType()
+        fields.append(T.StructField(name, spark_t))
+    return T.StructType(fields)
+
+
+class GranulePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class GranuleReader(DataSourceReader):
+    def __init__(self, options, schema: T.StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("granule source requires a path")
+        self.fmt = options.get("granule_format", "npz")
+        self.out_schema = schema
+        variables = options.get("variables")
+        self.variables = (
+            variables.split(",")
+            if variables
+            else [f.name for f in schema.fields if f.name != "granule"]
+        )
+        self.pushed: list = []
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if type(f) in _PUSHABLE and len(f.attribute) == 1:
+                self.pushed.append(f)  # absorbed: applied in read()
+            else:
+                yield f  # Spark evaluates post-scan
+
+    def partitions(self):
+        paths = sorted(globlib.glob(self.path))
+        if not paths:
+            raise FileNotFoundError(f"no granules match {self.path}")
+        return [GranulePartition(p) for p in paths]
+
+    def read(self, partition: GranulePartition) -> Iterator:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        decoder = granules_mod.DECODERS[self.fmt]
+        with open(partition.path, "rb") as fh:
+            pdf = decoder(fh.read(), self.variables)
+        pdf["granule"] = partition.path.rsplit("/", 1)[-1]
+        for f in self.pushed:
+            col = f.attribute[0]
+            if col in pdf.columns:
+                pdf = pdf[_PUSHABLE[type(f)](pdf[col], f.value)]
+        out_cols = [f.name for f in self.out_schema.fields]
+        for c in out_cols:
+            if c not in pdf.columns:
+                pdf[c] = None
+        arrow_schema = to_arrow_schema(self.out_schema)
+        yield pa.RecordBatch.from_pandas(
+            pdf[out_cols], schema=arrow_schema, preserve_index=False
+        )
+
+
+class GranuleDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "granule"
+
+    def schema(self) -> T.StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("granule source requires a path")
+        paths = sorted(globlib.glob(path))
+        if not paths:
+            raise FileNotFoundError(f"no granules match {path}")
+        fmt = self.options.get("granule_format", "npz")
+        variables = self.options.get("variables")
+        with open(paths[0], "rb") as fh:
+            pdf = granules_mod.DECODERS[fmt](
+                fh.read(), variables.split(",") if variables else None
+            )
+        return _infer_schema(pdf)
+
+    def reader(self, schema: T.StructType) -> GranuleReader:
+        return GranuleReader(self.options, schema)

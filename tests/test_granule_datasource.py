@@ -1,0 +1,114 @@
+"""Python DataSource V2 granule source (sources/granule_datasource.py):
+spark.read.format('granule') with schema inference, per-file partitions,
+decoder-level projection, and absorbed filter pushdown — result-checked
+against the mapInPandas reader on the same files."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from oco3_data_transformer_spark.sources import granules as G
+from oco3_data_transformer_spark.sources.granule_datasource import GranuleDataSource
+
+
+def _write_granule(path, n=10, seed=1):
+    rng = np.random.default_rng(seed)
+    xco2 = rng.normal(400, 1, n)
+    xco2[0] = G.FILL_VALUE_DEFAULT
+    np.savez(
+        path,
+        sounding_idx=np.arange(n, dtype=np.int64),
+        operation_mode=rng.choice([0, 2, 4], n).astype(np.int8),
+        xco2=xco2,
+        vertex_latitude=rng.normal(10, 0.1, (n, 4)).astype(np.float32),
+    )
+
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("granule", T.StringType()),
+        T.StructField("sounding_idx", T.LongType()),
+        T.StructField("operation_mode", T.ByteType()),
+        T.StructField("xco2", T.DoubleType()),
+        T.StructField("vertex_latitude", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+@pytest.fixture()
+def granule_dir(spark, tmp_path):
+    # runtime conf: the session may predate the session.py default
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(GranuleDataSource)
+    _write_granule(tmp_path / "g1.npz", n=10, seed=1)
+    _write_granule(tmp_path / "g2.npz", n=7, seed=2)
+    return str(tmp_path)
+
+
+def test_datasource_matches_mapinpandas_reader(spark, granule_dir):
+    via_ds = (
+        spark.read.format("granule")
+        .schema(SCHEMA)
+        .load(f"{granule_dir}/*.npz")
+    )
+    via_mp = G.read_granules(spark, f"{granule_dir}/*.npz", SCHEMA)
+    canon = lambda df: sorted(
+        (r["granule"], r["sounding_idx"], r["operation_mode"],
+         None if r["xco2"] is None else round(r["xco2"], 9),
+         tuple(round(float(v), 5) for v in r["vertex_latitude"]))
+        for r in df.collect()
+    )
+    assert canon(via_ds) == canon(via_mp)
+    assert via_ds.count() == 17
+
+
+def test_schema_inference(spark, granule_dir):
+    df = spark.read.format("granule").load(f"{granule_dir}/*.npz")
+    got = {f.name: f.dataType for f in df.schema.fields}
+    assert got["sounding_idx"] == T.LongType()
+    assert got["operation_mode"] == T.ByteType()
+    assert got["xco2"] == T.DoubleType()
+    assert got["vertex_latitude"] == T.ArrayType(T.FloatType())
+    assert df.count() == 17
+
+
+def test_filter_pushdown_absorbed_and_correct(spark, granule_dir):
+    df = (
+        spark.read.format("granule")
+        .schema(SCHEMA)
+        .load(f"{granule_dir}/*.npz")
+        .filter((F.col("operation_mode") == 4) & (F.col("xco2") > 399.0))
+    )
+    rows = df.collect()
+    assert all(r["operation_mode"] == 4 and r["xco2"] > 399.0 for r in rows)
+    # same predicate via the plain reader agrees
+    want = (
+        G.read_granules(spark, f"{granule_dir}/*.npz", SCHEMA)
+        .filter((F.col("operation_mode") == 4) & (F.col("xco2") > 399.0))
+        .count()
+    )
+    assert len(rows) == want > 0
+    # pushFilters absorbed both comparisons (reader state is the contract;
+    # the Python DS plan does not print a PushedFilters line)
+    reader = GranuleDataSource({"path": f"{granule_dir}/*.npz"}).reader(SCHEMA)
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    leftover = list(
+        reader.pushFilters(
+            [EqualTo(("operation_mode",), 4), GreaterThan(("xco2",), 399.0)]
+        )
+    )
+    assert leftover == [] and len(reader.pushed) == 2
+
+
+def test_one_partition_per_granule(spark, granule_dir):
+    reader = GranuleDataSource(
+        {"path": f"{granule_dir}/*.npz"}
+    ).reader(SCHEMA)
+    assert [p.path.rsplit("/", 1)[-1] for p in reader.partitions()] == [
+        "g1.npz",
+        "g2.npz",
+    ]
