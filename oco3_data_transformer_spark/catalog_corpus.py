@@ -823,3 +823,112 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q84_set_ops",
+    """
+    WITH a AS (SELECT DISTINCT md5(text) AS digest FROM documents
+               WHERE source IN ('src0','src1','src2','src3','src4')),
+    b AS (SELECT DISTINCT md5(text) AS digest FROM documents
+          WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+    i AS (SELECT digest FROM a INTERSECT SELECT digest FROM b),
+    ea AS (SELECT digest FROM a EXCEPT SELECT digest FROM b),
+    eb AS (SELECT digest FROM b EXCEPT SELECT digest FROM a)
+    SELECT 'intersect' AS op, CAST(count(*) AS BIGINT) AS n FROM i
+    UNION ALL
+    SELECT 'only_a' AS op, CAST(count(*) AS BIGINT) AS n FROM ea
+    UNION ALL
+    SELECT 'only_b' AS op, CAST(count(*) AS BIGINT) AS n FROM eb
+    """,
+    doc="Set operations (O4 beyond union): content-digest INTERSECT / "
+    "EXCEPT between two source groups — 'which texts appear in both "
+    "halves of the corpus, which are exclusive'. Spark plans INTERSECT/"
+    "EXCEPT as left-semi/left-anti hash joins over the distinct sets — "
+    "same shuffle discipline as every other digest operator.",
+)
+def q84(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    grp_a = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    a = docs.filter(grp_a).select(F.md5("text").alias("digest")).distinct()
+    b = docs.filter(~grp_a).select(F.md5("text").alias("digest")).distinct()
+    def tagged(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(op).alias("op"), F.col("n")
+        )
+    return (
+        tagged(a.intersect(b), "intersect")
+        .unionByName(tagged(a.subtract(b), "only_a"))
+        .unionByName(tagged(b.subtract(a), "only_b"))
+    )
+
+
+@register(
+    "q85_pivot",
+    """
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot long->wide: per-user event counts spread into one column "
+    "per event type. The value list is EXPLICIT (pivot('event_type', "
+    "[...])) so Spark skips the extra distinct-values job and the output "
+    "schema is deterministic — the rule for pivots at scale; the "
+    "aggregate itself is one map-side-combined exchange, identical to a "
+    "plain groupBy.",
+)
+def q85(spark: SparkSession, sf: str) -> DataFrame:
+    out = (
+        load(spark, sf, "events")
+        .groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )
+
+
+@register(
+    "q86_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, measure, value
+    FROM (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+               CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice',
+               CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount',
+               CAST(l_discount AS DOUBLE) FROM lineitem)
+    WHERE value IS NOT NULL
+    """,
+    doc="Unpivot wide->long (the melt the sink layer uses to turn gridded "
+    "variables into store rows, sinks/export.py melt_values): three "
+    "measure columns become (measure, value) pairs. Spark's unpivot/"
+    "Expand emits all measures in ONE scan pass — the oracle spells the "
+    "same result as a 3-way UNION ALL, which would scan three times "
+    "without columnar sharing.",
+)
+def q86(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount"],
+        "measure",
+        "value",
+    )
