@@ -112,3 +112,38 @@ def test_one_partition_per_granule(spark, granule_dir):
         "g1.npz",
         "g2.npz",
     ]
+
+
+def test_streaming_granule_source(spark, tmp_path):
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(GranuleDataSource)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _write_granule(drop / "g1.npz", n=10, seed=1)
+
+    def run_once():
+        q = (
+            spark.readStream.format("granule")
+            .schema(SCHEMA)
+            .load(f"{drop}/*.npz")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 10
+    # second drop: only the NEW granule is delivered (offset = seen files)
+    _write_granule(drop / "g2.npz", n=7, seed=2)
+    run_once()
+    df = spark.read.parquet(out)
+    assert df.count() == 17
+    assert df.filter(F.col("granule") == "g2.npz").count() == 7
+    # re-running with no new files delivers nothing
+    run_once()
+    assert spark.read.parquet(out).count() == 17
