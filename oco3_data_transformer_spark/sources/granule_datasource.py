@@ -44,6 +44,8 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    DataSourceWriter,
+    WriterCommitMessage,
 )
 
 from . import granules as granules_mod
@@ -163,6 +165,9 @@ class GranuleDataSource(DataSource):
     def simpleStreamReader(self, schema: T.StructType) -> "GranuleStreamReader":
         return GranuleStreamReader(self.options, schema)
 
+    def writer(self, schema: T.StructType, overwrite: bool) -> "GranuleWriter":
+        return GranuleWriter(self.options, schema, overwrite)
+
 
 class GranuleStreamReader(SimpleDataSourceStreamReader):
     """Streaming form of the granule scan: a file-drop directory becomes a
@@ -225,3 +230,102 @@ class GranuleStreamReader(SimpleDataSourceStreamReader):
         want = set(end["seen"]) - set(start["seen"])
         paths = [p for p in sorted(globlib.glob(self.path)) if p.rsplit("/", 1)[-1] in want]
         return self._rows_for(paths)
+
+
+def _np_dtype_for(spark_t: T.DataType):
+    if isinstance(spark_t, T.ByteType):
+        return np.int8
+    if isinstance(spark_t, T.IntegerType):
+        return np.int32
+    if isinstance(spark_t, T.LongType):
+        return np.int64
+    if isinstance(spark_t, T.FloatType):
+        return np.float32
+    return np.float64
+
+
+class GranuleWriteMessage(WriterCommitMessage):
+    def __init__(self, files: list[str]):
+        self.files = files
+
+
+class GranuleWriter(DataSourceWriter):
+    """Write path: ``df.write.format("granule").save(dir)`` emits one npz
+    file per distinct ``granule`` value in each task (repartition the frame
+    by ``granule`` first so a granule's rows land in one task and one
+    file) — the engine's runnable dense-export container, mirroring the
+    reference's one-file-per-product writers (ref writers/NetCDFWriter.py,
+    CoGWriter.py naming discipline).
+
+    Dtypes follow the WRITE schema (byte stays int8, float arrays stay
+    float32), and float NaNs are re-encoded as the granule fill value, so
+    a write→read round trip through :class:`GranuleReader` is exact.
+    ``commit`` writes a ``_SUCCESS`` manifest listing every file reported
+    by task commit messages — readers can treat its absence as an aborted
+    write (the job-commit contract Hadoop committers give file sinks).
+    """
+
+    def __init__(self, options, schema: T.StructType, overwrite: bool):
+        import os
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("granule sink requires a path")
+        self.schema = schema
+        os.makedirs(self.path, exist_ok=True)
+        if overwrite:
+            for f in globlib.glob(os.path.join(self.path, "*.npz")):
+                os.remove(f)
+
+    def write(self, rows) -> GranuleWriteMessage:
+        import os
+
+        by_granule: dict[str, list] = {}
+        for row in rows:
+            by_granule.setdefault(row["granule"], []).append(row)
+        files = []
+        for granule, grp in by_granule.items():
+            arrays = {}
+            for field in self.schema.fields:
+                if field.name == "granule":
+                    continue
+                vals = [r[field.name] for r in grp]
+                if isinstance(field.dataType, T.ArrayType):
+                    elem = _np_dtype_for(field.dataType.elementType)
+                    arrays[field.name] = np.stack(
+                        [np.asarray(v, dtype=elem) for v in vals]
+                    )
+                else:
+                    arr = np.asarray(
+                        [np.nan if v is None else v for v in vals],
+                        dtype=_np_dtype_for(field.dataType),
+                    )
+                    if arr.dtype.kind == "f":
+                        arr = np.where(
+                            np.isnan(arr), granules_mod.FILL_VALUE_DEFAULT, arr
+                        )
+                    arrays[field.name] = arr
+            name = granule if granule.endswith(".npz") else granule + ".npz"
+            out = os.path.join(self.path, name)
+            np.savez(out, **arrays)
+            files.append(name)
+        return GranuleWriteMessage(files)
+
+    def commit(self, messages) -> None:
+        import os
+
+        files = sorted(f for m in messages if m is not None for f in m.files)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write("\n".join(files))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            for f in m.files:
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except OSError:
+                    pass

@@ -147,3 +147,32 @@ def test_streaming_granule_source(spark, tmp_path):
     # re-running with no new files delivers nothing
     run_once()
     assert spark.read.parquet(out).count() == 17
+
+
+def test_write_read_roundtrip(spark, granule_dir, tmp_path):
+    out = str(tmp_path / "written")
+    src = (
+        spark.read.format("granule").schema(SCHEMA).load(f"{granule_dir}/*.npz")
+    )
+    # one task per granule so each npz is written whole
+    src.repartition(2, "granule").write.format("granule").mode("overwrite").save(out)
+
+    import os
+
+    assert sorted(os.listdir(out)) == ["_SUCCESS", "g1.npz", "g2.npz"]
+    manifest = open(os.path.join(out, "_SUCCESS")).read().splitlines()
+    assert manifest == ["g1.npz", "g2.npz"]
+
+    back = spark.read.format("granule").schema(SCHEMA).load(f"{out}/*.npz")
+    canon = lambda df: sorted(
+        (r["granule"], r["sounding_idx"], r["operation_mode"],
+         None if r["xco2"] is None else round(r["xco2"], 9),
+         tuple(round(float(v), 5) for v in r["vertex_latitude"]))
+        for r in df.collect()
+    )
+    assert canon(back) == canon(src)
+    # dtype fidelity survives the round trip (byte stays int8 in the file)
+    z = np.load(os.path.join(out, "g1.npz"))
+    assert z["operation_mode"].dtype == np.int8
+    assert z["vertex_latitude"].dtype == np.float32
+    assert (z["xco2"] == G.FILL_VALUE_DEFAULT).sum() == 1  # NaN re-encoded
