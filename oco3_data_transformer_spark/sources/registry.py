@@ -47,3 +47,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if name in NANO_TS_COLS and col in NANO_TS_COLS[name] and dtype == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
+
+
+def create_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view so the full catalog surface is
+    reachable through plain ``spark.sql(...)`` — the SQL-first entry point
+    (the DataFrame catalog and SQL strings compile to the same Catalyst
+    plans, so pushdown/pruning/broadcast behavior is identical)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -30,3 +30,34 @@ def test_queries_and_oracles_consistent():
         "q42_oco3_pipeline", "q43_image_features",
         "q44_oco3_global_raster", "q53_audio_features",
     }
+
+
+def test_sql_views_equal_dataframe_path(spark):
+    """create_views exposes the tables to spark.sql; a SQL formulation of
+    q01 matches the DataFrame catalog query exactly."""
+    from oco3_data_transformer_spark.catalog import REGISTRY
+    from oco3_data_transformer_spark.sources.registry import create_views
+
+    sf = "/root/testdata/sf0.001"
+    create_views(spark, sf)
+    via_sql = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+    via_df = REGISTRY["q01_pricing_summary"].fn(spark, sf)
+    sql_rows = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["sum_qty"], r["count_order"])
+        for r in via_sql.collect()
+    }
+    df_rows = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["sum_qty"], r["count_order"])
+        for r in via_df.select(
+            "l_returnflag", "l_linestatus", "sum_qty", "count_order"
+        ).collect()
+    }
+    assert sql_rows == df_rows
