@@ -207,3 +207,81 @@ def test_debounce_burst_end_is_last_event(spark):
     out = ts_ops.debounce(ev, ["user_id", "event_type"], "ts", "event_id", 10).collect()
     assert len(out) == 1
     assert out[0]["burst_end"] == dt.datetime(2024, 1, 1, 0, 0, 12)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property tests
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _ref_debounce(times: list[int], gap_s: int) -> list[tuple[int, int, int]]:
+    """Reference loop: (burst_start, burst_end, n) over sorted times."""
+    out = []
+    for t in sorted(times):
+        if out and t - out[-1][1] <= gap_s:
+            s, _, n = out[-1]
+            out[-1] = (s, t, n + 1)
+        else:
+            out.append((t, t, 1))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2000), min_size=1, max_size=40))
+def test_debounce_property_matches_reference_loop(spark, times):
+    ev = _ev(spark, [(t, 1, "a", 0.0) for t in times])
+    got = sorted(
+        (int(r["burst_start"].timestamp() - dt.datetime(2024, 1, 1).timestamp()),
+         int(r["burst_end"].timestamp() - dt.datetime(2024, 1, 1).timestamp()),
+         r["n_events"])
+        for r in ts_ops.debounce(ev, ["user_id", "event_type"], "ts", "event_id", 30).collect()
+    )
+    assert got == _ref_debounce(times, 30)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=12),
+        min_size=1, max_size=12,
+    )
+)
+def test_segment_dedup_property(spark, token_lists):
+    """Invariants on random corpora: every doc appears once; n_seg matches
+    ceil(len/seg_len); a doc's dropped+kept partition is consistent with a
+    reference recount of segment document-frequencies."""
+    import math
+
+    seg_len = 2
+    min_docs = 2
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    # reference: segment table + doc-frequency
+    segs_by_doc = {}
+    from collections import defaultdict
+
+    seg_docs = defaultdict(set)
+    for i, toks in enumerate(token_lists):
+        segs = [" ".join(toks[j:j + seg_len]) for j in range(0, len(toks), seg_len)]
+        segs_by_doc[i] = segs
+        for s in segs:
+            seg_docs[s].add(i)
+    out = {
+        r["id"]: r
+        for r in dedup_ops.segment_dedup(
+            spark.createDataFrame(docs, ["doc_id", "text"]), "doc_id", "text",
+            seg_len=seg_len, min_docs=min_docs,
+        ).collect()
+    }
+    assert set(out) == set(range(len(token_lists)))
+    for i, toks in enumerate(token_lists):
+        r = out[i]
+        assert r["n_seg"] == math.ceil(len(toks) / seg_len)
+        want_dropped = sum(
+            1 for s in segs_by_doc[i] if len(seg_docs[s]) >= min_docs
+        )
+        assert r["n_seg_dropped"] == want_dropped
+        kept = " ".join(s for s in segs_by_doc[i] if len(seg_docs[s]) < min_docs)
+        assert r["clean_md5"] == _md5(kept)
