@@ -22,6 +22,12 @@ form, and this module is the real source integration:
     granule is decoded once on the driver and its dtypes mapped.
   - **output**: Arrow ``RecordBatch`` per granule (zero row-by-row Python).
 
+The format covers all four corners: batch read (:class:`GranuleReader`),
+batch write (:class:`GranuleWriter`, ``df.write.format("granule")``),
+streaming read (:class:`GranuleStreamReader`, file-drop offsets), and
+streaming write (:class:`GranuleStreamWriter`, per-batch idempotent
+manifest).
+
 Register per session with ``spark.dataSource.register(GranuleDataSource)``.
 """
 
@@ -45,6 +51,7 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
     DataSourceWriter,
+    DataSourceStreamWriter,
     WriterCommitMessage,
 )
 
@@ -167,6 +174,9 @@ class GranuleDataSource(DataSource):
 
     def writer(self, schema: T.StructType, overwrite: bool) -> "GranuleWriter":
         return GranuleWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool) -> "GranuleStreamWriter":
+        return GranuleStreamWriter(self.options, schema)
 
 
 class GranuleStreamReader(SimpleDataSourceStreamReader):
@@ -329,3 +339,45 @@ class GranuleWriter(DataSourceWriter):
                     os.remove(os.path.join(self.path, f))
                 except OSError:
                     pass
+
+
+class GranuleStreamWriter(DataSourceStreamWriter):
+    """Streaming write path — ``writeStream.format("granule")``: each
+    micro-batch's rows are written as npz granules by the same per-task
+    logic as the batch :class:`GranuleWriter`, and ``commit`` appends the
+    batch's files to a ``_batches`` manifest keyed by batch id. Replayed
+    batches (restart after a crash between sink write and checkpoint
+    commit) overwrite the same granule filenames and re-record the same
+    manifest line — idempotent, which is what upgrades the source's
+    at-least-once delivery to effectively-once end-to-end (the engine's
+    standing answer to the reference's ack/requeue semantics,
+    ref main.py:715-735).
+    """
+
+    def __init__(self, options, schema: T.StructType):
+        self._delegate = GranuleWriter(options, schema, overwrite=False)
+        self.path = self._delegate.path
+
+    def write(self, rows) -> GranuleWriteMessage:
+        return self._delegate.write(rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        files = sorted(f for m in messages if m is not None for f in m.files)
+        record = json.dumps({"batch": batchId, "files": files})
+        manifest = os.path.join(self.path, "_batches")
+        lines = []
+        if os.path.exists(manifest):
+            lines = [
+                ln
+                for ln in open(manifest).read().splitlines()
+                if json.loads(ln)["batch"] != batchId  # replay overwrites
+            ]
+        lines.append(record)
+        with open(manifest, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    def abort(self, messages, batchId: int) -> None:
+        self._delegate.abort(messages)

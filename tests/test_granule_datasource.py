@@ -176,3 +176,60 @@ def test_write_read_roundtrip(spark, granule_dir, tmp_path):
     assert z["operation_mode"].dtype == np.int8
     assert z["vertex_latitude"].dtype == np.float32
     assert (z["xco2"] == G.FILL_VALUE_DEFAULT).sum() == 1  # NaN re-encoded
+
+
+def test_stream_writer_end_to_end(spark, tmp_path):
+    """parquet file-drop -> writeStream.format('granule'): npz granules
+    appear per micro-batch with a batch manifest; the written files read
+    back exactly through the batch reader."""
+    import json
+    import os
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(GranuleDataSource)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "npz_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop_and_run(granule_name, n, seed):
+        import pandas as pd
+
+        rng = np.random.default_rng(seed)
+        pdf = pd.DataFrame(
+            {
+                "granule": granule_name,
+                "sounding_idx": np.arange(n, dtype=np.int64),
+                "operation_mode": rng.choice([0, 2, 4], n).astype(np.int8),
+                "xco2": rng.normal(400, 1, n),
+                "vertex_latitude": list(
+                    rng.normal(10, 0.1, (n, 4)).astype(np.float32)
+                ),
+            }
+        )
+        spark.createDataFrame(pdf, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .repartition(1, "granule")
+            .writeStream.format("granule")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drop_and_run("s1.npz", 6, 1)
+    drop_and_run("s2.npz", 4, 2)
+    assert sorted(f for f in os.listdir(out) if f.endswith(".npz")) == [
+        "s1.npz",
+        "s2.npz",
+    ]
+    batches = [json.loads(l) for l in open(os.path.join(out, "_batches"))]
+    assert {b["batch"] for b in batches} == {0, 1}
+    assert sorted(sum((b["files"] for b in batches), [])) == ["s1.npz", "s2.npz"]
+    back = spark.read.format("granule").schema(SCHEMA).load(f"{out}/*.npz")
+    assert back.count() == 10
+    assert back.filter(F.col("granule") == "s2.npz").count() == 4
