@@ -48,6 +48,9 @@ class DeployConfig:
     date_ranges: dict = field(default_factory=dict)
     # (mission, start_day, end_day) inclusive known gaps (ref run.py:86-98)
     known_gaps: tuple = ()
+    # optional continuous aggregate: refresh the monthly rollup for the
+    # months each cycle's writes invalidated (sinks/store.rollup_refresh)
+    rollup_path: str | None = None
 
 
 def classify_availability(
@@ -192,6 +195,15 @@ def run_deploy(
         .partitionBy("day")
         .parquet(cfg.ledger_path)
     )
+    if cfg.rollup_path is not None:
+        touched = (
+            spark.read.parquet(cfg.store_path)
+            .select("mission", "qf", "day")
+            .distinct()
+            .filter(F.col("day").isin(done_days))
+        )
+        store_ops.rollup_refresh(spark, cfg.store_path, cfg.rollup_path, touched)
+
     # A7: refresh store-level coverage attrs after a successful cycle
     report["attrs"] = store_ops.write_attrs(spark, cfg.store_path)
     return report

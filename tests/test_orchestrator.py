@@ -215,3 +215,59 @@ target-file: {{oco3: {tmp_path}/targets.json}}
     assert {r.granule for r in spark.read.parquet(f"{tmp_path}/store_ledger").collect()} == {
         str(g1), str(g2)
     }
+
+
+def test_deploy_maintains_rollup(spark, tmp_path):
+    """With rollup_path set, a deploy cycle's append AND a later repair
+    cycle both leave the rollup identical to a full rebuild."""
+    import datetime as dt
+
+    from oco3_data_transformer_spark import orchestrator as orch
+    from oco3_data_transformer_spark.schemas import STORE_SLICE
+    from oco3_data_transformer_spark.sinks import store
+
+    cfg = orch.DeployConfig(
+        store_path=str(tmp_path / "store"),
+        ledger_path=str(tmp_path / "ledger"),
+        missions=("oco3",),
+        rollup_path=str(tmp_path / "rollup"),
+    )
+    day = dt.date(2024, 3, 1)
+
+    def transform_factory(value):
+        def transform(batch):
+            rows = [
+                ("oco3", "t1", "pre", dt.datetime(2024, 3, 1), 0, 0, "xco2", value),
+                ("oco3", "t1", "pre", dt.datetime(2024, 3, 1), 1, 1, "xco2", value + 1),
+            ]
+            return spark.createDataFrame(rows, STORE_SLICE)
+
+        return transform
+
+    feats = spark.createDataFrame(
+        [("g1", "oco3", day)], orch.FEATURES_SCHEMA
+    )
+    r1 = orch.run_deploy(spark, feats, transform_factory(1.0), cfg)
+    assert r1["rows_appended"] == 2
+
+    def canon(path):
+        df = spark.read.parquet(path)
+        return sorted(
+            tuple(str(v) for v in row)
+            for row in df.select(*sorted(df.columns)).collect()
+        )
+
+    full = str(tmp_path / "full")
+    store.rollup_refresh(spark, cfg.store_path, full, None)
+    assert canon(cfg.rollup_path) == canon(full)
+
+    # repair cycle: new granule for the processed day -> upsert, new values
+    feats2 = spark.createDataFrame(
+        [("g1", "oco3", day), ("g2", "oco3", day)], orch.FEATURES_SCHEMA
+    )
+    r2 = orch.run_deploy(spark, feats2, transform_factory(10.0), cfg)
+    assert r2["rows_repaired"] == 2
+    store.rollup_refresh(spark, cfg.store_path, full, None)
+    assert canon(cfg.rollup_path) == canon(full)
+    monthly = store.rollup_monthly(spark, cfg.rollup_path).collect()
+    assert len(monthly) == 1 and monthly[0]["mean_value"] == 10.5
