@@ -721,18 +721,29 @@ def segment_dedup(
     starts = F.when(
         F.size(toks) > 0, F.sequence(F.lit(1), F.size(toks), F.lit(seg_len))
     ).otherwise(F.array().cast("array<int>"))
+    # the segment hash is computed over the token-slice ARRAY (xxhash64 of
+    # a structured value) — equal token slices hash equal, and the count
+    # branch (which recomputes this subtree via DAG recompute) never pays
+    # the array_join string build; only the reassembly branch materializes
+    # the segment text it will emit
+    seg_slice = F.slice("__toks", F.col("__start"), seg_len)
     segs = (
         df.select(F.col(id_col).alias("id"), toks.alias("__toks"), starts.alias("__starts"))
         .select("id", "__toks", F.explode("__starts").alias("__start"))
         .select(
             "id",
             ((F.col("__start") - 1) / seg_len).cast("long").alias("seg_idx"),
-            F.array_join(F.slice("__toks", F.col("__start"), seg_len), " ").alias("seg_text"),
+            F.array_join(seg_slice, " ").alias("seg_text"),
+            F.xxhash64(seg_slice).alias("h"),
         )
-        .withColumn("h", F.xxhash64("seg_text"))
+    )
+    counts_side = (
+        df.select(F.col(id_col).alias("id"), toks.alias("__toks"), starts.alias("__starts"))
+        .select("id", "__toks", F.explode("__starts").alias("__start"))
+        .select("id", F.xxhash64(seg_slice).alias("h"))
     )
     hot = (
-        segs.select("h", "id")
+        counts_side
         .groupBy("h")
         .agg(F.count_distinct("id").alias("n_docs_seg"))
         .filter(F.col("n_docs_seg") >= min_docs)
