@@ -1198,3 +1198,4 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
 from . import catalog_text  # noqa: E402,F401  (import-time registration)
 from . import catalog_kernels  # noqa: E402,F401  (import-time registration)
 from . import catalog_corpus  # noqa: E402,F401  (import-time registration)
+from . import catalog_curation  # noqa: E402,F401  (import-time registration)

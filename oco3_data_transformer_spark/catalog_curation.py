@@ -1,0 +1,244 @@
+"""Catalog part 5: corpus-curation operators — semantic (embedding-space)
+dedup, incremental delta-vs-index admission, hashed-feature quality scoring,
+and BPE merge statistics. Registered into the same REGISTRY as the
+relational catalog.
+
+These extend the training-data-pipeline layer (catalog_text / catalog_corpus)
+with the curation decisions a continuously-growing 100 TB corpus makes per
+increment: which new documents to admit, which vectors are semantic
+duplicates, which documents a quality model keeps, and what a tokenizer's
+next merge should be.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import register
+from .functions import text, vector
+from .operators import dedup as dedup_ops
+from .operators import similarity as sim_ops
+from .sources.registry import load
+
+SEMDEDUP_T = 0.40  # same cosine near-dup threshold as q35
+INCR_JACCARD_T = 0.5
+INCR_NGRAM_N = 3
+
+
+# ---------------------------------------------------------------------------
+# q87 — SemDeDup-style semantic dedup (cluster-scoped cosine prune)
+# ---------------------------------------------------------------------------
+
+def _q87_sql() -> str:
+    cos_init = vector.cosine_sql("e.embedding", "c.centroid")
+    cos_pair = vector.cosine_sql("x.embedding", "y.embedding")
+    return f"""
+    WITH init AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+        FROM embeddings ORDER BY vec_id LIMIT 8),
+    a1 AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id ORDER BY {cos_init} DESC, c.cell) AS rk
+            FROM embeddings e CROSS JOIN init c) WHERE rk = 1),
+    flat AS (
+        SELECT cell, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM a1),
+    upd AS (
+        SELECT cell, list(m ORDER BY pos) AS centroid
+        FROM (SELECT cell, pos, avg(x) AS m FROM flat GROUP BY cell, pos)
+        GROUP BY cell),
+    c1 AS (
+        SELECT i.cell, coalesce(u.centroid, i.centroid) AS centroid
+        FROM init i LEFT JOIN upd u ON i.cell = u.cell),
+    a2 AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id ORDER BY {cos_init} DESC, c.cell) AS rk
+            FROM embeddings e CROSS JOIN c1 c) WHERE rk = 1),
+    pairs AS (
+        SELECT x.vec_id AS ida, y.vec_id AS idb
+        FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        WHERE {cos_pair} >= {SEMDEDUP_T}),
+    dropped AS (SELECT DISTINCT idb FROM pairs)
+    SELECT cell,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(count(d.idb) AS BIGINT) AS n_dropped,
+           CAST(count(*) - count(d.idb) AS BIGINT) AS n_kept
+    FROM a2 LEFT JOIN dropped d ON a2.vec_id = d.idb
+    GROUP BY cell
+    """
+
+
+@register(
+    "q87_semantic_dedup",
+    _q87_sql(),
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023): k-means cell "
+    "assignment (q50's build), within-cell cosine near-dup pairs, drop "
+    "every vector with a smaller-id neighbor >= 0.40 — per-cell prune "
+    "profile. The O(n^2) cosine search is confined to cells (pair work = "
+    "sum of |cell|^2, and nlist grows with the corpus so cells stay "
+    "bounded); the cell self-join AQE-skew-splits a hot cell.",
+)
+def q87(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    cents = sim_ops.kmeans_centroids(emb, k=8, iters=1)
+    return sim_ops.semantic_dedup(emb, cents, SEMDEDUP_T)
+
+
+# ---------------------------------------------------------------------------
+# q88 — incremental delta-vs-index dedup (corpus admission)
+# ---------------------------------------------------------------------------
+
+_Q88_SQL = f"""
+    WITH delta AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 5 = 0),
+    idx AS (SELECT doc_id AS iid, text AS itext FROM documents WHERE doc_id % 5 <> 0),
+    dsh AS (
+        SELECT DISTINCT id AS did, u.shingle
+        FROM delta, unnest({text.word_ngrams_sql('text', INCR_NGRAM_N)}) u(shingle)),
+    ish AS (
+        SELECT DISTINCT iid, u.shingle
+        FROM idx, unnest({text.word_ngrams_sql('itext', INCR_NGRAM_N)}) u(shingle)),
+    dsz AS (SELECT did, count(*) AS n_d FROM dsh GROUP BY did),
+    isz AS (SELECT iid, count(*) AS n_i FROM ish GROUP BY iid),
+    inter AS (
+        SELECT d.did, i.iid, count(*) AS n_common
+        FROM dsh d JOIN ish i ON d.shingle = i.shingle
+        GROUP BY d.did, i.iid),
+    near AS (
+        SELECT did AS id,
+               max(CAST(n_common AS DOUBLE) / (n_d + n_i - n_common)) AS max_jacc
+        FROM inter JOIN dsz USING (did) JOIN isz USING (iid)
+        GROUP BY did),
+    exact AS (
+        SELECT DISTINCT d.id FROM delta d JOIN idx i ON md5(d.text) = md5(i.itext))
+    SELECT d.id,
+           CASE WHEN e.id IS NOT NULL THEN 'exact_dup'
+                WHEN n.max_jacc >= {INCR_JACCARD_T} THEN 'near_dup'
+                ELSE 'new' END AS verdict,
+           round(coalesce(n.max_jacc, 0.0), 4) AS max_jacc
+    FROM delta d
+    LEFT JOIN exact e ON d.id = e.id
+    LEFT JOIN near n ON d.id = n.id
+"""
+
+
+@register(
+    "q88_incremental_dedup",
+    _Q88_SQL,
+    doc="Incremental corpus admission: each delta document (doc_id % 5 = 0 "
+    "plays the crawl increment) classified against the existing index as "
+    "exact_dup (digest semi-join), near_dup (max shingle-Jaccard >= 0.5), "
+    "or new. The corpus is never self-joined and the index never re-deduped "
+    "— cost is O(delta + matching index postings), the per-increment shape "
+    "a continuously-updated corpus needs.",
+)
+def q88(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    out = dedup_ops.incremental_dedup(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        "doc_id",
+        "text",
+        INCR_NGRAM_N,
+        threshold=INCR_JACCARD_T,
+    )
+    return out.select(
+        "id", "verdict", F.round("max_jacc", 4).alias("max_jacc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q89 — hashed-feature linear quality classifier
+# ---------------------------------------------------------------------------
+
+_Q89_SQL = f"""
+    WITH scored AS (
+        SELECT doc_id,
+               {text.token_count_sql('text')} AS n_tokens,
+               {text.hashed_feature_milli_sum_sql('text')} AS milli
+        FROM documents)
+    SELECT doc_id, n_tokens,
+           round(milli / (1001.0 * n_tokens), 6) AS score,
+           milli >= 0 AS keep
+    FROM scored WHERE n_tokens > 0
+"""
+
+
+@register(
+    "q89_quality_classifier",
+    _Q89_SQL,
+    doc="Hashed-feature linear quality scorer (fastText-style hashing "
+    "trick): every token hashes into a 1024-dim weight table, doc score = "
+    "mean feature weight, keep = score >= 0. Weights are integer "
+    "milli-units so the per-doc sum is int64-exact and only one final "
+    "division produces a double. Zero shuffles — a scan-local projection "
+    "at any corpus size; a trained model swaps in as an O(dim) broadcast.",
+)
+def q89(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    base = docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.hashed_feature_milli_sum(F.col("text")).alias("milli"),
+    )
+    return base.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("milli") / (F.lit(1001.0) * F.col("n_tokens")), 6).alias(
+            "score"
+        ),
+        (F.col("milli") >= 0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q90 — BPE merge statistics (first tokenizer-training iteration)
+# ---------------------------------------------------------------------------
+
+_Q90_SQL = f"""
+    WITH words AS (
+        SELECT u.w AS w, count(*) AS freq
+        FROM documents, unnest({text.tokens_sql('text')}) u(w)
+        GROUP BY u.w),
+    pairs AS (
+        SELECT unnest({text.char_pairs_sql('w')}) AS pair, freq
+        FROM words WHERE length(w) >= 2)
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 20
+"""
+
+
+@register(
+    "q90_bpe_pair_stats",
+    _Q90_SQL,
+    doc="BPE tokenizer-training statistics: corpus-frequency-weighted "
+    "adjacent-character-pair counts, top-20 merge candidates (the argmax "
+    "is iteration 1 of BPE training). Scale shape: the exploded token "
+    "stream collapses FIRST into a vocabulary-sized word-frequency table "
+    "(map-side combined), so pair expansion runs over the vocabulary, not "
+    "the corpus; the final top-k is a TakeOrdered, no full sort.",
+)
+def q90(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    words = (
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(text.char_pairs(F.col("w"))).alias("pair"), "freq"
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(20)
+    )

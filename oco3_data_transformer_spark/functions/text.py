@@ -292,3 +292,67 @@ def extract_urls(col: Column) -> Column:
 
 def url_domain(url: Column) -> Column:
     return F.regexp_extract(url, URL_DOMAIN_RE, 1)
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear quality scorer (fastText-style hashing trick)
+# ---------------------------------------------------------------------------
+# The scoring shape of a linear text-quality classifier: every token hashes
+# into a fixed-dimension weight table and the document score is the mean of
+# its feature weights. The committed weight table here is synthetic (a
+# multiplicative-hash permutation of the bucket index — no trained model
+# ships in this repo), but the pipeline is exactly what a trained fastText /
+# logistic model needs at 100 TB: a zero-shuffle scan-local projection, with
+# the weight table an O(dim) broadcast (here: a closed-form expression).
+#
+# Integer-exact across engines: weights are integer "milli-units" in
+# [-1001, 1001]; the per-doc sum stays in int64 (|sum| <= 1001 * n_tokens)
+# and only ONE final division produces a double — bit-identical on any
+# IEEE-754 engine, no float summation order anywhere.
+QUALITY_HASH_DIM = 1024
+QUALITY_HASH_MULT = 2654435761  # Knuth multiplicative-hash constant
+QUALITY_HASH_MOD = 2003  # prime; (b*MULT) % MOD - 1001 spans [-1001, 1001]
+
+
+def hashed_feature_milli_sum(col: Column) -> Column:
+    """int64 sum of hashed-token feature weights (milli-units)."""
+    from . import hashing
+
+    def w(t: Column) -> Column:
+        b = hashing.portable_hash28(t) % QUALITY_HASH_DIM
+        return (b * QUALITY_HASH_MULT) % QUALITY_HASH_MOD - 1001
+
+    return F.aggregate(
+        F.transform(tokens(col), w),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def hashed_feature_milli_sum_sql(expr: str) -> str:
+    from . import hashing
+
+    h = hashing.portable_hash28_sql("t")
+    return (
+        f"CAST(list_sum(list_transform({tokens_sql(expr)}, "
+        f"t -> (({h} % {QUALITY_HASH_DIM}) * {QUALITY_HASH_MULT})"
+        f" % {QUALITY_HASH_MOD} - 1001)) AS BIGINT)"
+    )
+
+
+def char_pairs(word: Column) -> Column:
+    """Adjacent character pairs of a token (BPE merge candidates).
+    Caller must ensure length(word) >= 2 — ``sequence(1, 0)`` would
+    otherwise produce a DESCENDING range in Spark (DuckDB's
+    generate_series yields empty)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word) - 1),
+        lambda i: word.substr(i, F.lit(2)),
+    )
+
+
+def char_pairs_sql(expr: str) -> str:
+    return (
+        f"list_transform(generate_series(1, length({expr}) - 1), "
+        f"i -> substr({expr}, i, 2))"
+    )

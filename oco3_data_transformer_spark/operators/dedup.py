@@ -840,3 +840,74 @@ def shingle_novelty(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
         )
         .withColumn("novelty", F.col("n_novel").cast("double") / F.col("n_sh"))
     )
+
+def incremental_dedup(
+    delta: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Classify each NEW (delta) document against an EXISTING corpus index:
+    ``exact_dup`` (content digest already present), ``near_dup`` (n-gram
+    Jaccard vs some index doc >= ``threshold``), else ``new``. Returns
+    ``(id, verdict, max_jacc)`` for every delta document — the admission
+    decision of a continuously-updated training corpus.
+
+    Scale shape — the full corpus is never self-joined, and the index is
+    never re-deduped: the delta (one crawl increment — small relative to
+    the corpus) is the only side fully shingled AND carried to the verdict;
+    the index contributes a distinct digest column (semi-join) and its
+    shingle postings. Both joins are keyed (digest / 8-byte shingle hash)
+    so AQE broadcasts the delta side and the cost is O(delta + matching
+    index postings) rather than the O(corpus) of a per-increment re-dedup.
+    """
+    d = delta.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    i = index.select(F.col(id_col).alias("iid"), F.col(text_col).alias("itext"))
+
+    exact = (
+        d.select("id", F.md5("text").alias("digest"))
+        .join(
+            i.select(F.md5("itext").alias("digest")).distinct(),
+            "digest",
+            "left_semi",
+        )
+        .select("id", F.lit(True).alias("is_exact"))
+    )
+
+    dsh = hashed_shingle_table(d, "id", "text", n).select(
+        F.col("id").alias("did"), "h"
+    )
+    ish = hashed_shingle_table(i, "iid", "itext", n)
+    dsz = dsh.groupBy("did").agg(F.count(F.lit(1)).alias("n_d"))
+    isz = ish.groupBy("id").agg(F.count(F.lit(1)).alias("n_i"))
+    inter = (
+        dsh.join(ish.select(F.col("id").alias("iid"), "h"), "h")
+        .groupBy("did", "iid")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    near = (
+        inter.join(dsz, "did")
+        .join(isz.select(F.col("id").alias("iid"), "n_i"), "iid")
+        .withColumn(
+            "jacc",
+            F.col("n_common").cast("double")
+            / (F.col("n_d") + F.col("n_i") - F.col("n_common")),
+        )
+        .groupBy(F.col("did").alias("id"))
+        .agg(F.max("jacc").alias("max_jacc"))
+    )
+    return (
+        d.select("id")
+        .join(exact, "id", "left")
+        .join(near, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("is_exact"), "exact_dup")
+            .when(F.col("max_jacc") >= threshold, "near_dup")
+            .otherwise("new")
+            .alias("verdict"),
+            F.coalesce("max_jacc", F.lit(0.0)).alias("max_jacc"),
+        )
+    )

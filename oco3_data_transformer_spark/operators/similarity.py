@@ -515,3 +515,42 @@ def srp_lsh_pairs(
         .filter(F.col("cos") >= threshold)
     )
     return out.select("id_a", "id_b", "cos")
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): assign every
+    vector to its k-means cell, find within-cell cosine near-duplicates,
+    and drop every vector with a smaller-id neighbor above ``threshold``
+    (keep-first policy). Returns the per-cell prune profile
+    ``(cell, n_vectors, n_dropped, n_kept)``.
+
+    Scale shape: the O(n²) cosine search is confined to cells — pair work
+    is Σ|cell|² instead of corpus², and nlist grows with the corpus so
+    cells stay bounded. The pair search is an equi-join on ``cell`` (AQE
+    skew-splits a hot cell); the drop set joins back on the unique id.
+    """
+    assigned = ivf_assign(
+        corpus.select(id_col, vec_col), centroids, id_col=id_col, vec_col=vec_col
+    )
+    pairs = cosine_neardup_pairs(
+        assigned, threshold, id_col=id_col, vec_col=vec_col, block_col="cell"
+    )
+    dropped = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .select(id_col, F.lit(1).alias("__dropped"))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count("__dropped").alias("n_dropped"),
+        )
+        .withColumn("n_kept", F.col("n_vectors") - F.col("n_dropped"))
+    )

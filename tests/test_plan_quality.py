@@ -235,3 +235,24 @@ def test_segment_dedup_text_never_shuffles(spark):
     # count Exchange tree NODES (a ReusedExchange's descriptor line repeats
     # the text "Exchange hashpartitioning" without being one)
     assert plan.count("- Exchange hashpartitioning") <= 2
+
+
+def test_quality_classifier_zero_shuffle_projection(spark):
+    # q89 must stay a scan-local projection: no exchange anywhere — the
+    # property that makes classifier scoring free to pipeline at 100 TB
+    plan = plan_of(spark, "q89_quality_classifier")
+    assert "Exchange" not in plan
+
+
+def test_bpe_pairs_takeordered_no_full_sort(spark):
+    # global top-20 must be a TakeOrdered (per-partition heaps), and pair
+    # expansion must run over the collapsed vocabulary: exactly the word
+    # aggregate's exchange plus the pair aggregate's
+    plan = plan_of(spark, "q90_bpe_pair_stats")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("hashpartitioning(") <= 2
+
+
+def test_incremental_dedup_no_corpus_self_join(spark):
+    plan = plan_of(spark, "q88_incremental_dedup")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
