@@ -242,3 +242,166 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), "pair")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q91 — per-group z-score feature normalization (broadcast-stats shape)
+# ---------------------------------------------------------------------------
+
+_Q91_SQL = """
+    WITH cents AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100, 0) AS BIGINT) AS c
+        FROM events),
+    stats AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s,
+               CAST(sum(c * c) AS BIGINT) AS ss
+        FROM cents GROUP BY event_type)
+    SELECT c.event_id, c.event_type,
+           round((c.c * t.n - t.s) / sqrt(CAST(t.n * t.ss - t.s * t.s AS DOUBLE)), 6) AS z
+    FROM cents c JOIN stats t USING (event_type)
+"""
+
+
+@register(
+    "q91_zscore_normalize",
+    _Q91_SQL,
+    doc="Per-group z-score feature normalization (population sd) — the "
+    "standard feature-prep step before training. All statistics are exact "
+    "int64 sums of 2-dp cent values; z = (c*n - s)/sqrt(n*ss - s^2) does "
+    "ONE sqrt and ONE division per row, so results are bit-identical on "
+    "any IEEE-754 engine with no float summation anywhere. Scale shape: "
+    "the stats table is |groups| rows and broadcasts back — the fact "
+    "table itself never shuffles (one map-side-combined exchange of "
+    "group partials only).",
+)
+def q91(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    return ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(
+            (F.col("c") * F.col("n") - F.col("s"))
+            / F.sqrt((F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")),
+            6,
+        ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q92 — recompute-and-reconcile audit (derived-column integrity)
+# ---------------------------------------------------------------------------
+
+_Q92_SQL = """
+    WITH recomputed AS (
+        SELECT l_orderkey,
+               sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1 - l_discount AS DECIMAL(4,2))
+                   * CAST(1 + l_tax AS DECIMAL(4,2))) AS rt
+        FROM lineitem GROUP BY l_orderkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN r.rt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_without_lineitems,
+           CAST(sum(CASE WHEN r.rt IS NOT NULL
+                         AND r.rt <> CAST(o.o_totalprice AS DECIMAL(12,2))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+           round(CAST(max(CASE WHEN r.rt IS NOT NULL
+                    THEN abs(r.rt - CAST(o.o_totalprice AS DECIMAL(12,2))) END)
+                 AS DOUBLE), 2) AS max_drift
+    FROM orders o LEFT JOIN recomputed r ON o.o_orderkey = r.l_orderkey
+"""
+
+
+@register(
+    "q92_reconcile_audit",
+    _Q92_SQL,
+    doc="Recompute-and-reconcile audit: each order's total recomputed from "
+    "its line items (sum of extendedprice*(1-discount)*(1+tax) in EXACT "
+    "decimal arithmetic — order-insensitive, bit-identical across engines "
+    "and partitionings) and compared to the stored o_totalprice; plus "
+    "orders with no line items. The audit correctly reports that the "
+    "synthetic fixture does NOT maintain the TPC-H total-price invariant. "
+    "One map-side-combined aggregate per order, one key join, one scalar "
+    "row out — the cheapest possible derived-column verification at any "
+    "scale (S7's verify idea applied to derived columns).",
+)
+def q92(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    recomputed = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+            * (F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")
+        ).alias("rt")
+    )
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    joined = orders.join(
+        recomputed, orders.o_orderkey == recomputed.l_orderkey, "left"
+    )
+    dec_total = F.col("o_totalprice").cast("decimal(12,2)")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("rt").isNull().cast("long")).alias("n_without_lineitems"),
+        F.sum(
+            (F.col("rt").isNotNull() & (F.col("rt") != dec_total)).cast("long")
+        ).alias("n_mismatched"),
+        F.round(
+            F.max(
+                F.when(F.col("rt").isNotNull(), F.abs(F.col("rt") - dec_total))
+            ).cast("double"),
+            2,
+        ).alias("max_drift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q93 — distinct-user growth curve (first-seen rewrite)
+# ---------------------------------------------------------------------------
+
+_Q93_SQL = """
+    WITH first_seen AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id),
+    daily AS (SELECT d, count(*) AS nu FROM first_seen GROUP BY d)
+    SELECT d, CAST(nu AS BIGINT) AS new_users,
+           CAST(sum(nu) OVER (
+               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_users
+    FROM daily
+"""
+
+
+@register(
+    "q93_user_growth",
+    _Q93_SQL,
+    doc="Cumulative distinct-user growth per day. The naive form (count "
+    "distinct over an expanding window) is O(days * users) and holds a "
+    "growing distinct set per frame; the first-seen rewrite is two "
+    "map-side-combined aggregates — each user contributes exactly one "
+    "(user, first day) row — and the running sum runs over the DAYS-sized "
+    "table (the single-partition window is |days| rows, not |events|).",
+)
+def q93(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("d"))
+    daily = first.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "d",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )

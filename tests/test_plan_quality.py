@@ -256,3 +256,19 @@ def test_bpe_pairs_takeordered_no_full_sort(spark):
 def test_incremental_dedup_no_corpus_self_join(spark):
     plan = plan_of(spark, "q88_incremental_dedup")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zscore_fact_side_never_shuffles(spark):
+    # q91: only the |groups|-row stats aggregate may exchange; the fact
+    # table reaches the output through a broadcast join, unshuffled
+    plan = plan_of(spark, "q91_zscore_normalize")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("hashpartitioning(") <= 1
+
+
+def test_user_growth_window_runs_on_days_table(spark):
+    # q93: the unpartitioned running-sum window must sit ABOVE both
+    # aggregates (days-sized input), never over the raw events
+    plan = plan_of(spark, "q93_user_growth")
+    tree = plan.split("(1) Scan")[0]
+    assert tree.index("Window") < tree.index("HashAggregate")
