@@ -405,3 +405,31 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q94 — BPE tokenizer training loop (iterative, non-SQL-expressible)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q94_bpe_train",
+    None,
+    doc="Full BPE tokenizer training: 8 driver-coordinated merge "
+    "iterations over the vocabulary-sized word-frequency table — per "
+    "iteration one pair-count aggregate, a TakeOrdered(1) argmax (the only "
+    "driver transfer: ONE row per merge), and a leftmost-greedy "
+    "F.aggregate fold applying the merge. The corpus is scanned exactly "
+    "once (q90 is the oracled single-iteration statistics); the loop "
+    "itself is iterative like k-means and has no SQL oracle — verified "
+    "against a pure-Python reference implementation on crafted and "
+    "randomized corpora (tests/test_bpe.py).",
+)
+def q94(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import corpus as corpus_ops
+
+    docs = load(spark, sf, "documents")
+    _, merges = corpus_ops.bpe_train(docs, "text", n_merges=8)
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "step int, left string, right string, pair_count long",
+    )

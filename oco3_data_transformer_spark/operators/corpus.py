@@ -236,3 +236,86 @@ def pack_next_fit(
         return pdf[[id_col, size_col, "shard", "bin", "fill_after"]]
 
     return base.groupBy("shard").applyInPandas(_pack, schema=schema)
+
+
+def bpe_train(
+    docs: DataFrame, text_col: str, n_merges: int
+) -> tuple[DataFrame, list[tuple[str, str, int]]]:
+    """Learn ``n_merges`` BPE merges over the corpus (tokenizer training).
+
+    Returns ``(vocab, merges)``: the final word table
+    ``(w, freq, symbols: array<string>)`` after all merges are applied, and
+    the learned merge list ``[(left, right, pair_count), ...]`` in learning
+    order. Ties in pair counts break deterministically by (left, right).
+
+    Scale shape — the corpus is scanned ONCE: tokenization collapses the
+    token stream into the vocabulary-sized word-frequency table
+    (map-side-combined aggregate), and every merge iteration after that
+    touches only the vocab table: one pair-count aggregate + a global
+    argmax (TakeOrdered(1) — the only driver transfer, one row per merge)
+    + one projection that applies the merge with a leftmost-greedy
+    ``F.aggregate`` fold (standard BPE application order). This mirrors the
+    k-means build (similarity.kmeans_centroids): a driver-coordinated loop
+    whose per-iteration state is O(1), with localCheckpoint every few
+    rounds to truncate the growing lineage.
+    """
+    from ..functions import text as text_fns
+
+    vocab = (
+        docs.select(F.explode(text_fns.tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("symbols", F.split("w", ""))
+        .localCheckpoint()
+    )
+
+    merges: list[tuple[str, str, int]] = []
+    for step in range(n_merges):
+        pair_counts = (
+            vocab.select(
+                F.explode(
+                    F.when(
+                        F.size("symbols") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("symbols") - 1),
+                            lambda i: F.struct(
+                                F.element_at("symbols", i).alias("l"),
+                                F.element_at("symbols", i + 1).alias("r"),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("p.l"), F.col("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not pair_counts:
+            break
+        top = pair_counts[0]
+        left, right, cnt = top.p.l, top.p.r, top.cnt
+        merges.append((left, right, int(cnt)))
+
+        # leftmost-greedy merge application: fold over the symbol array,
+        # replacing the accumulator's tail when (tail, next) == (left, right)
+        merged = F.concat(F.lit(left), F.lit(right))
+        vocab = vocab.withColumn(
+            "symbols",
+            F.aggregate(
+                "symbols",
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) >= 1)
+                    & (F.element_at(acc, -1) == F.lit(left))
+                    & (s == F.lit(right)),
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ),
+        )
+        if (step + 1) % 4 == 0:
+            vocab = vocab.localCheckpoint()
+
+    return vocab, merges
