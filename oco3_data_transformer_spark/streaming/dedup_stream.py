@@ -23,7 +23,7 @@ shape of operators/joins.py:sync_diff).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -48,3 +48,77 @@ def streaming_exact_dedup_within_watermark(
         .withWatermark(ts_col, delay)
         .dropDuplicatesWithinWatermark(["digest"])
     )
+
+
+def admission_sink(
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    verdict_path: str | None = None,
+):
+    """foreachBatch handler: ONLINE corpus admission. Each micro-batch is
+    classified against the persisted corpus index with
+    operators/dedup.py:incremental_dedup (exact_dup / near_dup / new);
+    only 'new' documents are appended to the index, and per-document
+    verdicts are optionally appended to ``verdict_path`` tagged with the
+    batch id.
+
+    Within-batch duplicates are collapsed first (keep smallest id per
+    digest) so two identical documents arriving together don't both pass
+    the index check. Replaying a batch is CONVERGENT: its documents are
+    already in the index, so every one classifies exact_dup and the index
+    is not modified (the at-least-once -> effectively-idempotent argument
+    the granule writer makes with its manifest, achieved here by the
+    admission check itself).
+
+    Scale shape: the micro-batch is the delta side — small by definition —
+    so every join AQE-broadcasts it; the index contributes digest and
+    shingle postings only (never self-joined, never re-deduped).
+
+    Usage::
+
+        (stream.writeStream.foreachBatch(admission_sink("/store/corpus"))
+               .option("checkpointLocation", ...).start())
+    """
+    from ..operators.dedup import incremental_dedup
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        first = Window.partitionBy("digest").orderBy(id_col)
+        batch = (
+            with_digest(batch, text_col)
+            .withColumn("__rn", F.row_number().over(first))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "digest")
+        )
+        try:
+            index = spark.read.parquet(index_path)
+        except Exception:
+            index = None
+        if index is None:
+            verdicts = batch.select(
+                F.col(id_col).alias("id"),
+                F.lit("new").alias("verdict"),
+                F.lit(0.0).alias("max_jacc"),
+            )
+        else:
+            verdicts = incremental_dedup(
+                batch, index, id_col, text_col, n, threshold
+            )
+        verdicts = verdicts.localCheckpoint()  # decide BEFORE mutating the index
+        admitted = batch.join(
+            verdicts.filter(F.col("verdict") == "new").select(
+                F.col("id").alias(id_col)
+            ),
+            id_col,
+            "left_semi",
+        )
+        admitted.write.mode("append").parquet(index_path)
+        if verdict_path:
+            verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(verdict_path)
+
+    return handle

@@ -96,3 +96,22 @@ def test_char_pairs_edges(spark):
     got = {r.w: r.p for r in df.select("w", text.char_pairs(F.col("w")).alias("p")).collect()}
     assert got["abc"] == ["ab", "bc"]
     assert got["ab"] == ["ab"]
+
+
+def test_semantic_dedup_arrow_matches_sql_kernel(spark):
+    # differential: the Gram-matrix kernel and the relational fold-cosine
+    # kernel must agree on randomized vectors
+    import random
+
+    rng = random.Random(7)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 7), (1, [0.0, 1.0] + [0.0] * 6), (2, [0.0] * 7 + [1.0])],
+        "cell int, centroid array<double>",
+    )
+    a = sorted(map(tuple, sim_ops.semantic_dedup(emb, cents, 0.6, kernel="arrow").collect()))
+    s = sorted(map(tuple, sim_ops.semantic_dedup(emb, cents, 0.6, kernel="sql").collect()))
+    assert a == s

@@ -104,3 +104,56 @@ def test_digest_column_matches_batch_key(spark):
         dedup_ops.exact_dedup(df, "doc_id", "text").select("digest").first()[0]
     )
     assert dig == batch_dig
+
+
+def test_admission_sink_across_batches(spark, tmp_path):
+    index_path = str(tmp_path / "index")
+    verdict_path = str(tmp_path / "verdicts")
+    handle = dedup_stream.admission_sink(
+        index_path, "doc_id", "text", n=3, threshold=0.5, verdict_path=verdict_path
+    )
+
+    b0 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different text about spark parquet files here"),
+            (3, "the quick brown fox jumps over the lazy dog today"),  # in-batch dup
+        ],
+        ["doc_id", "text"],
+    )
+    handle(b0, 0)
+    # in-batch duplicate collapsed (keep min id), both survivors admitted
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(index_path).collect()
+    ) == [1, 2]
+
+    b1 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),  # exact
+            (11, "the quick brown fox jumps over the lazy cat today"),  # near
+            (12, "fresh unseen content with no overlap whatsoever at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    handle(b1, 1)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(index_path).collect()
+    ) == [1, 2, 12]
+    verdicts = {
+        r.id: r.verdict
+        for r in spark.read.parquet(verdict_path).filter(F.col("batch_id") == 1).collect()
+    }
+    assert verdicts == {10: "exact_dup", 11: "near_dup", 12: "new"}
+
+
+def test_admission_sink_replay_converges(spark, tmp_path):
+    index_path = str(tmp_path / "index")
+    handle = dedup_stream.admission_sink(index_path, "doc_id", "text")
+    b = spark.createDataFrame(
+        [(1, "some brand new document text appearing for the first time")],
+        ["doc_id", "text"],
+    )
+    handle(b, 0)
+    once = sorted(map(tuple, spark.read.parquet(index_path).collect()))
+    handle(b, 0)  # at-least-once redelivery
+    assert sorted(map(tuple, spark.read.parquet(index_path).collect())) == once
