@@ -260,7 +260,10 @@ _Q91_SQL = """
                CAST(sum(c * c) AS BIGINT) AS ss
         FROM cents GROUP BY event_type)
     SELECT c.event_id, c.event_type,
-           round((c.c * t.n - t.s) / sqrt(CAST(t.n * t.ss - t.s * t.s AS DOUBLE)), 6) AS z
+           CASE WHEN t.n * t.ss - t.s * t.s > 0
+                THEN round((c.c * t.n - t.s)
+                           / sqrt(CAST(t.n * t.ss - t.s * t.s AS DOUBLE)), 6)
+           END AS z
     FROM cents c JOIN stats t USING (event_type)
 """
 
@@ -288,13 +291,19 @@ def q91(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("c").alias("s"),
         F.sum(F.col("c") * F.col("c")).alias("ss"),
     )
+    var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
     return ev.join(F.broadcast(stats), "event_type").select(
         "event_id",
         "event_type",
-        F.round(
-            (F.col("c") * F.col("n") - F.col("s"))
-            / F.sqrt((F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")),
-            6,
+        # explicit zero-variance guard: z is undefined there, and ANSI mode
+        # (Spark 4 default) makes the bare division a runtime error
+        F.when(
+            var_num > 0,
+            F.round(
+                (F.col("c") * F.col("n") - F.col("s"))
+                / F.sqrt(var_num.cast("double")),
+                6,
+            ),
         ).alias("z"),
     )
 

@@ -115,3 +115,118 @@ def test_semantic_dedup_arrow_matches_sql_kernel(spark):
     a = sorted(map(tuple, sim_ops.semantic_dedup(emb, cents, 0.6, kernel="arrow").collect()))
     s = sorted(map(tuple, sim_ops.semantic_dedup(emb, cents, 0.6, kernel="sql").collect()))
     assert a == s
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property tests
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+
+
+def _ref_jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    if not sa or not sb:
+        return 0.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=0, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=0, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_incremental_dedup_property(spark, delta_texts, index_texts):
+    """Verdicts on random corpora match a reference recomputation: exact_dup
+    iff the text appears verbatim in the index; otherwise near_dup iff the
+    max 3-gram Jaccard vs ANY index doc >= 0.5; max_jacc agrees to 1e-9."""
+    from oco3_data_transformer_spark.operators import dedup as dedup_ops
+
+    delta = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(delta_texts)], ["doc_id", "text"]
+    )
+    index = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(index_texts)], ["doc_id", "text"]
+    )
+    got = {
+        r.id: (r.verdict, r.max_jacc)
+        for r in dedup_ops.incremental_dedup(delta, index, "doc_id", "text").collect()
+    }
+    assert set(got) == set(range(len(delta_texts)))
+    for i, t in enumerate(delta_texts):
+        mj = max((_ref_jaccard(t, it) for it in index_texts), default=0.0)
+        if t in index_texts:
+            want = "exact_dup"
+        elif mj >= 0.5:
+            want = "near_dup"
+        else:
+            want = "new"
+        assert got[i][0] == want, (t, got[i], mj)
+        assert abs(got[i][1] - mj) < 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=50000),  # cents
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_zscore_reference(spark, rows):
+    """q91's integer z-score formula matches numpy's population z-score on
+    random 2-dp values (within float tolerance), and is exactly 0-mean."""
+    import numpy as np
+    from oco3_data_transformer_spark.catalog import REGISTRY  # noqa: F401
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, k, c) for i, (k, c) in enumerate(rows)], ["id", "k", "c"]
+    )
+    stats = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    out = df.join(F.broadcast(stats), "k").select(
+        "id",
+        "k",
+        F.when(
+            var_num > 0,
+            (F.col("c") * F.col("n") - F.col("s")) / F.sqrt(var_num.cast("double")),
+        ).alias("z"),
+    )
+    got = {r.id: (r.k, r.z) for r in out.collect()}
+    by_key: dict[str, list[tuple[int, int]]] = {}
+    for i, (k, c) in enumerate(rows):
+        by_key.setdefault(k, []).append((i, c))
+    for k, members in by_key.items():
+        cs = np.array([c for _, c in members], dtype=np.float64)
+        sd = cs.std()  # population
+        for i, c in members:
+            z = got[i][1]
+            if sd == 0:
+                assert z is None  # explicit guard: undefined, not NaN/error
+            else:
+                assert abs(z - (c - cs.mean()) / sd) < 1e-6
