@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import register
+from .catalog_text import _SHINGLES_SQL as _SHINGLES_SQL_CURATION
 from .functions import text, vector
 from .operators import dedup as dedup_ops
 from .operators import similarity as sim_ops
@@ -30,7 +31,9 @@ INCR_NGRAM_N = 3
 # q87 — SemDeDup-style semantic dedup (cluster-scoped cosine prune)
 # ---------------------------------------------------------------------------
 
-def _q87_sql() -> str:
+def _semdedup_ctes() -> str:
+    """Shared CTE chain: q50's k-means build + assignment, then within-cell
+    pairs and the dropped set (q87 profiles it, q95 emits per-vector flags)."""
     cos_init = vector.cosine_sql("e.embedding", "c.centroid")
     cos_pair = vector.cosine_sql("x.embedding", "y.embedding")
     return f"""
@@ -66,6 +69,13 @@ def _q87_sql() -> str:
         FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
         WHERE {cos_pair} >= {SEMDEDUP_T}),
     dropped AS (SELECT DISTINCT idb FROM pairs)
+    """
+
+
+def _q87_sql() -> str:
+    return (
+        _semdedup_ctes()
+        + """
     SELECT cell,
            CAST(count(*) AS BIGINT) AS n_vectors,
            CAST(count(d.idb) AS BIGINT) AS n_dropped,
@@ -73,6 +83,7 @@ def _q87_sql() -> str:
     FROM a2 LEFT JOIN dropped d ON a2.vec_id = d.idb
     GROUP BY cell
     """
+    )
 
 
 @register(
@@ -446,4 +457,79 @@ def q94(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "step int, left string, right string, pair_count long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95 — semantic-dedup per-vector flags (the pruned corpus itself)
+# ---------------------------------------------------------------------------
+
+def _q95_sql() -> str:
+    return (
+        _semdedup_ctes()
+        + """
+    SELECT a2.vec_id, cell, (d.idb IS NOT NULL) AS dropped
+    FROM a2 LEFT JOIN dropped d ON a2.vec_id = d.idb
+    """
+    )
+
+
+@register(
+    "q95_semantic_dedup_flags",
+    _q95_sql(),
+    doc="Per-vector semantic-dedup decision (vec_id, cell, dropped) — the "
+    "actual pruned-corpus output a pipeline feeds downstream (q87 is the "
+    "aggregated profile of these flags). The Gram-matrix kernel emits the "
+    "flags directly from each cell task; filter(~dropped) joined back to "
+    "the payload is the surviving corpus.",
+)
+def q95(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    cents = sim_ops.kmeans_centroids(emb, k=8, iters=1)
+    return sim_ops.semantic_dedup_flags(emb, cents, SEMDEDUP_T)
+
+
+# ---------------------------------------------------------------------------
+# q96 — asymmetric shingle containment (quote / subsumption detection)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_T = 0.6
+
+_Q96_SQL = f"""
+    WITH {_SHINGLES_SQL_CURATION},
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id),
+    scored AS (
+        SELECT id_a, id_b, n_common, x.n_sh AS n_a, y.n_sh AS n_b
+        FROM inter JOIN sizes x ON id_a = x.id JOIN sizes y ON id_b = y.id),
+    both_dirs AS (
+        SELECT id_a AS id_sub, id_b AS id_super,
+               CAST(n_common AS DOUBLE) / n_a AS containment FROM scored
+        UNION ALL
+        SELECT id_b AS id_sub, id_a AS id_super,
+               CAST(n_common AS DOUBLE) / n_b AS containment FROM scored)
+    SELECT id_sub, id_super, round(containment, 4) AS containment
+    FROM both_dirs WHERE containment >= {CONTAINMENT_T}
+"""
+
+
+@register(
+    "q96_containment_pairs",
+    _Q96_SQL,
+    doc="Asymmetric shingle containment C(sub->super) = |sub n super|/|sub| "
+    ">= 0.6 — the quote/subsumption detector symmetric Jaccard misses (a "
+    "paragraph wholly quoted inside a long article has high containment "
+    "but low Jaccard). Both directions are scored from the same n_common "
+    "row of the one co-occurrence join — the asymmetry costs no extra "
+    "exchange over q31's plan.",
+)
+def q96(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    out = dedup_ops.containment_pairs(
+        docs, "doc_id", "text", INCR_NGRAM_N, threshold=CONTAINMENT_T
+    )
+    return out.select(
+        "id_sub", "id_super", F.round("containment", 4).alias("containment")
     )

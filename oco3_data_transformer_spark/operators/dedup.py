@@ -911,3 +911,42 @@ def incremental_dedup(
             F.coalesce("max_jacc", F.lit(0.0)).alias("max_jacc"),
         )
     )
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Asymmetric shingle containment: C(sub -> super) = |sub ∩ super| /
+    |sub|. Returns ``(id_sub, id_super, containment)`` for every ordered
+    pair with containment >= ``threshold`` — the quote / subsumed-document
+    detector that symmetric Jaccard misses (a paragraph fully quoted inside
+    a long article has high containment but low Jaccard, so near-dup
+    passes keep both while this flags the subset side).
+
+    Same scale shape as :func:`ngram_jaccard_pairs`: one id-partitioned
+    shingle exchange feeds sizes and the co-occurrence join; each unordered
+    candidate pair is scored in both directions from the same n_common row,
+    so the asymmetry costs no extra join.
+    """
+    sh = hashed_shingle_table(df, id_col, text_col, n, partition_by_id=True)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = _join_cooccurrence_pairs(sh, key="h")
+    scored = inter.join(
+        sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
+    ).join(
+        sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b"
+    )
+    a_in_b = scored.select(
+        F.col("id_a").alias("id_sub"),
+        F.col("id_b").alias("id_super"),
+        (F.col("n_common").cast("double") / F.col("n_a")).alias("containment"),
+    )
+    b_in_a = scored.select(
+        F.col("id_b").alias("id_sub"),
+        F.col("id_a").alias("id_super"),
+        (F.col("n_common").cast("double") / F.col("n_b")).alias("containment"),
+    )
+    return a_in_b.unionByName(b_in_a).filter(F.col("containment") >= threshold)

@@ -546,6 +546,32 @@ def semantic_dedup(
     (AQE skew-splits a hot cell). Bit-aligned with the DuckDB oracle's
     ``list_dot_product`` and kept as the differential check.
     """
+    flags = semantic_dedup_flags(
+        corpus, centroids, threshold, id_col=id_col, vec_col=vec_col, kernel=kernel
+    )
+    return (
+        flags.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.col("dropped").cast("long")).alias("n_dropped"),
+        )
+        .withColumn("n_kept", F.col("n_vectors") - F.col("n_dropped"))
+    )
+
+
+def semantic_dedup_flags(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kernel: str = "arrow",
+) -> DataFrame:
+    """Per-vector semantic-dedup decision: ``(id, cell, dropped)`` — the
+    pruned corpus a pipeline actually feeds downstream is
+    ``flags.filter(~dropped)`` joined back to the payload. Same kernels as
+    :func:`semantic_dedup` (which aggregates these flags into its
+    per-cell profile)."""
     assigned = ivf_assign(
         corpus.select(id_col, vec_col), centroids, id_col=id_col, vec_col=vec_col
     )
@@ -556,26 +582,24 @@ def semantic_dedup(
         def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
             ids = pdf[id_col].to_numpy()
             order = np.argsort(ids, kind="mergesort")
+            ids = ids[order]
             X = np.stack(pdf[vec_col].to_numpy())[order].astype(np.float64)
-            n = len(ids)
             nr = np.linalg.norm(X, axis=1)
             g = (X @ X.T) / np.outer(nr, nr)
             # ids ascending => upper triangle (i<j) is exactly id_i < id_j;
             # a column j with any above-threshold entry has a smaller-id
             # near-neighbor -> dropped
             hit = np.triu(g >= threshold, k=1)
-            n_dropped = int(hit.any(axis=0).sum())
             return pd.DataFrame(
                 {
-                    "cell": [pdf["cell"].iloc[0]],
-                    "n_vectors": [n],
-                    "n_dropped": [n_dropped],
-                    "n_kept": [n - n_dropped],
+                    id_col: ids,
+                    "cell": pdf["cell"].iloc[0],
+                    "dropped": hit.any(axis=0),
                 }
             )
 
         return assigned.groupBy("cell").applyInPandas(
-            prune, "cell int, n_vectors long, n_dropped long, n_kept long"
+            prune, f"{id_col} long, cell int, dropped boolean"
         )
 
     pairs = cosine_neardup_pairs(
@@ -584,14 +608,8 @@ def semantic_dedup(
     dropped = (
         pairs.select(F.col("id_b").alias(id_col))
         .distinct()
-        .select(id_col, F.lit(1).alias("__dropped"))
+        .select(id_col, F.lit(True).alias("__dropped"))
     )
-    return (
-        assigned.join(dropped, id_col, "left")
-        .groupBy("cell")
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.count("__dropped").alias("n_dropped"),
-        )
-        .withColumn("n_kept", F.col("n_vectors") - F.col("n_dropped"))
+    return assigned.join(dropped, id_col, "left").select(
+        id_col, "cell", F.coalesce("__dropped", F.lit(False)).alias("dropped")
     )

@@ -230,3 +230,22 @@ def test_zscore_reference(spark, rows):
                 assert z is None  # explicit guard: undefined, not NaN/error
             else:
                 assert abs(z - (c - cs.mean()) / sd) < 1e-6
+
+
+def test_containment_catches_quote_that_jaccard_misses(spark):
+    short = "alpha beta gamma delta epsilon zeta"
+    long_doc = (
+        "intro words before the quote start here now " + short +
+        " and then a very long tail of unrelated material continues " +
+        "with many more words padding out the document so the union is large " +
+        "making the symmetric overlap small relative to the combined size"
+    )
+    docs = spark.createDataFrame([(1, short), (2, long_doc)], ["doc_id", "text"])
+    cont = {
+        (r.id_sub, r.id_super): r.containment
+        for r in dedup_ops.containment_pairs(docs, "doc_id", "text", 3, 0.6).collect()
+    }
+    jacc = dedup_ops.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    assert cont[(1, 2)] == 1.0  # the short doc is fully contained
+    assert (2, 1) not in cont  # the long doc is not contained in the short
+    assert jacc == []  # symmetric Jaccard misses the pair entirely
