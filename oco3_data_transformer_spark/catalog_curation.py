@@ -533,3 +533,52 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "id_sub", "id_super", F.round("containment", 4).alias("containment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q97 — Z-order (Morton) locality profile
+# ---------------------------------------------------------------------------
+
+def _q97_sql() -> str:
+    from .functions.scalar import morton_key_sql
+
+    z = morton_key_sql("user_id % 256", "event_id % 256")
+    return f"""
+    WITH keyed AS (SELECT {z} AS z, user_id % 256 AS la, event_id % 256 AS lo
+                   FROM events)
+    SELECT CAST(z // 4096 AS BIGINT) AS block,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(la) AS BIGINT) AS min_lat, CAST(max(la) AS BIGINT) AS max_lat,
+           CAST(min(lo) AS BIGINT) AS min_lon, CAST(max(lo) AS BIGINT) AS max_lon
+    FROM keyed GROUP BY z // 4096
+    """
+
+
+@register(
+    "q97_zorder_profile",
+    _q97_sql(),
+    doc="Z-order (Morton) locality profile: events mapped onto a 256x256 "
+    "grid, bit-interleaved into Morton keys, profiled per 4096-key block — "
+    "every block's min/max lat/lon demonstrate that one Z block bounds a "
+    "32x32 spatial tile, which is exactly why sinks/store.cluster_spatial's "
+    "sort order makes parquet row-group min/max stats selective for bbox "
+    "reads. Pure integer shift/mask arithmetic, identical on both engines; "
+    "one map-side-combined aggregate.",
+)
+def q97(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.scalar import morton_key
+
+    ev = load(spark, sf, "events").select(
+        F.pmod("user_id", F.lit(256)).alias("la"),
+        F.pmod("event_id", F.lit(256)).alias("lo"),
+    )
+    keyed = ev.withColumn("z", morton_key(F.col("la"), F.col("lo")))
+    return keyed.groupBy(
+        (F.col("z") / F.lit(4096)).cast("long").alias("block")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("la").cast("long").alias("min_lat"),
+        F.max("la").cast("long").alias("max_lat"),
+        F.min("lo").cast("long").alias("min_lon"),
+        F.max("lo").cast("long").alias("max_lon"),
+    )

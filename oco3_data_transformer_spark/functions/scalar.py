@@ -145,3 +145,32 @@ def iso8601(ts: Column) -> Column:
 
 def iso8601_sql(expr: str) -> str:
     return f"strftime({expr}, '%Y-%m-%dT%H:%M:%SZ')"
+
+
+def morton_key(lat_idx: Column, lon_idx: Column, bits: int = 8) -> Column:
+    """Z-order (Morton) key: interleave the low ``bits`` bits of two grid
+    indexes — lat bit i lands at position 2i+1, lon bit i at 2i. Pure
+    integer floor-div/mod arithmetic so the identical expression runs on
+    any SQL engine (:func:`morton_key_sql`) and stays inside whole-stage
+    codegen here. Rows close on the 2-D grid get close keys, which is what
+    makes min/max row-group statistics selective for spatial range reads
+    (the lakehouse Z-ORDER clustering idea applied to the store's
+    lat_idx/lon_idx raster coordinates)."""
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        lat_bit = F.shiftright(lat_idx.cast("long"), i).bitwiseAND(F.lit(1))
+        lon_bit = F.shiftright(lon_idx.cast("long"), i).bitwiseAND(F.lit(1))
+        out = out + lat_bit * F.lit(2 ** (2 * i + 1)) + lon_bit * F.lit(2 ** (2 * i))
+    return out
+
+
+def morton_key_sql(lat_expr: str, lon_expr: str, bits: int = 8) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"((CAST({lat_expr} AS BIGINT) // {2**i}) % 2) * {2 ** (2 * i + 1)}"
+        )
+        terms.append(
+            f"((CAST({lon_expr} AS BIGINT) // {2**i}) % 2) * {2 ** (2 * i)}"
+        )
+    return "(" + " + ".join(terms) + ")"

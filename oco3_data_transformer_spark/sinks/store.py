@@ -34,6 +34,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import scalar as scalar_fns
+
 # The identity of one stored raster cell (ref ZarrWriter dedups on `time`
 # alone because one store holds one mission×target×qf; the unified table
 # carries them as columns).
@@ -213,6 +215,41 @@ def compact(
             )
             .drop("__salt")
             .localCheckpoint(eager=True)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*PARTITION_COLS)
+            .parquet(path)
+        )
+    return n_parts
+
+
+def cluster_spatial(
+    spark: SparkSession, path: str, bits: int = 8
+) -> int:
+    """Maintenance: Z-order clustering rewrite. Rows within each partition
+    are rewritten sorted by the Morton key of (lat_idx, lon_idx), so
+    parquet row-group min/max statistics on the grid indexes become
+    selective for spatial range reads (bbox subsetting F8/J1: a reader
+    filtering lat_idx/lon_idx ranges skips most row groups instead of
+    scanning the day). The columnar analog of the reference's spatial
+    chunking choice (ref writers/ZarrWriter.py:49 chunks lat 250 x lon 250
+    x time 5 -- its chunk GRID is exactly what makes bbox reads cheap in
+    Zarr; Z-ordering gets the same effect in a single parquet sort order).
+
+    Rewrites every partition (a layout pass, like Delta's OPTIMIZE
+    ZORDER); run it on recently-appended days via upsert-style scoping if
+    the store is large. Returns the number of partitions rewritten."""
+    df = spark.read.parquet(path)
+    parts = df.select(*PARTITION_COLS).distinct()
+    n_parts = parts.count()
+    if n_parts:
+        z = scalar_fns.morton_key(F.col("lat_idx"), F.col("lon_idx"), bits)
+        (
+            df.withColumn("__z", z)
+            .repartition(n_parts, *PARTITION_COLS)
+            .sortWithinPartitions(*PARTITION_COLS, "__z")
+            .drop("__z")
+            .localCheckpoint(eager=True)  # sever lineage from the files being overwritten
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*PARTITION_COLS)

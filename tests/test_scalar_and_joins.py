@@ -153,3 +153,30 @@ def test_nearest_centroid_tiebreak_matches_reference_argmin(spark):
     }
     for j, lat, lon in regions:
         assert out[j] == _ref_argmin((lat, lon), targets), f"region {j}"
+
+
+def test_morton_key_matches_bit_interleave_reference(spark):
+    from oco3_data_transformer_spark.functions import scalar as scalar_fns
+
+    df = spark.createDataFrame(
+        [(a, b) for a in range(0, 256, 31) for b in range(0, 256, 29)],
+        "la int, lo int",
+    )
+    got = {
+        (r.la, r.lo): r.z
+        for r in df.select(
+            "la", "lo", scalar_fns.morton_key(F.col("la"), F.col("lo")).alias("z")
+        ).collect()
+    }
+
+    def ref(a, b):
+        z = 0
+        for i in range(8):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    assert all(got[(a, b)] == ref(a, b) for (a, b) in got)
+    # locality: any 4096-key block spans at most a 32x32 tile
+    for (a, b), z in got.items():
+        assert (z // 4096) == (ref(a, b) // 4096)

@@ -145,3 +145,42 @@ def test_checksum_stable_across_partitioning(spark, tmp_path):
     assert store.checksum(spark, p1) == store.checksum(spark, p2)
     store.append(spark, _slices(spark, D2, [9]), p2)
     assert store.checksum(spark, p1) != store.checksum(spark, p2)
+
+
+def test_cluster_spatial_sorts_rows_by_morton_within_files(spark, tmp_path):
+    import random
+
+    path = str(tmp_path / "store")
+    rng = random.Random(3)
+    cells = [(rng.randrange(64), rng.randrange(64)) for _ in range(200)]
+    rows = [
+        ("oco3", "t1", "pre", D1, la, lo, "xco2", float(i))
+        for i, (la, lo) in enumerate(dict.fromkeys(cells))
+    ]
+    store.append(spark, spark.createDataFrame(rows, STORE_SLICE), path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    n = store.cluster_spatial(spark, path)
+    assert n == 1
+    after_df = spark.read.parquet(path)
+    assert sorted(map(tuple, after_df.collect())) == before  # content unchanged
+
+    def ref_z(a, b):
+        z = 0
+        for i in range(8):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    # per physical file, rows must be in ascending Morton order
+    per_file = (
+        after_df.withColumn("__f", F.input_file_name())
+        .select("__f", "lat_idx", "lon_idx")
+        .collect()
+    )
+    files: dict = {}
+    for r in per_file:
+        files.setdefault(r["__f"], []).append(ref_z(r.lat_idx, r.lon_idx))
+    assert files
+    for f, zs in files.items():
+        assert zs == sorted(zs), f
