@@ -582,3 +582,104 @@ def q97(spark: SparkSession, sf: str) -> DataFrame:
         F.min("lo").cast("long").alias("min_lon"),
         F.max("lo").cast("long").alias("max_lon"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q98 — hard-negative mining (contrastive-training pairs)
+# ---------------------------------------------------------------------------
+
+def _q98_sql() -> str:
+    cos = vector.cosine_sql("q.qvec", "e.embedding")
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+        FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cos
+        FROM embeddings e JOIN q ON e.label <> q.qlabel),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(cos, 6) AS cos
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@register(
+    "q98_hard_negatives",
+    _q98_sql(),
+    doc="Hard-negative mining for contrastive training: per query, the 5 "
+    "most-similar vectors with a DIFFERENT label — the confusable-but-"
+    "wrong examples an embedding model learns most from. The same-label "
+    "mask is applied BEFORE the local top-k inside the broadcast-matmul "
+    "kernel (a post-filter on unmasked top-k would be unsound); the "
+    "corpus never shuffles, the final window ranks partitions*|Q|*k rows.",
+)
+def q98(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    out = sim_ops.hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("cos", 6).alias("cos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99 — deterministic negative sampling (rejection-sampled random pairs)
+# ---------------------------------------------------------------------------
+
+def _q99_sql() -> str:
+    from .functions.hashing import portable_hash28_sql
+
+    h = portable_hash28_sql("d.doc_id || ':' || u.j")
+    return f"""
+    WITH bound AS (SELECT max(doc_id) + 1 AS m FROM documents),
+    cand AS (
+        SELECT d.doc_id AS anchor_id, u.j,
+               {h} % (SELECT m FROM bound) AS partner
+        FROM documents d, unnest([1, 2, 3, 4]) u(j))
+    SELECT c.anchor_id, CAST(c.j AS INT) AS j, c.partner AS negative_id
+    FROM cand c JOIN documents p ON c.partner = p.doc_id
+    WHERE c.partner <> c.anchor_id
+    """
+
+
+@register(
+    "q99_negative_sampling",
+    _q99_sql(),
+    doc="Deterministic negative sampling: 4 pseudo-random partners per "
+    "anchor via the portable hash of (id, draw) modulo the id bound, "
+    "rejection-filtered to existing, non-self partners. Reproducible and "
+    "partition-invariant where rand() is neither; no cartesian anywhere — "
+    "a K-way explode plus one equi-join on the partner id, linear in K*N "
+    "at any corpus size (the id bound is a 1-row broadcast).",
+)
+def q99(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.hashing import portable_hash28
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    bound = docs.agg((F.max("doc_id") + 1).alias("m"))
+    cand = (
+        docs.crossJoin(F.broadcast(bound))
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            F.explode(F.array(*[F.lit(j) for j in (1, 2, 3, 4)])).alias("j"),
+            "m",
+        )
+        .withColumn(
+            "partner",
+            portable_hash28(
+                F.concat(F.col("anchor_id").cast("string"), F.lit(":"), F.col("j").cast("string"))
+            )
+            % F.col("m"),
+        )
+        .filter(F.col("partner") != F.col("anchor_id"))
+    )
+    return cand.join(
+        docs.select(F.col("doc_id").alias("partner")), "partner", "left_semi"
+    ).select("anchor_id", F.col("j").cast("int").alias("j"), F.col("partner").alias("negative_id"))

@@ -613,3 +613,105 @@ def semantic_dedup_flags(
     return assigned.join(dropped, id_col, "left").select(
         id_col, "cell", F.coalesce("__dropped", F.lit(False)).alias("dropped")
     )
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    kernel: str = "arrow",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query, the
+    top-k most-similar corpus vectors with a DIFFERENT label (the
+    "confusable but wrong" examples a retrieval/embedding model learns
+    most from). Returns (query_id, neighbor_id, rank, cos).
+
+    ``kernel='arrow'``: brute_force_knn's broadcast-matmul shape with the
+    same-label pairs masked to -inf BEFORE the local top-k, so the
+    exclusion is exact (a post-filter on an unmasked top-k would be
+    unsound — all k nearest could share the query's label). Corpus never
+    shuffles; the final window ranks |partitions|*|Q|*k rows.
+
+    ``kernel='sql'``: broadcast nested-loop join with the label-mismatch
+    predicate in the join condition — the differential reference.
+    """
+    if kernel == "sql":
+        base = corpus.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("nvec"),
+            F.col(label_col).alias("nlabel"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.col(label_col).alias("qlabel"),
+        )
+        scored = (
+            base.join(F.broadcast(q), F.col("nlabel") != F.col("qlabel"))
+            .withColumn(
+                "cos",
+                vector.dot(F.col("qvec"), F.col("nvec"))
+                / (vector.norm(F.col("qvec")) * vector.norm(F.col("nvec"))),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("nid")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("nid").alias("neighbor_id"), "rank", "cos")
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    qp = queries.select(id_col, vec_col, label_col).toPandas()
+    if qp.empty:
+        return hard_negatives(
+            corpus, queries, k, id_col, vec_col, label_col, kernel="sql"
+        )
+    q_ids = qp[id_col].to_numpy()
+    Q = np.stack(qp[vec_col].to_numpy()).astype(np.float64)
+    q_norm = np.linalg.norm(Q, axis=1)
+    q_labels = qp[label_col].to_numpy()
+    b = corpus.sparkSession.sparkContext.broadcast((q_ids, Q, q_norm, q_labels))
+    out_schema = (
+        f"query_id {queries.schema[id_col].dataType.simpleString()}, "
+        f"neighbor_id {corpus.schema[id_col].dataType.simpleString()}, "
+        "cos double"
+    )
+
+    def local_topk(batches, _k=k):
+        q_ids, Q, q_norm, q_labels = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            labels = pdf[label_col].to_numpy()
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c_norm = np.linalg.norm(C, axis=1)
+            S = (C @ Q.T) / np.outer(c_norm, q_norm)  # |batch| x |Q|
+            for j, qid in enumerate(q_ids):
+                mask = labels != q_labels[j]  # the exact exclusion, pre-top-k
+                nids, cs = ids[mask], S[mask, j]
+                if not nids.size:
+                    continue
+                order = np.lexsort((nids, -cs))[: min(_k, nids.size)]
+                yield pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": nids[order], "cos": cs[order]}
+                )
+
+    scored = corpus.select(id_col, vec_col, label_col).mapInPandas(
+        local_topk, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

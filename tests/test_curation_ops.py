@@ -249,3 +249,26 @@ def test_containment_catches_quote_that_jaccard_misses(spark):
     assert cont[(1, 2)] == 1.0  # the short doc is fully contained
     assert (2, 1) not in cont  # the long doc is not contained in the short
     assert jacc == []  # symmetric Jaccard misses the pair entirely
+
+
+def test_hard_negatives_arrow_matches_sql_and_excludes_labels(spark):
+    import random
+
+    rng = random.Random(11)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)], i % 3) for i in range(90)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    q = emb.filter(F.col("vec_id") < 4)
+    a = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in sim_ops.hard_negatives(emb, q, k=4, kernel="arrow").collect()
+    )
+    s = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in sim_ops.hard_negatives(emb, q, k=4, kernel="sql").collect()
+    )
+    assert a == s and len(a) == 16
+    # exclusion is exact: no neighbor shares its query's label (label = id%3)
+    for qid, _, nid in a:
+        assert nid % 3 != qid % 3
