@@ -128,13 +128,26 @@ def _synth_oco3_soundings(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit("g"), (F.col("user_id") % 4).cast("string")).alias("granule"),
         F.col("event_id").alias("sounding_id"),
         F.col("ts"),
-        (F.col("user_id") % 3).cast("string").alias("tkey"),
         F.col("event_type"),
         F.col("value"),
     )
     w_idx = F.row_number().over(
         Window.partitionBy("granule").orderBy("ts", "sounding_id")
     ) - 1
+    # Region structure must come from RUNS along the sounding index — the
+    # real granule shape is contiguous SAM/target observation blocks of
+    # O(100) soundings (ref processors/OCO3SamProcessor.py:356-432), not a
+    # per-row coin flip. Deriving tkey/mode per row (the first cut used
+    # user_id % 3, random along ts) produced |rows|/2 one-row regions at
+    # the 10x fixture — 600k grouped-kernel invocations whose per-group
+    # Arrow overhead dominated the pipeline. Index blocks of 120 give
+    # scale-invariant run lengths: region COUNT grows linearly with rows,
+    # region SIZE stays the production shape.
+    block = (w_idx / F.lit(120)).cast("long")
+    tkey = (block % 3).cast("string")
+    mode_in_block = (
+        F.when(block % 5 == 4, 0).when(block % 2 == 0, 2).otherwise(4)
+    )
     lat = (F.col("value") % 8).cast("float")
     lon = (F.col("value") * 3 % 8).cast("float")
     d = F.lit(0.05)
@@ -154,11 +167,9 @@ def _synth_oco3_soundings(spark: SparkSession, sf: str) -> DataFrame:
         lon.alias("longitude"),
         F.array(lat - d, lat - d, lat + d, lat + d).alias("vertex_latitude"),
         F.array(lon - d, lon + d, lon + d, lon - d).alias("vertex_longitude"),
-        F.when(F.col("event_type") == "purchase", 2)
-        .when(F.col("event_type").isin("click", "view"), 4)
-        .otherwise(0).cast("byte").alias("operation_mode"),
-        F.concat(F.lit("t"), F.col("tkey")).alias("target_id"),
-        F.concat(F.lit("name-t"), F.col("tkey")).alias("target_name"),
+        mode_in_block.cast("byte").alias("operation_mode"),
+        F.concat(F.lit("t"), tkey).alias("target_id"),
+        F.concat(F.lit("name-t"), tkey).alias("target_name"),
         (F.col("value") < 5).cast("byte").alias("xco2_quality_flag"),
         F.col("value").cast("double").alias("xco2"),
         (F.col("value") / 10).cast("double").alias("xco2_uncertainty"),

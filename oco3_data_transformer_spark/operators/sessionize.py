@@ -239,6 +239,7 @@ def assign_rows_to_regions(
     idx_col: str,
     region_col: str = "region_id",
     carry_cols: list[str] | None = None,
+    bin_size: int = 256,
 ) -> DataFrame:
     """Membership join: every row whose index falls inside a region's
     ``[start_idx, stop_excl)`` extent — including swallowed off-mode rows,
@@ -248,8 +249,16 @@ def assign_rows_to_regions(
     ``carry_cols``: extra region-table columns to propagate onto the member
     rows (e.g. the region's resolved target id, the mode pass).
 
-    The region table is tiny relative to the fact table; Spark's broadcast
-    range join keeps this shuffle-free on the fact side.
+    The index range is joined as an EQUI-join on fixed index bins (each
+    region explodes to the bins its span covers; each row carries its own
+    bin) with the exact range predicate refined in-task — the same binned
+    technique as the interval-overlap join (q81). A plain theta-join here
+    plans as a nested loop over (partition key, range) and goes quadratic
+    once a partition holds many regions — measured on the 10× fixture this
+    very join was a >20-minute straggler as a nested loop and is seconds
+    binned. Region spans are segmentation runs (short relative to
+    ``bin_size``), so the explode stays near 1 bin per region; AQE decides
+    broadcast vs shuffle from the actual region-table size.
     """
     rkeys = regions.select(
         *[F.col(c).alias(f"__r_{c}") for c in partition_cols],
@@ -257,10 +266,24 @@ def assign_rows_to_regions(
         "start_idx",
         "stop_excl",
         *(carry_cols or []),
+    ).withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                (F.col("start_idx") / bin_size).cast("long"),
+                ((F.col("stop_excl") - 1) / bin_size).cast("long"),
+            )
+        ),
     )
-    cond = F.lit(True)
+    rkeys = rkeys.withColumnRenamed("__bin", "__rbin")
+    fact = df.withColumn("__bin", (F.col(idx_col) / bin_size).cast("long"))
+    cond = (F.col("__bin") == F.col("__rbin"))
     for c in partition_cols:
         cond = cond & (F.col(c) == F.col(f"__r_{c}"))
-    cond = cond & (F.col(idx_col) >= F.col("start_idx")) & (F.col(idx_col) < F.col("stop_excl"))
-    joined = df.join(F.broadcast(rkeys), cond, "inner")
-    return joined.drop(*[f"__r_{c}" for c in partition_cols])
+    cond = (
+        cond
+        & (F.col(idx_col) >= F.col("start_idx"))
+        & (F.col(idx_col) < F.col("stop_excl"))
+    )
+    joined = fact.join(rkeys, cond, "inner")
+    return joined.drop("__bin", "__rbin", *[f"__r_{c}" for c in partition_cols])

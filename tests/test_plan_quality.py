@@ -272,3 +272,11 @@ def test_user_growth_window_runs_on_days_table(spark):
     plan = plan_of(spark, "q93_user_growth")
     tree = plan.split("(1) Scan")[0]
     assert tree.index("Window") < tree.index("HashAggregate")
+
+
+def test_hard_negatives_single_window_no_corpus_shuffle(spark):
+    # q98's arrow path: one MapInPandas over the scan, exactly one window
+    # (the global top-k); the corpus is never exchanged
+    plan = final_plan_of(spark, "q98_hard_negatives")
+    assert "MapInPandas" in plan
+    assert plan.count("Window [") == 1
