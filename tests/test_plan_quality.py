@@ -280,3 +280,25 @@ def test_hard_negatives_single_window_no_corpus_shuffle(spark):
     plan = final_plan_of(spark, "q98_hard_negatives")
     assert "MapInPandas" in plan
     assert plan.count("Window [") == 1
+
+
+def test_membership_join_is_equi_not_nested_loop(spark):
+    # regression guard for the 10x straggler: the region-membership join
+    # must plan with hash-joinable equi keys (partition cols + index bin),
+    # never as a nested loop over the range predicate
+    from pyspark.sql import functions as F
+    from oco3_data_transformer_spark.operators import sessionize as sess_ops
+
+    rows = spark.range(1000).select(
+        F.lit("g0").alias("granule"), F.col("id").alias("sounding_idx")
+    )
+    regions = spark.createDataFrame(
+        [("g0", i, i * 100, i * 100 + 100) for i in range(10)],
+        "granule string, region_id long, start_idx long, stop_excl long",
+    )
+    out = sess_ops.assign_rows_to_regions(rows, regions, ["granule"], "sounding_idx")
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert out.count() == 1000  # every row lands in exactly one region
