@@ -12,7 +12,7 @@ next merge should be.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import register
@@ -683,3 +683,131 @@ def q99(spark: SparkSession, sf: str) -> DataFrame:
     return cand.join(
         docs.select(F.col("doc_id").alias("partner")), "partner", "left_semi"
     ).select("anchor_id", F.col("j").cast("int").alias("j"), F.col("partner").alias("negative_id"))
+
+
+# ---------------------------------------------------------------------------
+# q100 — the whole corpus-prep pipeline as ONE plan
+# ---------------------------------------------------------------------------
+
+def _q100_sql() -> str:
+    from .functions.hashing import portable_hash64_sql
+    from .operators.corpus import split_hash_sql
+
+    ng = text.word_ngrams_sql("text", INCR_NGRAM_N)
+    split = split_hash_sql("s4.id")
+    return f"""
+    WITH corpus AS (SELECT doc_id AS id, text FROM documents WHERE doc_id >= 20),
+    bench AS (SELECT doc_id AS bid, text AS btext FROM documents WHERE doc_id < 20),
+    -- stage 1: exact dedup (keep min id per content digest)
+    s1 AS (
+        SELECT id, text FROM (
+            SELECT id, text,
+                   row_number() OVER (PARTITION BY md5(text) ORDER BY id) AS rn
+            FROM corpus) WHERE rn = 1),
+    -- stage 2: greedy near-dup prune (drop any doc with a smaller-id
+    -- neighbor at Jaccard >= 0.5 among stage-1 survivors)
+    sh AS (
+        SELECT DISTINCT id, u.shingle
+        FROM s1, unnest({ng}) u(shingle)),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    nd_pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id),
+    nd_dropped AS (
+        SELECT DISTINCT id_b AS id
+        FROM nd_pairs JOIN sizes x ON id_a = x.id JOIN sizes y ON id_b = y.id
+        WHERE CAST(n_common AS DOUBLE) / (x.n_sh + y.n_sh - n_common)
+              >= {INCR_JACCARD_T}),
+    s2 AS (SELECT s1.* FROM s1 LEFT JOIN nd_dropped d ON s1.id = d.id
+           WHERE d.id IS NULL),
+    -- stage 3: quality floor (classifier keep AND >= 5 tokens)
+    s3 AS (
+        SELECT id, text, n_tokens FROM (
+            SELECT id, text,
+                   {text.token_count_sql('text')} AS n_tokens,
+                   {text.hashed_feature_milli_sum_sql('text')} AS milli
+            FROM s2)
+        WHERE n_tokens >= 5 AND milli >= 0),
+    -- stage 4: benchmark decontamination (>= 20% shingle overlap drops)
+    bsh AS (
+        SELECT DISTINCT bid, u.shingle
+        FROM bench, unnest({text.word_ngrams_sql('btext', INCR_NGRAM_N)}) u(shingle)),
+    hits AS (
+        SELECT k.id, b.bid, count(*) AS n_common
+        FROM (SELECT sh.id, sh.shingle FROM sh JOIN s3 ON sh.id = s3.id) k
+        JOIN bsh b ON k.shingle = b.shingle
+        GROUP BY k.id, b.bid),
+    contaminated AS (
+        SELECT DISTINCT h.id
+        FROM hits h JOIN sizes ON h.id = sizes.id
+        WHERE CAST(h.n_common AS DOUBLE) / sizes.n_sh >= 0.2),
+    s4 AS (SELECT s3.* FROM s3 LEFT JOIN contaminated x ON s3.id = x.id
+           WHERE x.id IS NULL)
+    -- stage 5: deterministic hash split + per-split totals
+    SELECT CASE WHEN {split} < 80 THEN 'train'
+                WHEN {split} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM s4 GROUP BY 1
+    """
+
+
+@register(
+    "q100_corpus_pipeline",
+    _q100_sql(),
+    doc="The whole corpus-prep pipeline as ONE declarative plan: exact "
+    "dedup (keep-first per digest) -> greedy near-dup prune (drop docs "
+    "with a smaller-id Jaccard>=0.5 neighbor; the SemDeDup keep-first "
+    "policy — q45/q52 provide the full transitive-component variant) -> "
+    "quality floor (hashed-feature classifier + min tokens) -> benchmark "
+    "decontamination (docs 0-19) -> deterministic 80/10/10 hash split "
+    "with per-split token totals. One shingle exchange serves BOTH the "
+    "near-dup pair join and the decontamination overlap; every stage is "
+    "a projection or keyed join, so Catalyst pipelines the five stages "
+    "into one DAG with no driver round-trips.",
+)
+def q100(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.corpus import hash_split
+
+    docs = load(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 20).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    bench = docs.filter(F.col("doc_id") < 20)
+
+    w = Window.partitionBy(F.md5("text")).orderBy("id")
+    s1 = (
+        corpus.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    pairs = dedup_ops.ngram_jaccard_pairs(
+        s1, "id", "text", INCR_NGRAM_N, threshold=INCR_JACCARD_T
+    )
+    nd_dropped = pairs.select(F.col("id_b").alias("id")).distinct()
+    s2 = s1.join(nd_dropped, "id", "left_anti")
+
+    s3 = (
+        s2.withColumn("n_tokens", text.token_count(F.col("text")))
+        .withColumn("milli", text.hashed_feature_milli_sum(F.col("text")))
+        .filter((F.col("n_tokens") >= 5) & (F.col("milli") >= 0))
+        .drop("milli")
+    )
+
+    contaminated = dedup_ops.decontaminate(
+        s3, bench.select(F.col("doc_id").alias("id"), "text"),
+        "id", "text", INCR_NGRAM_N, min_overlap=0.2,
+    ).select("id")
+    s4 = s3.join(contaminated, "id", "left_anti")
+
+    return (
+        hash_split(s4, "id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
