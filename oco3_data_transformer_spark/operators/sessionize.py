@@ -268,11 +268,18 @@ def assign_rows_to_regions(
         *(carry_cols or []),
     ).withColumn(
         "__bin",
+        # Guard degenerate regions (stop_excl <= start_idx): Spark's
+        # sequence(hi, lo) generates a DESCENDING range, not an empty one,
+        # so an empty region would explode spurious bin rows — correct
+        # after the exact refine below, but silent join-input inflation.
         F.explode(
-            F.sequence(
-                (F.col("start_idx") / bin_size).cast("long"),
-                ((F.col("stop_excl") - 1) / bin_size).cast("long"),
-            )
+            F.when(
+                F.col("stop_excl") > F.col("start_idx"),
+                F.sequence(
+                    (F.col("start_idx") / bin_size).cast("long"),
+                    ((F.col("stop_excl") - 1) / bin_size).cast("long"),
+                ),
+            ).otherwise(F.array().cast("array<long>"))
         ),
     )
     rkeys = rkeys.withColumnRenamed("__bin", "__rbin")

@@ -584,7 +584,9 @@ def semantic_dedup_flags(
             order = np.argsort(ids, kind="mergesort")
             ids = ids[order]
             X = np.stack(pdf[vec_col].to_numpy())[order].astype(np.float64)
-            nr = np.linalg.norm(X, axis=1)
+            # zero-norm clamp: a zero vector otherwise yields NaN cosine
+            # (NaN >= threshold is False — under-drops silently)
+            nr = np.maximum(np.linalg.norm(X, axis=1), 1e-12)
             g = (X @ X.T) / np.outer(nr, nr)
             # ids ascending => upper triangle (i<j) is exactly id_i < id_j;
             # a column j with any above-threshold entry has a smaller-id
@@ -675,7 +677,10 @@ def hard_negatives(
         )
     q_ids = qp[id_col].to_numpy()
     Q = np.stack(qp[vec_col].to_numpy()).astype(np.float64)
-    q_norm = np.linalg.norm(Q, axis=1)
+    # zero-norm clamp: NaN cosine sorts ABOVE every real value in Spark's
+    # descending order, so an unguarded zero vector would rank as the #1
+    # hard negative for every query
+    q_norm = np.maximum(np.linalg.norm(Q, axis=1), 1e-12)
     q_labels = qp[label_col].to_numpy()
     b = corpus.sparkSession.sparkContext.broadcast((q_ids, Q, q_norm, q_labels))
     out_schema = (
@@ -692,7 +697,7 @@ def hard_negatives(
             ids = pdf[id_col].to_numpy()
             labels = pdf[label_col].to_numpy()
             C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            c_norm = np.linalg.norm(C, axis=1)
+            c_norm = np.maximum(np.linalg.norm(C, axis=1), 1e-12)
             S = (C @ Q.T) / np.outer(c_norm, q_norm)  # |batch| x |Q|
             for j, qid in enumerate(q_ids):
                 mask = labels != q_labels[j]  # the exact exclusion, pre-top-k

@@ -238,23 +238,54 @@ def cluster_spatial(
 
     Rewrites every partition (a layout pass, like Delta's OPTIMIZE
     ZORDER); run it on recently-appended days via upsert-style scoping if
-    the store is large. Returns the number of partitions rewritten."""
+    the store is large. Returns the number of partitions rewritten.
+
+    Fault model: the clustered copy is written to a STAGING directory
+    (source files untouched — plain fault-tolerant lineage, no
+    localCheckpoint materialization of the whole store) and then swapped
+    in via two directory renames. An executor loss mid-write just retries
+    tasks; a crash before the swap leaves the store untouched with a
+    stale staging dir that the next run deletes; the only non-atomic
+    window is between the two renames, during which the full original
+    still exists at the ``.__zorder_old`` path."""
     df = spark.read.parquet(path)
     parts = df.select(*PARTITION_COLS).distinct()
     n_parts = parts.count()
-    if n_parts:
-        z = scalar_fns.morton_key(F.col("lat_idx"), F.col("lon_idx"), bits)
-        (
-            df.withColumn("__z", z)
-            .repartition(n_parts, *PARTITION_COLS)
-            .sortWithinPartitions(*PARTITION_COLS, "__z")
-            .drop("__z")
-            .localCheckpoint(eager=True)  # sever lineage from the files being overwritten
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*PARTITION_COLS)
-            .parquet(path)
+    if not n_parts:
+        return 0
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    src = HPath(path)
+    fs = src.getFileSystem(conf)
+    staging_str = path.rstrip("/") + ".__zorder_staging"
+    old_str = path.rstrip("/") + ".__zorder_old"
+    staging, old = HPath(staging_str), HPath(old_str)
+    for stale in (staging, old):
+        if fs.exists(stale):
+            fs.delete(stale, True)
+
+    z = scalar_fns.morton_key(F.col("lat_idx"), F.col("lon_idx"), bits)
+    (
+        df.withColumn("__z", z)
+        .repartition(n_parts, *PARTITION_COLS)
+        .sortWithinPartitions(*PARTITION_COLS, "__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .partitionBy(*PARTITION_COLS)
+        .parquet(staging_str)
+    )
+    # carry the attrs sidecar byte-for-byte, then swap
+    attrs = HPath(src, _ATTRS_FILE)
+    if fs.exists(attrs):
+        jvm.org.apache.hadoop.fs.FileUtil.copy(
+            fs, attrs, fs, HPath(staging, _ATTRS_FILE), False, conf
         )
+    fs.rename(src, old)
+    fs.rename(staging, src)
+    fs.delete(old, True)
     return n_parts
 
 

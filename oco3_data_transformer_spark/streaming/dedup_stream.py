@@ -67,11 +67,25 @@ def admission_sink(
 
     Within-batch duplicates are collapsed first (keep smallest id per
     digest) so two identical documents arriving together don't both pass
-    the index check. Replaying a batch is CONVERGENT: its documents are
-    already in the index, so every one classifies exact_dup and the index
-    is not modified (the at-least-once -> effectively-idempotent argument
-    the granule writer makes with its manifest, achieved here by the
-    admission check itself).
+    the index check. Replaying a batch is CONVERGENT for the INDEX: its
+    documents are already in the index, so every one classifies exact_dup
+    and the index is not modified (the at-least-once -> effectively-
+    idempotent argument the granule writer makes with its manifest,
+    achieved here by the admission check itself).
+
+    ``verdict_path`` is AT-LEAST-ONCE, not idempotent: verdicts are
+    written BEFORE the index is mutated, so a replay that happens after
+    the index append re-records the batch's docs as exact_dup — the path
+    can hold two rows per (batch_id, id) where the EARLIER-written 'new'
+    row is the truth. Read it through :func:`read_verdicts`, which
+    collapses duplicates with new > near_dup > exact_dup priority (a
+    replay can only *demote* a verdict, never promote one, so keeping the
+    most-admissive row per key reconstructs the first processing).
+
+    Index existence is probed explicitly via the Hadoop FileSystem API —
+    a transient FS/permission error on an EXISTING index raises and fails
+    the batch (so the stream retries) instead of silently classifying the
+    whole micro-batch as 'new' and violating the dedup invariant.
 
     Scale shape: the micro-batch is the delta side — small by definition —
     so every join AQE-broadcasts it; the index contributes digest and
@@ -93,10 +107,12 @@ def admission_sink(
             .filter(F.col("__rn") == 1)
             .drop("__rn", "digest")
         )
-        try:
-            index = spark.read.parquet(index_path)
-        except Exception:
-            index = None
+        # Explicit existence probe: only a genuinely-absent path means
+        # "first batch"; any other read failure (permissions, corruption,
+        # transient FS) propagates so the micro-batch retries.
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(index_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        index = spark.read.parquet(index_path) if fs.exists(jpath) else None
         if index is None:
             verdicts = batch.select(
                 F.col(id_col).alias("id"),
@@ -108,6 +124,14 @@ def admission_sink(
                 batch, index, id_col, text_col, n, threshold
             )
         verdicts = verdicts.localCheckpoint()  # decide BEFORE mutating the index
+        # Verdicts FIRST: a crash between the two writes then replays with
+        # the index unchanged, reproducing identical verdicts (duplicate
+        # rows, same content). The reverse order would let a replay record
+        # contradictory exact_dup rows with no 'new' row to prefer.
+        if verdict_path:
+            verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(verdict_path)
         admitted = batch.join(
             verdicts.filter(F.col("verdict") == "new").select(
                 F.col("id").alias(id_col)
@@ -116,9 +140,28 @@ def admission_sink(
             "left_semi",
         )
         admitted.write.mode("append").parquet(index_path)
-        if verdict_path:
-            verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(verdict_path)
 
     return handle
+
+
+def read_verdicts(spark, verdict_path: str) -> DataFrame:
+    """Collapse :func:`admission_sink`'s at-least-once verdict log to one
+    row per (batch_id, id). A replay after the index append re-classifies
+    the batch's docs as exact_dup, so duplicates can only DEMOTE — keeping
+    the most-admissive verdict per key (new > near_dup > exact_dup, then
+    highest max_jacc as the deterministic tiebreak) reconstructs the first
+    processing's truth."""
+    rank = (
+        F.when(F.col("verdict") == "new", 0)
+        .when(F.col("verdict") == "near_dup", 1)
+        .otherwise(2)
+    )
+    w = Window.partitionBy("batch_id", "id").orderBy(
+        rank.asc(), F.col("max_jacc").desc()
+    )
+    return (
+        spark.read.parquet(verdict_path)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -272,3 +272,49 @@ def test_hard_negatives_arrow_matches_sql_and_excludes_labels(spark):
     # exclusion is exact: no neighbor shares its query's label (label = id%3)
     for qid, _, nid in a:
         assert nid % 3 != qid % 3
+
+
+def test_hard_negatives_zero_norm_vector_never_ranks_first(spark):
+    """A zero-norm corpus vector would yield NaN cosine, and NaN sorts
+    ABOVE every real value under desc — unguarded it becomes the #1 hard
+    negative for every query. The clamp pins its cosine to ~0 instead."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 0),  # the query
+            (1, [0.0, 0.0, 0.0], 1),  # zero-norm garbage
+            (2, [0.9, 0.1, 0.0], 1),  # genuinely similar, different label
+            (3, [0.0, 1.0, 0.0], 1),  # orthogonal
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    got = sorted(
+        (r.rank, r.neighbor_id)
+        for r in sim_ops.hard_negatives(emb, q, k=3, kernel="arrow").collect()
+    )
+    assert got[0] == (1, 2)  # the real near-neighbor wins rank 1
+    import math
+
+    for r in sim_ops.hard_negatives(emb, q, k=3, kernel="arrow").collect():
+        assert not math.isnan(r.cos)
+
+
+def test_semantic_dedup_zero_norm_vectors_are_inert(spark):
+    """Zero-norm vectors must neither crash the Gram kernel nor spuriously
+    drop real vectors; two zero vectors have clamp-cosine 0 (< threshold),
+    so both are kept."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.001]),  # near-dup of 1 -> dropped
+            (3, [0.0, 0.0]),
+            (4, [0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame([(0, [0.5, 0.5])], "cell int, centroid array<double>")
+    flags = {
+        r.vec_id: r.dropped
+        for r in sim_ops.semantic_dedup_flags(emb, cents, 0.95, kernel="arrow").collect()
+    }
+    assert flags == {1: False, 2: True, 3: False, 4: False}

@@ -157,3 +157,37 @@ def test_admission_sink_replay_converges(spark, tmp_path):
     once = sorted(map(tuple, spark.read.parquet(index_path).collect()))
     handle(b, 0)  # at-least-once redelivery
     assert sorted(map(tuple, spark.read.parquet(index_path).collect())) == once
+
+
+def test_read_verdicts_collapses_replay_demotion(spark, tmp_path):
+    """Replay AFTER the index append re-records the batch as exact_dup;
+    read_verdicts must keep the earlier 'new' truth per (batch_id, id)."""
+    index_path = str(tmp_path / "index")
+    verdict_path = str(tmp_path / "verdicts")
+    handle = dedup_stream.admission_sink(
+        index_path, "doc_id", "text", verdict_path=verdict_path
+    )
+    b = spark.createDataFrame(
+        [(1, "a never before seen document body for the replay test case")],
+        ["doc_id", "text"],
+    )
+    handle(b, 0)
+    handle(b, 0)  # full replay: doc is now in the index -> demoting row
+    raw = spark.read.parquet(verdict_path)
+    assert raw.count() == 2  # at-least-once log really is duplicated
+    assert {r.verdict for r in raw.collect()} == {"new", "exact_dup"}
+    got = dedup_stream.read_verdicts(spark, verdict_path).collect()
+    assert len(got) == 1
+    assert got[0].verdict == "new"
+
+
+def test_admission_sink_raises_on_unreadable_index(spark, tmp_path):
+    """An EXISTING-but-corrupt index must fail the batch (stream retries),
+    never silently classify the whole batch as 'new'."""
+    index_path = tmp_path / "index"
+    index_path.mkdir()
+    (index_path / "part-00000.parquet").write_bytes(b"not a parquet file")
+    handle = dedup_stream.admission_sink(str(index_path), "doc_id", "text")
+    b = spark.createDataFrame([(1, "some text")], ["doc_id", "text"])
+    with pytest.raises(Exception):
+        handle(b, 0)

@@ -147,6 +147,40 @@ def test_membership_includes_swallowed_rows(spark):
     assert got == [0, 1, 2, 3, 4]  # swallowed off-mode row 2 included
 
 
+def test_membership_degenerate_region_explodes_no_bins(spark):
+    """A region with stop_excl <= start_idx must contribute ZERO bin rows:
+    Spark's sequence(hi, lo) yields a DESCENDING range, so without the
+    guard an empty region silently inflates the join input (the exact
+    refine hides it from the output)."""
+    df = _mk(spark, [(SAM, "a")] * 3)
+    regs = spark.createDataFrame(
+        [
+            ("g", "r1", 0, 3),     # real region
+            ("g", "r0", 2, 2),     # degenerate: empty span
+            ("g", "rneg", 5, 1),   # degenerate: inverted span
+        ],
+        "granule string, region_id string, start_idx long, stop_excl long",
+    )
+    members = sess.assign_rows_to_regions(df, regs, ["granule"], "sounding_idx")
+    got = sorted((r.region_id, r.sounding_idx) for r in members.collect())
+    assert got == [("r1", 0), ("r1", 1), ("r1", 2)]
+    # the guard acts at the bin-explode, before the join: degenerate
+    # regions produce no exploded rows at all
+    binned = regs.withColumn(
+        "__bin",
+        sess.F.explode(
+            sess.F.when(
+                sess.F.col("stop_excl") > sess.F.col("start_idx"),
+                sess.F.sequence(
+                    (sess.F.col("start_idx") / 256).cast("long"),
+                    ((sess.F.col("stop_excl") - 1) / 256).cast("long"),
+                ),
+            ).otherwise(sess.F.array().cast("array<long>"))
+        ),
+    )
+    assert binned.count() == 1  # only r1 survives the explode
+
+
 @settings(max_examples=15, deadline=None)
 @given(
     st.lists(

@@ -184,3 +184,31 @@ def test_cluster_spatial_sorts_rows_by_morton_within_files(spark, tmp_path):
     assert files
     for f, zs in files.items():
         assert zs == sorted(zs), f
+
+
+def test_cluster_spatial_staged_swap_preserves_attrs_and_cleans_up(spark, tmp_path):
+    """The layout pass writes to a staging dir then swaps — the attrs
+    sidecar must survive byte-for-byte and no staging/old dirs remain.
+    A stale staging dir from a prior crashed run is cleaned up, not
+    swapped in."""
+    path = str(tmp_path / "store")
+    rows = [
+        ("oco3", "t1", "pre", D1, la, lo, "xco2", 1.0)
+        for la in range(4)
+        for lo in range(4)
+    ]
+    store.append(spark, spark.createDataFrame(rows, STORE_SLICE), path)
+    attrs = store.write_attrs(spark, path, {"title": "swap-test"})
+    # simulate a crash artifact from an earlier run
+    import os
+
+    stale = path + ".__zorder_staging"
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk"), "w") as fh:
+        fh.write("leftover")
+
+    assert store.cluster_spatial(spark, path) == 1
+    assert store.read_attrs(spark, path) == attrs
+    assert not os.path.exists(stale)
+    assert not os.path.exists(path + ".__zorder_old")
+    assert spark.read.parquet(path).count() == len(rows)
