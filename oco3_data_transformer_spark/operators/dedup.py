@@ -110,7 +110,12 @@ def hashed_shingle_table(
     return base.select("id", *cols).dropDuplicates(["id", "h"])
 
 
-def _join_cooccurrence_pairs(sh: DataFrame, key: str = "shingle") -> DataFrame:
+def _join_cooccurrence_pairs(
+    sh: DataFrame,
+    key: str = "shingle",
+    hot_threshold: int | None = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
     """(id_a, id_b, n_common) via self-join on the key.
 
     For *hot* keys (a stop-shingle shared by thousands of docs) the join
@@ -119,12 +124,47 @@ def _join_cooccurrence_pairs(sh: DataFrame, key: str = "shingle") -> DataFrame:
     entire k² expansion into a single unsplittable task. Use this for raw
     shingles; use :func:`_cooccurrence_pairs` for near-unique keys (LSH
     buckets) where grouping is cheaper than a shuffle join.
+
+    ``hot_threshold``: optional explicit skew control for corpora with
+    MEASURED pathological keys (the adversarial fixture's 30%-hot shingle
+    is the model). Keys held by more than ``hot_threshold`` documents are
+    routed through :func:`joins.salted_join` — the hot key's k² expansion
+    is spread over ``salt_buckets`` tasks by construction, independent of
+    whether AQE's runtime skew split is available or applicable (AQE
+    splits shuffle partitions, not broadcast-joined ones, and only after
+    a size threshold trips). The hot-key set itself is outlier-small by
+    definition and is broadcast to split the shingle stream; results are
+    identical to the unsalted join (tests/test_dedup_adversarial.py
+    asserts equality on the adversarial corpus).
     """
     a = sh.select(F.col("id").alias("id_a"), F.col(key))
     b = sh.select(F.col("id").alias("id_b"), F.col(key))
+    if hot_threshold is None:
+        matched = a.join(b, [key]).select("id_a", "id_b")
+    else:
+        from .joins import salted_join
+
+        hot_keys = (
+            sh.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > hot_threshold)
+            .select(key)
+        )
+        matched = (
+            a.join(F.broadcast(hot_keys), key, "left_anti")
+            .join(b.join(F.broadcast(hot_keys), key, "left_anti"), [key])
+            .select("id_a", "id_b")
+            .unionByName(
+                salted_join(
+                    a.join(F.broadcast(hot_keys), key, "left_semi"),
+                    b.join(F.broadcast(hot_keys), key, "left_semi"),
+                    key,
+                    salt_buckets,
+                ).select("id_a", "id_b")
+            )
+        )
     return (
-        a.join(b, [key])
-        .filter(F.col("id_a") < F.col("id_b"))
+        matched.filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -183,16 +223,25 @@ def _jaccard_filter(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    hot_shingle_threshold: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with word-n-gram Jaccard >= threshold.
     Returns (id_a, id_b, jacc) with id_a < id_b.
 
     One shuffle builds the hashed shingle table; sizes and the pair join
-    both hang off it (ReusedExchange — verify with .explain)."""
+    both hang off it (ReusedExchange — verify with .explain).
+
+    ``hot_shingle_threshold``: explicit salting for shingles shared by
+    more than this many docs (see :func:`_join_cooccurrence_pairs`) —
+    results unchanged, hot-key pair expansion bounded by construction."""
     sh = hashed_shingle_table(df, id_col, text_col, n, partition_by_id=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = _join_cooccurrence_pairs(sh, key="h")
+    inter = _join_cooccurrence_pairs(sh, key="h", hot_threshold=hot_shingle_threshold)
     return _jaccard_filter(inter, sizes, threshold)
 
 

@@ -79,12 +79,23 @@ def compare_query(
     return res
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None) -> int:
+def main(
+    sf_dir: str = "/root/testdata/sf0.01",
+    only: str | None = None,
+    out_path: str | None = None,
+) -> int:
+    """Run the parity gate; when checking the FULL catalog, also write a
+    machine-readable per-query artifact (default ``CORRECTNESS_SELF.json``
+    in the cwd) — the driver's hard gate covers a frozen 50-query subset,
+    so this self-report is how the other half of the catalog's status
+    stays legible round over round."""
+    import json
+
     from .session import get_spark
 
     spark = get_spark("oracle-check")
     con = duck_connection(sf_dir)
-    failed = []
+    failed, results = [], []
     names = only.split(",") if only else list(REGISTRY)
     for name in names:
         try:
@@ -93,11 +104,29 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None) -> int:
             res = {"name": name, "match": False, "why": f"{type(e).__name__}: {e}"}
         status = "OK " if res.get("match") else "FAIL"
         print(f"{status} {name} rows={res.get('rows')} {res.get('why', '')}"[:300], flush=True)
+        results.append(res)
         if not res.get("match"):
             failed.append(name)
     print(f"\n{len(names) - len(failed)}/{len(names)} queries match")
     if failed:
         print("failed:", failed)
+    if out_path is None and only is None:
+        out_path = "CORRECTNESS_SELF.json"
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(names),
+                    "n_oracled": sum(1 for r in results if r.get("oracle")),
+                    "n_match": len(names) - len(failed),
+                    "failed": failed,
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {out_path}")
     return 1 if failed else 0
 
 

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import scalar as scalar_fns
+from .adapter import ParquetStorageAdapter, StorageAdapter
 
 # The identity of one stored raster cell (ref ZarrWriter dedups on `time`
 # alone because one store holds one mission×target×qf; the unified table
@@ -42,62 +43,90 @@ from ..functions import scalar as scalar_fns
 SLICE_KEY = ["mission", "target_id", "qf", "time", "lat_idx", "lon_idx", "variable"]
 PARTITION_COLS = ["mission", "qf", "day"]
 
+# Every physical table operation routes through the adapter seam
+# (sinks/adapter.py): swap in DeltaStorageAdapter (or any StorageAdapter)
+# per-call or process-wide for an ACID table format — the store logic
+# above the seam is format-agnostic and tested against a fake adapter.
+DEFAULT_ADAPTER: StorageAdapter = ParquetStorageAdapter()
+
+
+def _adapter(adapter: StorageAdapter | None) -> StorageAdapter:
+    return adapter if adapter is not None else DEFAULT_ADAPTER
+
 
 def _with_day(df: DataFrame) -> DataFrame:
     return df.withColumn("day", F.to_date("time"))
 
 
-def store_exists(spark: SparkSession, path: str) -> bool:
-    try:
-        spark.read.parquet(path).limit(1).collect()
-        return True
-    except Exception:
-        return False
+def store_exists(
+    spark: SparkSession, path: str, adapter: StorageAdapter | None = None
+) -> bool:
+    return _adapter(adapter).exists(spark, path)
 
 
-def append(spark: SparkSession, df: DataFrame, path: str) -> int:
+def append(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    adapter: StorageAdapter | None = None,
+) -> int:
     """Idempotent append: drop incoming rows whose slice key is already
     present (keep-first, ref writers/ZarrWriter.py:374-378), then append.
     Returns the number of rows written.
 
     The existing-key anti-join reads only the partitions the incoming batch
     touches (partition filter on day/mission/qf), not the whole store.
+
+    The check-then-write pair runs inside the adapter's per-path write
+    lock: two racing appends otherwise both pass the duplicate check
+    before either writes (and plain Parquet's commit staging is not even
+    append-vs-append safe). See sinks/adapter.py for the concurrency
+    contract per format.
     """
-    new = _with_day(df.dropDuplicates(SLICE_KEY))
-    if store_exists(spark, path):
-        existing = spark.read.parquet(path)
-        # restrict the anti-join to the touched days via a broadcast
-        # semi-join on the distinct-day frame: dynamic partition pruning
-        # skips the untouched store partitions, and a backfill spanning
-        # thousands of days never materializes a thousands-literal IN list
-        days = F.broadcast(new.select("day").distinct())
-        existing = existing.join(days, on="day", how="left_semi").select(*SLICE_KEY)
-        new = new.join(existing, on=SLICE_KEY, how="left_anti")
-    n = new.count()
-    if n:
-        new.write.mode("append").partitionBy(*PARTITION_COLS).parquet(path)
-    return n
+    a = _adapter(adapter)
+    with a.write_lock(path):
+        new = _with_day(df.dropDuplicates(SLICE_KEY))
+        if a.exists(spark, path):
+            existing = a.read(spark, path)
+            # restrict the anti-join to the touched days via a broadcast
+            # semi-join on the distinct-day frame: dynamic partition pruning
+            # skips the untouched store partitions, and a backfill spanning
+            # thousands of days never materializes a thousands-literal IN list
+            days = F.broadcast(new.select("day").distinct())
+            existing = existing.join(days, on="day", how="left_semi").select(*SLICE_KEY)
+            new = new.join(existing, on=SLICE_KEY, how="left_anti")
+        n = new.count()
+        if n:
+            a.append(new, path, PARTITION_COLS)
+        return n
 
 
-def upsert(spark: SparkSession, df: DataFrame, path: str) -> int:
+def upsert(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    adapter: StorageAdapter | None = None,
+) -> int:
     """Late-data repair path: replace every (mission, qf, day) partition the
     batch touches with the batch's rows for it (ref tools/deploy/run.py:315-331
     — a new granule for an already-processed day reprocesses that day).
     Dynamic partition overwrite = partition-scoped MERGE.
     Returns the number of rows written (so repair-only cycles report their
     rewrite volume, not 0)."""
-    new = _with_day(df.dropDuplicates(SLICE_KEY))
-    n = new.count()
-    (
-        new.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*PARTITION_COLS)
-        .parquet(path)
-    )
-    return n
+    a = _adapter(adapter)
+    with a.write_lock(path):
+        new = _with_day(df.dropDuplicates(SLICE_KEY))
+        n = new.count()
+        a.overwrite_partitions(new, path, PARTITION_COLS)
+        return n
 
 
-def merge(spark: SparkSession, df: DataFrame, path: str) -> None:
+def merge(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    adapter: StorageAdapter | None = None,
+) -> None:
     """True partition-scoped MERGE for the late-data repair path: in every
     (mission, qf, day) partition the batch touches, batch rows replace
     matching slice keys and all *other* existing rows of the partition are
@@ -108,28 +137,27 @@ def merge(spark: SparkSession, df: DataFrame, path: str) -> None:
 
     The merged rows are localCheckpoint-ed before the overwrite so the write
     does not lazily re-read the files it is replacing."""
-    new = _with_day(df.dropDuplicates(SLICE_KEY))
-    if store_exists(spark, path):
-        existing = spark.read.parquet(path)
-        touched = new.select(*PARTITION_COLS).distinct()
-        kept = (
-            existing.join(F.broadcast(touched), on=PARTITION_COLS, how="left_semi")
-            .join(new.select(*SLICE_KEY), on=SLICE_KEY, how="left_anti")
-        )
-        new = new.unionByName(kept).localCheckpoint(eager=True)
-    (
-        new.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*PARTITION_COLS)
-        .parquet(path)
-    )
+    a = _adapter(adapter)
+    with a.write_lock(path):
+        new = _with_day(df.dropDuplicates(SLICE_KEY))
+        if a.exists(spark, path):
+            existing = a.read(spark, path)
+            touched = new.select(*PARTITION_COLS).distinct()
+            kept = (
+                existing.join(F.broadcast(touched), on=PARTITION_COLS, how="left_semi")
+                .join(new.select(*SLICE_KEY), on=SLICE_KEY, how="left_anti")
+            )
+            new = new.unionByName(kept).localCheckpoint(eager=True)
+        a.overwrite_partitions(new, path, PARTITION_COLS)
 
 
-def verify(spark: SparkSession, path: str) -> dict:
+def verify(
+    spark: SparkSession, path: str, adapter: StorageAdapter | None = None
+) -> dict:
     """S7: post-append invariants — no duplicate slice keys, per-store time
     coverage (A7). Returns a report dict (the reference logs + auto-repairs;
     ref writers/ZarrWriter.py:328-408)."""
-    df = spark.read.parquet(path)
+    df = _adapter(adapter).read(spark, path)
     dupes = (
         df.groupBy(*SLICE_KEY).agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
@@ -146,38 +174,37 @@ def verify(spark: SparkSession, path: str) -> dict:
     }
 
 
-def repair(spark: SparkSession, path: str) -> int:
+def repair(
+    spark: SparkSession, path: str, adapter: StorageAdapter | None = None
+) -> int:
     """Dedup-rewrite repair (replaces backup/restore S10): keep one row per
     slice key (deterministic min value — the reference keeps the first
     written; Parquet row order is not a contract, so pick by value), rewrite
     only the affected partitions."""
-    df = spark.read.parquet(path)
-    w = Window.partitionBy(*SLICE_KEY).orderBy(F.col("value").asc_nulls_last())
-    bad_days = (
-        df.groupBy(*PARTITION_COLS).agg(F.count(F.lit(1)).alias("n"))
-        .join(
-            df.dropDuplicates(SLICE_KEY).groupBy(*PARTITION_COLS)
-            .agg(F.count(F.lit(1)).alias("m")),
-            on=PARTITION_COLS,
+    a = _adapter(adapter)
+    with a.write_lock(path):
+        df = a.read(spark, path)
+        w = Window.partitionBy(*SLICE_KEY).orderBy(F.col("value").asc_nulls_last())
+        bad_days = (
+            df.groupBy(*PARTITION_COLS).agg(F.count(F.lit(1)).alias("n"))
+            .join(
+                df.dropDuplicates(SLICE_KEY).groupBy(*PARTITION_COLS)
+                .agg(F.count(F.lit(1)).alias("m")),
+                on=PARTITION_COLS,
+            )
+            .filter(F.col("n") > F.col("m"))
+            .select(*PARTITION_COLS)
         )
-        .filter(F.col("n") > F.col("m"))
-        .select(*PARTITION_COLS)
-    )
-    fixed = (
-        df.join(F.broadcast(bad_days), on=PARTITION_COLS, how="left_semi")
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .drop("__rk")
-    )
-    n = fixed.count()
-    if n:
-        (
-            fixed.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*PARTITION_COLS)
-            .parquet(path)
+        fixed = (
+            df.join(F.broadcast(bad_days), on=PARTITION_COLS, how="left_semi")
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
         )
-    return n
+        n = fixed.count()
+        if n:
+            a.overwrite_partitions(fixed, path, PARTITION_COLS)
+        return n
 
 
 def compact(
@@ -191,7 +218,11 @@ def compact(
     Only partitions that are actually fragmented are rewritten (dynamic
     partition overwrite); untouched partitions keep their files — at 100 TB
     a nightly compaction touches just the recently-appended days. Returns
-    the number of partitions rewritten."""
+    the number of partitions rewritten.
+
+    File-layout maintenance is Parquet-physical by nature (ACID formats
+    replace this whole function with OPTIMIZE / rewrite_data_files), so it
+    deliberately sits BELOW the adapter seam."""
     df = spark.read.parquet(path)
     frag = (
         df.select(*PARTITION_COLS, F.input_file_name().alias("__f"))

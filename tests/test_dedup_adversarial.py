@@ -128,6 +128,81 @@ def test_minhash_lsh_stays_bounded_and_agrees_with_exact(corpus):
         assert len(lsh) / len(exact) >= 0.8
 
 
+def test_hot_shingle_salting_is_equivalent_and_spreads_tasks(spark, corpus):
+    """The explicit hot-key salting hook (ngram_jaccard_pairs
+    hot_shingle_threshold): on the 30%-hot corpus the salted plan must
+    return EXACTLY the unsalted result, and the hot keys' pair expansion
+    must be spread across many tasks by construction — checked with
+    broadcast joins disabled so the spread comes from the salt, not from
+    a lucky broadcast of the probe side."""
+    survivors = _survivors(corpus).localCheckpoint(eager=True)
+    base = {
+        (r.id_a, r.id_b, round(r.jacc, 9))
+        for r in dedup.ngram_jaccard_pairs(
+            survivors, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    salted = dedup.ngram_jaccard_pairs(
+        survivors, "doc_id", "text", n=3, threshold=0.5, hot_shingle_threshold=100
+    )
+    assert {
+        (r.id_a, r.id_b, round(r.jacc, 9)) for r in salted.collect()
+    } == base
+
+    # spread: the hot keys' raw pair expansion, forced through shuffle
+    # joins, must not concentrate in one task. Broadcast off so the spread
+    # comes from the salt keys; AQE partition-coalescing off because at
+    # toy scale the pair BYTES fit one 64 MB advisory partition and AQE
+    # legitimately re-merges them (at real hot-key scale the bytes keep
+    # the salted tasks apart — the salt's job is creating the distinct
+    # shuffle keys, which is what this asserts).
+    # NB: AQE has its own runtime broadcast threshold and its local
+    # shuffle-read would otherwise hide the salt partitioning under a
+    # runtime-converted broadcast join — pin both thresholds.
+    restore = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        sh = dedup.hashed_shingle_table(survivors, "doc_id", "text", 3)
+        sh = sh.localCheckpoint(eager=True)
+        hot = (
+            sh.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 100)
+        )
+        assert hot.count() >= 1  # the fixture really has hot shingles
+        from oco3_data_transformer_spark.operators.joins import salted_join
+
+        a = sh.join(hot.select("h"), "h", "left_semi").select(
+            F.col("id").alias("id_a"), "h"
+        )
+        b = sh.join(hot.select("h"), "h", "left_semi").select(
+            F.col("id").alias("id_b"), "h"
+        )
+        expanded = salted_join(a, b, "h", salt_buckets=16).select("id_a", "id_b")
+        dist = (
+            expanded.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        total = sum(r.n for r in dist)
+        assert len(dist) >= 8  # hot mass lands in many tasks...
+        assert max(r.n for r in dist) <= 0.3 * total  # ...none dominant
+    finally:
+        for k, v in restore.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_chain_components_converge_min_label_and_star(spark, corpus):
     # adjacent chain pairs = one 500-node path, the worst case for
     # min-label (diameter bounded) and the motivating case for large/small-

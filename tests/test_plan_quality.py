@@ -302,3 +302,59 @@ def test_membership_join_is_equi_not_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert out.count() == 1000  # every row lands in exactly one region
+
+
+def _subtree_lines(plan: str, needle: str):
+    """Yield (for each line containing ``needle``) the list of lines in
+    that node's subtree, using the logical-plan printer's indent depth
+    (the position of the '+-' / ':-' marker)."""
+    lines = plan.splitlines()
+
+    def depth(ln: str) -> int:
+        for marker in ("+- ", ":- "):
+            if marker in ln:
+                return ln.index(marker)
+        return -1  # the root line
+
+    for i, ln in enumerate(lines):
+        if needle not in ln:
+            continue
+        d = depth(ln)
+        sub = []
+        for nxt in lines[i + 1:]:
+            nd = depth(nxt)
+            if nd >= 0 and nd <= d:
+                break
+            sub.append(nxt)
+        yield sub
+
+
+def test_q100_pipeline_shape_pinned(spark):
+    # The five-stage corpus-prep showcase (exact dedup -> near-dup ->
+    # quality -> decontamination -> split): pin the plan shape so a
+    # refactor can't silently quadratic it.
+    df = REGISTRY["q100_corpus_pipeline"].fn(spark, SF)
+
+    # (1) exact-first ordering: the shingle explode consumes the OUTPUT of
+    # the exact-dedup window — i.e. some Generate's subtree contains the
+    # Window. Shingling moved before dedup would leave every Generate
+    # subtree Window-free (the LSH-bounding invariant, dedup.py:22-31).
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert logical.count("Window") >= 1
+    assert any(
+        any("Window" in ln for ln in sub)
+        for sub in _subtree_lines(logical, "Generate")
+    ), "no shingle Generate consumes the exact-dedup Window output"
+
+    # (2) executed shape: shingle exchange genuinely shared between the
+    # near-dup pair join and decontamination; no quadratic operators;
+    # bounded exchange count (7 today — slack to 8 for AQE variance).
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==", 1
+    )[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+    assert final.count("ReusedExchange") >= 2
+    assert final.count("Exchange hashpartitioning") <= 8
+    assert final.count("Generate explode") <= 3  # corpus(+reuse) + bench shingles
