@@ -932,3 +932,154 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
         "measure",
         "value",
     )
+
+
+# ---------------------------------------------------------------------------
+# q101-q104 — round-4 training-loop surface: deterministic epoch shuffle,
+# length-grouped batching, class rebalancing, length-percentile profiles
+# ---------------------------------------------------------------------------
+
+_SHUF_H = corpus_ops.shuffle_hash_sql("doc_id", "epoch0")
+
+@register(
+    "q101_train_order",
+    f"""
+    WITH o AS (
+        SELECT doc_id,
+               CAST({_SHUF_H} % 8 AS INTEGER) AS shuffle_bucket,
+               CAST(row_number() OVER (
+                   PARTITION BY {_SHUF_H} % 8
+                   ORDER BY {_SHUF_H}, doc_id) AS INTEGER) AS shuffle_pos
+        FROM documents)
+    SELECT shuffle_bucket, shuffle_pos, doc_id
+    FROM o WHERE shuffle_pos <= 3
+    """,
+    doc="Deterministic global training-order shuffle (epoch permutation): "
+    "seeded-hash bucket + per-bucket rank give every example a stable "
+    "(bucket, pos) coordinate — a uniform permutation reproducible across "
+    "engines and partitionings, unlike orderBy(rand()). One exchange on "
+    "the bucket key, per-bucket sorts, NO global sort; a new epoch is a "
+    "new seed with the identical plan. The query returns each bucket's "
+    "first 3 examples (the permutation's head, enough to pin membership "
+    "and order).",
+)
+def q101(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+    ordered = corpus_ops.train_order(docs, "doc_id", seed="epoch0", n_buckets=8)
+    return ordered.filter(F.col("shuffle_pos") <= 3).select(
+        "shuffle_bucket", "shuffle_pos", "doc_id"
+    )
+
+
+@register(
+    "q102_length_batches",
+    f"""
+    WITH b AS (
+        SELECT doc_id, n_chars,
+               CAST(floor((n_chars - 1) / 64) AS INTEGER) AS len_bucket
+        FROM documents),
+    r AS (
+        SELECT len_bucket, n_chars,
+               row_number() OVER (
+                   PARTITION BY len_bucket ORDER BY n_chars, doc_id) - 1 AS rn
+        FROM b),
+    batches AS (
+        SELECT len_bucket, CAST(floor(rn / 16) AS BIGINT) AS batch_idx,
+               count(*) AS n_rows, max(n_chars) AS mx, sum(n_chars) AS sm
+        FROM r GROUP BY 1, 2)
+    SELECT len_bucket,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(n_rows) AS BIGINT) AS n_docs,
+           CAST(sum(mx * n_rows - sm) AS BIGINT) AS padding,
+           CAST(sum(mx * n_rows) AS BIGINT) AS padded_cells
+    FROM batches GROUP BY 1
+    """,
+    doc="Length-grouped batching profile (dynamic-padding assembly): "
+    "integer length bands -> per-band (length, id) order -> fixed-size "
+    "batches of 16; padding waste per batch is batch_max*|batch| - sum "
+    "(what padding-to-batch-max costs). Grouping by length is what keeps "
+    "padding/padded_cells small — the per-band totals here are the "
+    "skyline a batching policy is judged by. One exchange on the band "
+    "key + one window pass + map-side-combined aggregate.",
+)
+def q102(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "n_chars")
+    rows = corpus_ops.length_batches(docs, "doc_id", "n_chars", batch_size=16)
+    per_batch = rows.groupBy("len_bucket", "batch_idx").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("n_chars").alias("mx"),
+        F.sum("n_chars").alias("sm"),
+    )
+    return per_batch.groupBy("len_bucket").agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("n_rows").alias("n_docs"),
+        F.sum(F.col("mx") * F.col("n_rows") - F.col("sm")).alias("padding"),
+        F.sum(F.col("mx") * F.col("n_rows")).alias("padded_cells"),
+    )
+
+
+_BAL_H = corpus_ops.shuffle_hash_sql("vec_id", "class-balance")
+
+@register(
+    "q103_class_balance",
+    f"""
+    WITH m AS (
+        SELECT min(n) AS min_class FROM (
+            SELECT count(*) AS n FROM embeddings GROUP BY label)),
+    kept AS (
+        SELECT label, vec_id
+        FROM (
+            SELECT label, vec_id,
+                   row_number() OVER (
+                       PARTITION BY label
+                       ORDER BY {_BAL_H}, vec_id) AS balance_rank
+            FROM embeddings), m
+        WHERE balance_rank <= m.min_class)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(vec_id) AS BIGINT) AS id_sum
+    FROM kept GROUP BY label
+    """,
+    doc="Deterministic class rebalancing: undersample every label to the "
+    "minority-class size by per-class hash rank (uniform without "
+    "replacement, reproducible). Per-class counts reduce map-side to "
+    "|classes| rows, the global min joins back as a broadcast single row, "
+    "membership is one rank window over the label-keyed exchange. id_sum "
+    "pins the exact kept membership, not just the counts.",
+)
+def q103(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings").select("vec_id", "label")
+    kept = corpus_ops.class_balance(emb, "label", "vec_id")
+    return kept.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("vec_id").alias("id_sum"),
+    )
+
+
+@register(
+    "q104_length_percentiles",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.25), 6) AS p25,
+           round(quantile_cont(n_chars, 0.50), 6) AS p50,
+           round(quantile_cont(n_chars, 0.75), 6) AS p75,
+           round(quantile_cont(n_chars, 0.95), 6) AS p95
+    FROM documents GROUP BY lang
+    """,
+    doc="Per-language document-length percentile profile with EXACT "
+    "(interpolated) percentiles — the corpus-profiling numbers a mixture "
+    "or truncation policy is tuned against. Spark's percentile() "
+    "aggregate matches DuckDB's quantile_cont bit-for-bit at 6 dp; at "
+    "100 TB swap percentile_approx (t-digest sketch, mergeable map-side) "
+    "for the exact sort-based form when 1e-3 relative error suffices — "
+    "same query shape, documented accuracy trade.",
+)
+def q104(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("lang", "n_chars")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("n_chars", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("n_chars", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("n_chars", F.lit(0.75)), 6).alias("p75"),
+        F.round(F.percentile("n_chars", F.lit(0.95)), 6).alias("p95"),
+    )

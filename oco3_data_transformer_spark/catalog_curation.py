@@ -423,7 +423,16 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
         F.to_date("ts").alias("d"), "user_id"
     )
     first = ev.groupBy("user_id").agg(F.min("d").alias("d"))
-    daily = first.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    # coalesce(1) BEFORE the global window: it runs on the days-sized
+    # aggregate by construction (|days| rows), so one partition IS the
+    # intended plan; the explicit coalesce removes the implicit
+    # SinglePartition exchange. (WindowExec still logs its no-partition
+    # warning — measured: Spark 4 constant-folds any literal partitionBy
+    # key, so the warning is structural for a global running sum and
+    # intentionally accepted here.)
+    daily = (
+        first.groupBy("d").agg(F.count(F.lit(1)).alias("new_users")).coalesce(1)
+    )
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return daily.select(
         "d",

@@ -153,6 +153,105 @@ def mix_by_budget(
     )
 
 
+def shuffle_hash(id_col: Column, seed: str) -> Column:
+    """Seeded portable hash for order randomization: a distinct seed gives
+    an independent deterministic permutation (epoch reshuffles = new seed,
+    identical plan)."""
+    return hashing.portable_hash64(
+        F.concat(F.lit(f"{seed}:"), id_col.cast("string"))
+    )
+
+
+def shuffle_hash_sql(id_expr: str, seed: str) -> str:
+    return hashing.portable_hash64_sql(f"'{seed}:' || CAST({id_expr} AS VARCHAR)")
+
+
+def train_order(
+    df: DataFrame, id_col: str, seed: str = "epoch0", n_buckets: int = 1024
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every example gets a
+    ``(shuffle_bucket, shuffle_pos)`` coordinate; reading buckets in
+    bucket order, each in position order, is a uniform random permutation
+    of the corpus — reproducible across engines, runs, and partitionings
+    (the replacement for ``orderBy(rand())``, which is neither).
+
+    Scale shape: bucket = seeded-hash mod n_buckets is a row-local
+    projection; positions are a per-bucket window — ONE exchange on the
+    bucket key and a per-bucket sort, never a global sort (with
+    ``n_buckets`` × executor-count tasks there is no single-reducer
+    bottleneck, and writing ``partitionBy(shuffle_bucket)`` yields files a
+    training reader streams in order). A new epoch is a new ``seed`` —
+    same plan, independent permutation.
+    """
+    h = shuffle_hash(F.col(id_col), seed)
+    out = df.withColumn(
+        "shuffle_bucket", F.pmod(h, F.lit(n_buckets)).cast("int")
+    ).withColumn("__h", h)
+    w = Window.partitionBy("shuffle_bucket").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    return out.withColumn("shuffle_pos", F.row_number().over(w)).drop("__h")
+
+
+def length_batches(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    batch_size: int,
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Length-grouped batch assembly (dynamic-padding batching): bucket
+    examples by length band (``floor((len-1)/bucket_width)`` — pure
+    integer banding, no float log edge cases), order each band by
+    (length, id), and cut it into fixed-size batches. Batching similar
+    lengths together is what bounds padding waste when examples are padded
+    to their batch max (``batch_pad = batch_max*|batch| - Σlen``).
+
+    One exchange on the band key + one window pass; bands sort
+    independently (no global sort), and batches never span bands. Emits
+    ``len_bucket``, ``batch_idx``, ``batch_pos`` per row.
+    """
+    band = F.floor((F.col(len_col) - 1) / bucket_width).cast("int")
+    out = df.withColumn("len_bucket", band)
+    w = Window.partitionBy("len_bucket").orderBy(
+        F.col(len_col).asc(), F.col(id_col).asc()
+    )
+    rn = F.row_number().over(w) - 1
+    return out.withColumn(
+        "batch_idx", F.floor(rn / batch_size).cast("long")
+    ).withColumn("batch_pos", (rn % batch_size).cast("int"))
+
+
+def class_balance(df: DataFrame, label_col: str, id_col: str) -> DataFrame:
+    """Class rebalancing by deterministic undersampling: keep exactly
+    ``min(class sizes)`` uniformly-chosen rows of EVERY class (hash-ranked
+    — reproducible, engine-portable), so downstream training sees a
+    balanced label distribution without replacement or weighting.
+
+    Scale shape: per-class counts are a map-side-combined aggregate to
+    |classes| rows; the global min comes back as a broadcast single-row
+    join; membership is a per-class rank window — one exchange of the
+    corpus on the label key. Skew note: a dominant class makes that key
+    hot in the window exchange; the window itself is a streaming rank
+    (no buffering), so the cost is the sort of the hot partition —
+    acceptable to |class| ~ billions; beyond that, pre-filter with an
+    approximate per-class rate before the exact rank.
+    """
+    m = (
+        df.groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.min("__n").alias("__min_class"))
+    )
+    h = shuffle_hash(F.col(id_col), "class-balance")
+    w = Window.partitionBy(label_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("balance_rank", F.row_number().over(w))
+        .join(F.broadcast(m))
+        .filter(F.col("balance_rank") <= F.col("__min_class"))
+        .drop("__min_class")
+    )
+
+
 def chunk_tokens(
     df: DataFrame,
     id_col: str,

@@ -187,3 +187,72 @@ def test_weighted_sample_biases_toward_heavy_rows(spark):
         r for r in corpus_ops.weighted_sample(df0, "doc_id", "w", 200).collect()
         if r["doc_id"] == 0
     ]
+
+
+def test_train_order_is_permutation_and_partition_invariant(spark):
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = corpus_ops.train_order(df, "doc_id", seed="e0", n_buckets=8)
+    rows = out.collect()
+    # a permutation: every doc exactly once, positions dense per bucket
+    assert sorted(r.doc_id for r in rows) == list(range(500))
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault(r.shuffle_bucket, []).append(r.shuffle_pos)
+    assert set(by_bucket) == set(range(8))
+    for b, poss in by_bucket.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), b
+    # partition-invariant: same coordinates from a different input layout
+    re = corpus_ops.train_order(df.repartition(13), "doc_id", "e0", 8)
+    assert sorted(map(tuple, re.collect())) == sorted(map(tuple, rows))
+    # a new seed is a genuinely different permutation
+    e1 = corpus_ops.train_order(df, "doc_id", seed="e1", n_buckets=8)
+    assert sorted(map(tuple, e1.collect())) != sorted(map(tuple, rows))
+
+
+def test_length_batches_bounds_padding_vs_unsorted(spark):
+    import random
+
+    rng = random.Random(5)
+    lens = [rng.randrange(1, 1000) for _ in range(400)]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lens)], "doc_id long, n_chars long"
+    )
+    out = corpus_ops.length_batches(df, "doc_id", "n_chars", batch_size=16).collect()
+    # every row assigned; batch_pos dense within (bucket, batch)
+    assert len(out) == 400
+    groups: dict = {}
+    for r in out:
+        assert r.len_bucket == (r.n_chars - 1) // 64
+        groups.setdefault((r.len_bucket, r.batch_idx), []).append(r)
+    pad = 0
+    for (_, bi), grp in groups.items():
+        assert sorted(r.batch_pos for r in grp) == list(range(len(grp)))
+        assert len(grp) <= 16
+        pad += max(r.n_chars for r in grp) * len(grp) - sum(r.n_chars for r in grp)
+    # padding waste must beat naive id-order batching by a wide margin
+    naive = 0
+    for i in range(0, 400, 16):
+        grp = lens[i : i + 16]
+        naive += max(grp) * len(grp) - sum(grp)
+    assert pad < naive / 2
+
+
+def test_class_balance_equalizes_to_minority(spark):
+    rows = (
+        [(i, 0) for i in range(100)]
+        + [(1000 + i, 1) for i in range(37)]
+        + [(2000 + i, 2) for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, label int")
+    kept = corpus_ops.class_balance(df, "label", "vec_id").collect()
+    per = {}
+    for r in kept:
+        per.setdefault(r.label, set()).add(r.vec_id)
+    assert {k: len(v) for k, v in per.items()} == {0: 37, 1: 37, 2: 37}
+    assert per[1] == {1000 + i for i in range(37)}  # minority kept whole
+    # deterministic: a rerun keeps the same members
+    again = corpus_ops.class_balance(df.repartition(7), "label", "vec_id").collect()
+    per2: dict = {}
+    for r in again:
+        per2.setdefault(r.label, set()).add(r.vec_id)
+    assert per2 == per

@@ -358,3 +358,34 @@ def test_q100_pipeline_shape_pinned(spark):
     assert final.count("ReusedExchange") >= 2
     assert final.count("Exchange hashpartitioning") <= 8
     assert final.count("Generate explode") <= 3  # corpus(+reuse) + bench shingles
+
+
+def test_train_shuffle_and_batching_single_exchange(spark):
+    # q101 epoch shuffle and q102 length batching: bucket projection is
+    # row-local; the rank window and every downstream aggregate share the
+    # bucket-keyed exchange — ONE hashpartitioning end-to-end, no global
+    # sort anywhere (the orderBy(rand()) replacement must not smuggle a
+    # single-reducer sort back in).
+    for q in ("q101_train_order", "q102_length_batches"):
+        plan = plan_of(spark, q)
+        assert plan.count("hashpartitioning(") == 1, q
+        assert "rangepartitioning" not in plan, q
+
+
+def test_class_balance_broadcasts_min_not_corpus(spark):
+    # q103: corpus exchanges once per consumer branch on the label key
+    # (counts agg + rank window); the global min-class row rides a
+    # broadcast nested-loop of exactly ONE row — never a shuffle of the
+    # corpus against the scalar, never a cartesian.
+    plan = plan_of(spark, "q103_class_balance")
+    assert plan.count("hashpartitioning(") == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_length_percentiles_map_side_partial(spark):
+    # q104: exact percentile aggregates still combine map-side (partial +
+    # final HashAggregate/SortAggregate pair) over one lang-keyed exchange
+    plan = plan_of(spark, "q104_length_percentiles")
+    assert plan.count("hashpartitioning(") == 1
+    assert plan.count("Aggregate") >= 2
