@@ -1083,3 +1083,77 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.percentile("n_chars", F.lit(0.75)), 6).alias("p75"),
         F.round(F.percentile("n_chars", F.lit(0.95)), 6).alias("p95"),
     )
+
+
+_EP_BAL_H = corpus_ops.shuffle_hash_sql("doc_id", "class-balance")
+_EP_SHUF_H = corpus_ops.shuffle_hash_sql("doc_id", "epoch0")
+
+@register(
+    "q105_epoch_pipeline",
+    f"""
+    WITH m AS (
+        SELECT min(n) AS min_class FROM (
+            SELECT count(*) AS n FROM documents GROUP BY lang)),
+    bal AS (
+        SELECT doc_id, n_chars FROM (
+            SELECT doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {_EP_BAL_H}, doc_id) AS r
+            FROM documents), m
+        WHERE r <= m.min_class),
+    ord_b AS (
+        SELECT doc_id, n_chars,
+               CAST({_EP_SHUF_H} % 8 AS INTEGER) AS shuffle_bucket
+        FROM bal),
+    rows_b AS (
+        SELECT shuffle_bucket,
+               CAST(floor((n_chars - 1) / 64) AS INTEGER) AS len_bucket,
+               n_chars,
+               row_number() OVER (
+                   PARTITION BY shuffle_bucket, floor((n_chars - 1) / 64)
+                   ORDER BY n_chars, doc_id) - 1 AS rn
+        FROM ord_b),
+    batches AS (
+        SELECT shuffle_bucket, len_bucket,
+               CAST(floor(rn / 16) AS BIGINT) AS batch_idx,
+               count(*) AS n_rows, max(n_chars) AS mx, sum(n_chars) AS sm
+        FROM rows_b GROUP BY 1, 2, 3)
+    SELECT shuffle_bucket,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(n_rows) AS BIGINT) AS n_docs,
+           CAST(sum(mx * n_rows - sm) AS BIGINT) AS padding
+    FROM batches GROUP BY 1
+    """,
+    doc="The epoch-dataloader pipeline as ONE declarative plan (the "
+    "training-loop counterpart of q100's corpus-prep): class-balance to "
+    "the minority language -> deterministic epoch shuffle into 8 buckets "
+    "-> length-grouped batches of 16 WITHIN each shuffle bucket (the "
+    "bucketed-shuffle + length-batching dataloader scheme: epoch-varying "
+    "order across buckets, bounded padding within). Reports per-bucket "
+    "batch count, docs, and padding waste. Exactly two exchanges carry "
+    "corpus-sized data (lang rank window; bucket+band batching window, "
+    "whose clustering the per-batch aggregate reuses) — the class-count "
+    "and final per-bucket exchanges move aggregate-sized rows, the "
+    "min-class scalar is a one-row broadcast, and the epoch-shuffle rank "
+    "is never computed at all (column-pruned: only its bucket projection "
+    "is consumed).",
+)
+def q105(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    bal = corpus_ops.class_balance(docs, "lang", "doc_id").drop("balance_rank")
+    ordd = corpus_ops.train_order(bal, "doc_id", seed="epoch0", n_buckets=8)
+    rows = corpus_ops.length_batches(
+        ordd, "doc_id", "n_chars", batch_size=16,
+        partition_cols=["shuffle_bucket"],
+    )
+    per_batch = rows.groupBy("shuffle_bucket", "len_bucket", "batch_idx").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("n_chars").alias("mx"),
+        F.sum("n_chars").alias("sm"),
+    )
+    return per_batch.groupBy("shuffle_bucket").agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("n_rows").alias("n_docs"),
+        F.sum(F.col("mx") * F.col("n_rows") - F.col("sm")).alias("padding"),
+    )

@@ -199,6 +199,7 @@ def length_batches(
     len_col: str,
     batch_size: int,
     bucket_width: int = 64,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Length-grouped batch assembly (dynamic-padding batching): bucket
     examples by length band (``floor((len-1)/bucket_width)`` — pure
@@ -210,10 +211,15 @@ def length_batches(
     One exchange on the band key + one window pass; bands sort
     independently (no global sort), and batches never span bands. Emits
     ``len_bucket``, ``batch_idx``, ``batch_pos`` per row.
+
+    ``partition_cols``: extra batching scopes ahead of the band — e.g.
+    the epoch-shuffle bucket, so batches are length-homogeneous WITHIN a
+    shuffle bucket and batch order still varies per epoch (the standard
+    bucketed-shuffle + length-batching dataloader scheme; q105).
     """
     band = F.floor((F.col(len_col) - 1) / bucket_width).cast("int")
     out = df.withColumn("len_bucket", band)
-    w = Window.partitionBy("len_bucket").orderBy(
+    w = Window.partitionBy(*(partition_cols or []), "len_bucket").orderBy(
         F.col(len_col).asc(), F.col(id_col).asc()
     )
     rn = F.row_number().over(w) - 1

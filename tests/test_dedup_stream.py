@@ -159,6 +159,54 @@ def test_admission_sink_replay_converges(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(index_path).collect())) == once
 
 
+def test_admission_sink_end_to_end_stream(spark, tmp_path):
+    """Full Structured Streaming path: file-drop source ->
+    writeStream.foreachBatch(admission_sink) with a checkpoint, two
+    triggers — the index admits exactly the batch-deduped new docs and
+    verdicts match the handler-driven tests' semantics."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    index_path = str(tmp_path / "index")
+    verdict_path = str(tmp_path / "verdicts")
+    schema = "doc_id long, text string"
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                dedup_stream.admission_sink(
+                    index_path, "doc_id", "text", verdict_path=verdict_path
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),  # in-batch dup
+        ]
+    )
+    run_batch(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+            (11, "fresh unseen content with no overlap whatsoever at all"),
+        ]
+    )
+    assert sorted(r.doc_id for r in spark.read.parquet(index_path).collect()) == [1, 11]
+    verdicts = {
+        (r.batch_id, r.id): r.verdict
+        for r in dedup_stream.read_verdicts(spark, verdict_path).collect()
+    }
+    assert verdicts == {(0, 1): "new", (1, 10): "exact_dup", (1, 11): "new"}
+
+
 def test_read_verdicts_collapses_replay_demotion(spark, tmp_path):
     """Replay AFTER the index append re-records the batch as exact_dup;
     read_verdicts must keep the earlier 'new' truth per (batch_id, id)."""

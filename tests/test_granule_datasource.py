@@ -284,7 +284,14 @@ def test_stream_writer_crash_recovery_matches_uninterrupted(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        # MUST be fully terminated before the restart below reuses the
+        # checkpoint — a timed-out-but-active query makes Spark reject
+        # the second run as concurrent usage (seen under full-suite load)
+        try:
+            assert q.awaitTermination(300), "stream did not terminate in 300s"
+        finally:
+            if q.isActive:
+                q.stop()
 
     def store_state(out):
         files = sorted(f for f in os.listdir(out) if f.endswith(".npz"))
@@ -312,6 +319,12 @@ def test_stream_writer_crash_recovery_matches_uninterrupted(spark, tmp_path):
         f for f in os.listdir(os.path.join(ckpt_b, "commits")) if not f.startswith(".")
     )
     os.remove(os.path.join(ckpt_b, "commits", commits[-1]))  # the "crash"
+    # the local ChecksumFs pairs every log file with a hidden .crc — a real
+    # crash loses both (the commit write renames them together), so the
+    # simulation must too or the replayed commit's rename hits the stale crc
+    crc = os.path.join(ckpt_b, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
     for spec in GRANULES[2:]:
         drop(src_b, spec)
     run(src_b, out_b, ckpt_b)  # restart: replays the uncommitted batch first

@@ -389,3 +389,17 @@ def test_length_percentiles_map_side_partial(spark):
     plan = plan_of(spark, "q104_length_percentiles")
     assert plan.count("hashpartitioning(") == 1
     assert plan.count("Aggregate") >= 2
+
+
+def test_epoch_pipeline_two_corpus_exchanges(spark):
+    # q105: only the lang-rank window and the bucket+band batching window
+    # move corpus-sized rows; per-batch agg reuses the batching window's
+    # clustering (keys superset). 4 exchanges total (two carry aggregate-
+    # sized data), nothing quadratic, shuffle rank column-pruned away.
+    plan = plan_of(spark, "q105_epoch_pipeline")
+    assert plan.count("hashpartitioning(") == 4
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan  # no global sort smuggled in
+    df = REGISTRY["q105_epoch_pipeline"].fn(spark, SF)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "shuffle_pos" not in logical  # rank pruned: bucket-only consumption
