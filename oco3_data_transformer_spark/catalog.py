@@ -1199,3 +1199,4 @@ from . import catalog_text  # noqa: E402,F401  (import-time registration)
 from . import catalog_kernels  # noqa: E402,F401  (import-time registration)
 from . import catalog_corpus  # noqa: E402,F401  (import-time registration)
 from . import catalog_curation  # noqa: E402,F401  (import-time registration)
+from . import catalog_sketch  # noqa: E402,F401  (import-time registration)

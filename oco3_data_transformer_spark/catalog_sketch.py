@@ -1,0 +1,200 @@
+"""Catalog part 5: deterministic sketches and LM-based quality scoring —
+the fixed-state aggregation layer (operators/sketch.py) plus the bigram-LM
+perplexity filter (operators/corpus.py bigram_lm_nll).
+
+Same conventions as catalog.py. The sketches are built from the committed
+portable hash family, so their ESTIMATES (not just inputs) are bit-identical
+between Spark and the DuckDB oracle — both engines build the same grid and
+the same min-vector and therefore compute the same error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import register
+from .functions import hashing, text
+from .operators import corpus as corpus_ops
+from .operators import sketch as sketch_ops
+from .sources.registry import load
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024  # narrow on purpose at test scale: ~14k keys / 1024 buckets
+#                   makes collisions (and the min-over-depth recovery) visible
+CMS_TOPK = 15
+
+_SH3_SQL = text.word_ngrams_sql("text", 3)
+
+
+def _cms_bucket_sql(d: int) -> str:
+    """DuckDB expression for row-``d``'s bucket of hash column ``__b``."""
+    return f"({hashing.minhash_value_sql('__b', d)}) % {CMS_WIDTH}"
+
+
+_CMS_BUCKET_CASE = (
+    "CASE dd.d "
+    + " ".join(f"WHEN {i} THEN {_cms_bucket_sql(i)}" for i in range(CMS_DEPTH))
+    + " END"
+)
+
+
+@register(
+    "q106_kmins_distinct",
+    f"""
+    WITH sh AS (
+        SELECT lang, unnest({_SH3_SQL}) AS shingle FROM documents),
+    est AS ({sketch_ops.kmins_distinct_sql('sh', ['lang'], 'shingle')}),
+    ex AS (
+        SELECT lang, CAST(count(DISTINCT shingle) AS BIGINT) AS exact_distinct
+        FROM sh GROUP BY 1)
+    SELECT lang, est_distinct, exact_distinct,
+           round(abs(est_distinct - exact_distinct) / exact_distinct, 4)
+               AS rel_err
+    FROM est JOIN ex USING (lang)
+    """,
+    doc="k-mins distinct-count sketch (Flajolet-Martin/Cohen lineage) over "
+    "per-language 3-gram shingles, vs the exact count it replaces. The "
+    "sketch is ONE map-side-combined hash aggregate whose per-group state "
+    "is 16 int64 mins — min() combines on the map side and merges "
+    "associatively, so nothing key-proportional crosses the shuffle; exact "
+    "count(distinct) by contrast shuffles every distinct shingle (Spark "
+    "plans it as a second keyed exchange). The exact branch exists here "
+    "only to EXHIBIT the estimator error (rel_err ~ 1/sqrt(k) ~ 25% at "
+    "k=16; production raises k) — the production path drops it, which is "
+    "the whole point at 100 TB. Estimates are bit-identical cross-engine: "
+    "integer min-sum formed exactly in int64, ONE double division.",
+)
+def q106(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    sh = docs.select(
+        "lang", F.explode(text.word_ngrams(F.col("text"), 3)).alias("shingle")
+    )
+    est = sketch_ops.kmins_distinct(sh, ["lang"], F.col("shingle"))
+    exact = sh.groupBy("lang").agg(
+        F.count_distinct("shingle").alias("exact_distinct")
+    )
+    rel = F.round(
+        F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+        / F.col("exact_distinct"),
+        4,
+    )
+    return est.join(exact, "lang").select(
+        "lang", "est_distinct", "exact_distinct", rel.alias("rel_err")
+    )
+
+
+@register(
+    "q107_countmin_heavy",
+    f"""
+    WITH sh AS (SELECT unnest({_SH3_SQL}) AS shingle FROM documents),
+    hashed AS (
+        SELECT shingle, {hashing.portable_hash28_sql('shingle')} AS __b
+        FROM sh),
+    dd AS (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS d),
+    grid AS (
+        SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT dd.d AS d, {_CMS_BUCKET_CASE} AS bucket
+              FROM hashed CROSS JOIN dd)
+        GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT shingle, __b FROM hashed),
+    est AS (
+        SELECT shingle, min(cnt) AS est_cnt
+        FROM (SELECT c.shingle, dd.d AS d, {_CMS_BUCKET_CASE} AS bucket
+              FROM cand c CROSS JOIN dd) cells
+        JOIN grid USING (d, bucket)
+        GROUP BY 1),
+    top AS (
+        SELECT shingle, est_cnt FROM est
+        ORDER BY est_cnt DESC, shingle LIMIT {CMS_TOPK}),
+    ex AS (
+        SELECT shingle, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM sh GROUP BY 1)
+    SELECT t.shingle, t.est_cnt, ex.exact_cnt,
+           t.est_cnt - ex.exact_cnt AS overcount
+    FROM top t JOIN ex USING (shingle)
+    """,
+    doc="Count-min heavy hitters (Cormode-Muthukrishnan) over corpus "
+    "shingles: 4x1024 counter grid, estimate = min over the 4 hashed "
+    "cells, top-15 by estimate then exact counts joined back to show the "
+    "collision overcount (width deliberately narrow at test scale so "
+    "overcount > 0 rows exist and the oracle checks the BIAS, not just "
+    "the counts). Scale shape: the grid build is one map-side-combined "
+    "aggregate whose output is d*w = 4096 rows REGARDLESS of corpus size "
+    "— each partition reduces to <= 4096 partials before the exchange; "
+    "the estimate join broadcasts the grid (it can never outgrow d*w); "
+    "top-15 plans as TakeOrdered, not a global sort. The committed "
+    "MinHash permutations are the row hashes, so Spark and DuckDB build "
+    "the identical grid and identical estimates.",
+)
+def q107(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    sh = docs.select(F.explode(text.word_ngrams(F.col("text"), 3)).alias("shingle"))
+    grid = sketch_ops.countmin_build(
+        sh, F.col("shingle"), depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    cand = sh.distinct()
+    est = sketch_ops.countmin_estimate(
+        grid, cand, "shingle", depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    top = est.orderBy(F.col("est_cnt").desc(), "shingle").limit(CMS_TOPK)
+    exact = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return exact.join(F.broadcast(top), "shingle").select(
+        "shingle",
+        "est_cnt",
+        "exact_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+_TOKS_SQL = text.tokens_sql("text")
+_BG_SQL = text.word_ngrams_sql("text", 2)
+
+
+@register(
+    "q108_bigram_perplexity",
+    f"""
+    WITH uni AS (
+        SELECT tok AS w1, CAST(count(*) AS BIGINT) AS c1
+        FROM (SELECT unnest({_TOKS_SQL}) AS tok
+              FROM documents WHERE doc_id % 2 = 0)
+        GROUP BY 1),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM uni),
+    bi AS (
+        SELECT bg, CAST(count(*) AS BIGINT) AS c2
+        FROM (SELECT unnest({_BG_SQL}) AS bg
+              FROM documents WHERE doc_id % 2 = 0)
+        GROUP BY 1),
+    sb AS (
+        SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1
+        FROM (SELECT doc_id, unnest({_BG_SQL}) AS bg
+              FROM documents WHERE doc_id % 2 = 1)),
+    j AS (
+        SELECT doc_id,
+               ln((coalesce(c2, 0) + 1)
+                  / CAST(coalesce(c1, 0) + vocab AS DOUBLE)) AS lp
+        FROM sb LEFT JOIN bi USING (bg) LEFT JOIN uni USING (w1)
+        CROSS JOIN v)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-sum(lp) / count(*), 4) AS avg_nll
+    FROM j GROUP BY 1
+    ORDER BY avg_nll DESC, doc_id LIMIT 20
+    """,
+    doc="Bigram-LM perplexity filter (the CCNet/Gopher quality signal): "
+    "add-one-smoothed bigram model trained on the even-doc_id half of the "
+    "corpus, the odd half scored by average negative log-likelihood; the "
+    "20 most-surprising docs surface (the ones a perplexity filter "
+    "drops). The model IS two count tables — one training scan collapses "
+    "map-side into vocab-sized unigram/bigram aggregates, the scoring "
+    "scan left-joins both as broadcasts plus a one-row vocab cross join; "
+    "for a web-scale bigram table beyond the broadcast ceiling the same "
+    "plan falls back to two shuffle joins keyed on the n-gram, nothing "
+    "else changes. Top-20 plans as TakeOrdered on (avg_nll, doc_id), not "
+    "a global sort.",
+)
+def q108(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    score = docs.filter(F.col("doc_id") % 2 == 1)
+    nll = corpus_ops.bigram_lm_nll(train, score, "text", "doc_id")
+    return nll.orderBy(F.col("avg_nll").desc(), "doc_id").limit(20)

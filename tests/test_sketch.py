@@ -1,0 +1,101 @@
+"""Sketch-operator properties: estimator accuracy, the count-min
+over-estimate invariant, partitioning-invariance (the merge contract), and
+a hand-computed bigram-LM golden."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from oco3_data_transformer_spark.operators import corpus as corpus_ops
+from oco3_data_transformer_spark.operators import sketch
+
+
+def _values_df(spark, groups: dict[str, int]):
+    """One row per (group, v_i) with exactly groups[g] distinct values."""
+    rows = [(g, f"{g}-val-{i}") for g, n in groups.items() for i in range(n)]
+    return spark.createDataFrame(rows, "g string, v string")
+
+
+def test_kmins_estimate_within_error_bound(spark):
+    # stderr ~ n/sqrt(k) = 25% at k=16; 3 sigma = 75%. Deterministic hash,
+    # so this is a fixed-outcome check, not a flaky statistical one.
+    df = _values_df(spark, {"a": 1000, "b": 5000, "c": 200})
+    out = {
+        r.g: r.est_distinct
+        for r in sketch.kmins_distinct(df, ["g"], F.col("v")).collect()
+    }
+    for g, n in {"a": 1000, "b": 5000, "c": 200}.items():
+        assert abs(out[g] - n) / n < 0.75, (g, out[g], n)
+
+
+def test_kmins_partitioning_invariant(spark):
+    # The merge contract: elementwise min is associative/commutative, so
+    # the estimate cannot depend on how rows are split across partitions.
+    df = _values_df(spark, {"a": 700})
+    one = sketch.kmins_distinct(df.coalesce(1), ["g"], F.col("v")).collect()
+    many = sketch.kmins_distinct(df.repartition(13), ["g"], F.col("v")).collect()
+    assert one == many
+
+
+def test_kmins_duplicates_do_not_move_estimate(spark):
+    # Cardinality, not frequency: replicating every value 5x leaves each
+    # permutation's min (hence the estimate) unchanged.
+    df = _values_df(spark, {"a": 400})
+    dup = df.withColumn("r", F.explode(F.sequence(F.lit(1), F.lit(5)))).drop("r")
+    a = sketch.kmins_distinct(df, ["g"], F.col("v")).collect()
+    b = sketch.kmins_distinct(dup, ["g"], F.col("v")).collect()
+    assert a == b
+
+
+def test_countmin_never_underestimates(spark):
+    # The CMS invariant: est >= true count for EVERY key, even at a width
+    # narrow enough to force collisions (97 buckets for 600 keys).
+    rows = [(f"key-{i % 600}",) for i in range(3000)]
+    df = spark.createDataFrame(rows, "k string")
+    grid = sketch.countmin_build(df, F.col("k"), depth=4, width=97)
+    keys = df.distinct()
+    est = sketch.countmin_estimate(grid, keys, "k", depth=4, width=97)
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    joined = est.join(exact, "k").collect()
+    assert len(joined) == 600
+    assert all(r.est_cnt >= r.cnt for r in joined)
+    # and some collision inflation must exist at this width
+    assert any(r.est_cnt > r.cnt for r in joined)
+
+
+def test_countmin_exact_when_wide(spark):
+    # With width >> keys and 4 independent rows, the min-over-depth kills
+    # residual collisions: estimates equal exact counts.
+    rows = [(f"key-{i % 50}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string")
+    grid = sketch.countmin_build(df, F.col("k"), depth=4, width=8192)
+    est = sketch.countmin_estimate(grid, df.distinct(), "k", depth=4, width=8192)
+    assert all(r.est_cnt == 10 for r in est.collect())
+
+
+def test_countmin_grid_bounded(spark):
+    # The scale contract: grid rows <= depth * width no matter the input.
+    rows = [(f"key-{i}",) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k string")
+    grid = sketch.countmin_build(df, F.col("k"), depth=3, width=64)
+    assert grid.count() <= 3 * 64
+
+
+def test_bigram_lm_golden(spark):
+    # Train: "a b a b" -> unigrams {a:2, b:2}, V=2; bigrams {"a b":2, "b a":1}
+    train = spark.createDataFrame([(0, "a b a b")], "doc_id long, text string")
+    # Score doc 1: "a b c": bigrams "a b" (c2=2, c1(a)=2) and "b c" (c2=0,
+    # c1(b)=2) -> lp = ln(3/4) + ln(1/4); doc 3: "c c" -> OOV history:
+    # ln((0+1)/(0+2)) = ln(1/2)
+    score = spark.createDataFrame(
+        [(1, "a b c"), (3, "c c")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.n_bigrams, r.avg_nll)
+        for r in corpus_ops.bigram_lm_nll(train, score, "text", "doc_id").collect()
+    }
+    exp1 = round(-(math.log(3 / 4) + math.log(1 / 4)) / 2, 4)
+    exp3 = round(-math.log(1 / 2), 4)
+    assert out == {1: (2, exp1), 3: (1, exp3)}
