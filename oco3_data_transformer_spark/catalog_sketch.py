@@ -198,3 +198,144 @@ def q108(spark: SparkSession, sf: str) -> DataFrame:
     score = docs.filter(F.col("doc_id") % 2 == 1)
     nll = corpus_ops.bigram_lm_nll(train, score, "text", "doc_id")
     return nll.orderBy(F.col("avg_nll").desc(), "doc_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (vector sketching): the compression layer of the ANN
+# family (q34 exact / q40 IVF / q46 SRP-LSH) — codes instead of floats.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8       # subspaces (64-dim -> 8 slices of 8)
+PQ_DSUB = 8
+PQ_CODES = 16  # codewords per subspace -> 4 bits/code, 8 B per vector
+PQ_K = 5
+
+from .functions import vector as vector_fns  # noqa: E402
+from .operators import similarity as sim_ops  # noqa: E402
+
+_PQ_SEED_H = hashing.portable_hash64_sql("CAST(vec_id AS VARCHAR) || ':pq-seed'")
+
+
+def _pq_books_sql() -> str:
+    """CTE body for the deterministic codebooks (mirrors sim_ops.pq_codebooks)."""
+    slc = f"list_slice(__v, ss.s * {PQ_DSUB} + 1, ss.s * {PQ_DSUB} + {PQ_DSUB})"
+    return f"""
+    seeds AS (
+        SELECT vec_id AS __id, embedding AS __v, {_PQ_SEED_H} AS __h
+        FROM embeddings ORDER BY __h, __id LIMIT {PQ_CODES}),
+    coded AS (
+        SELECT __v,
+               CAST(row_number() OVER (ORDER BY __h, __id) AS INT) - 1 AS code
+        FROM seeds),
+    books AS (
+        SELECT CAST(ss.s AS INT) AS subspace, code,
+               list_transform({slc}, x -> CAST(x AS DOUBLE)) AS codeword
+        FROM coded CROSS JOIN
+             (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s) ss)
+    """
+
+
+_PQ_ENC_SQL = f"""
+    enc0 AS (
+        SELECT e.vec_id, b.subspace, b.code,
+               {vector_fns.l2sq_sql(
+                   f"list_slice(e.embedding, b.subspace * {PQ_DSUB} + 1,"
+                   f" b.subspace * {PQ_DSUB} + {PQ_DSUB})",
+                   "b.codeword")} AS dist
+        FROM embeddings e CROSS JOIN books b),
+    enc AS (
+        SELECT vec_id, subspace,
+               min({{'dist': dist, 'code': code}}) AS mm
+        FROM enc0 GROUP BY 1, 2)
+    """
+
+
+@register(
+    "q109_pq_encode",
+    f"""
+    WITH {_pq_books_sql().strip()},
+    {_PQ_ENC_SQL.strip()}
+    SELECT vec_id, subspace, mm.code AS code, round(mm.dist, 6) AS qerr
+    FROM enc
+    """,
+    doc="Product-quantization encode (Jegou et al. 2011): each 64-dim "
+    "vector becomes 8 sub-codes (argmin codeword per 8-dim subspace) — "
+    "the compression layer under Faiss-style IVFPQ that lets 100 TB of "
+    "embeddings live memory-resident (8 B/vector at these parameters, "
+    "32x smaller than float32). Codebooks are the hash-ranked sample "
+    "slices (deterministic; production swaps in per-subspace k-means = "
+    "q50's build per slice, same plan shape). Scale shape: books "
+    "broadcast (m*k rows always), the argmin is min(struct(dist, code)) "
+    "— a MAP-SIDE-combining aggregate, not a rank window, so the only "
+    "corpus-sized exchange is the (vec, subspace) key; ties break to the "
+    "smallest code identically in both engines (lexicographic struct "
+    "compare over bit-identical sequential-fold doubles).",
+)
+def q109(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    books = sim_ops.pq_codebooks(
+        emb, m=PQ_M, dsub=PQ_DSUB, n_codes=PQ_CODES
+    )
+    enc = sim_ops.pq_encode(emb, books, dsub=PQ_DSUB)
+    return enc.select(
+        "vec_id", "subspace", "code", F.round("dist", 6).alias("qerr")
+    )
+
+
+@register(
+    "q110_pq_adc_knn",
+    f"""
+    WITH {_pq_books_sql().strip()},
+    {_PQ_ENC_SQL.strip()},
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec
+          FROM embeddings WHERE vec_id < 10),
+    lut AS (
+        SELECT q.query_id, b.subspace, b.code,
+               {vector_fns.l2sq_sql(
+                   f"list_slice(q.q_vec, b.subspace * {PQ_DSUB} + 1,"
+                   f" b.subspace * {PQ_DSUB} + {PQ_DSUB})",
+                   "b.codeword")} AS d
+        FROM q CROSS JOIN books b),
+    folded AS (
+        SELECT query_id, vec_id,
+               list_sum(list_transform(
+                   list_sort(list({{'s': subspace, 'd': d}})),
+                   x -> x.d)) AS adist
+        FROM (SELECT vec_id, subspace, mm.code AS code FROM enc) c
+        JOIN lut USING (subspace, code)
+        WHERE vec_id <> query_id
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT query_id, vec_id AS neighbor_id, adist,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY adist, vec_id) AS INT)
+                   AS rank
+        FROM folded)
+    SELECT query_id, neighbor_id, rank, round(adist, 6) AS adist
+    FROM ranked WHERE rank <= {PQ_K}
+    """,
+    doc="Asymmetric-distance (ADC) top-k over PQ codes: the query stays "
+    "exact, the corpus is 8-byte codes; approx dist = sum over subspaces "
+    "of the query-to-codeword table entry. The per-query lookup table "
+    "(|q|*m*k rows) broadcasts, the code table equi-joins it — at 100 TB "
+    "the scan reads CODES (32x less IO than float vectors), which is the "
+    "entire point of PQ serving. The per-vector sum folds its 8 subspace "
+    "terms in SORTED subspace order (collect -> sort -> fold) so the "
+    "double total is bit-identical cross-engine — a plain SUM would add "
+    "in partition order and flip equal-distance ranks. Top-k is a "
+    "per-query rank window, never a global sort.",
+)
+def q110(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    books = sim_ops.pq_codebooks(
+        emb, m=PQ_M, dsub=PQ_DSUB, n_codes=PQ_CODES
+    )
+    enc = sim_ops.pq_encode(emb, books, dsub=PQ_DSUB).select(
+        "vec_id", "subspace", "code"
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = sim_ops.pq_adc_knn(enc, books, queries, k=PQ_K, dsub=PQ_DSUB)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        F.round("adist", 6).alias("adist"),
+    )

@@ -43,3 +43,27 @@ def cosine_sql(a: str, b: str) -> str:
         f"list_dot_product({da}, {db}) / "
         f"(sqrt(list_dot_product({da}, {da})) * sqrt(list_dot_product({db}, {db})))"
     )
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance with the same defined left-to-right fold order
+    as :func:`dot` (cross-engine bit-identical on equal inputs)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2sq_sql(a: str, b: str) -> str:
+    """DuckDB squared-L2 with sequential fold semantics (doubles)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+        f"* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )

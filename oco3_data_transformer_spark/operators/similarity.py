@@ -720,3 +720,155 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou et al. 2011): compress each d-dim vector into
+# m sub-codes (argmin codeword per subspace) so 100 TB of embeddings fits
+# memory-resident (64 float32 dims -> 8 bytes at m=8), and serve KNN from
+# the codes via asymmetric distance (ADC) lookup tables. This is the
+# compression layer under Faiss-style IVFPQ; IVF (above) handles routing,
+# PQ handles residence.
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dsub: int = 8,
+    n_codes: int = 16,
+    salt: str = "pq-seed",
+) -> DataFrame:
+    """Deterministic PQ codebooks: ``(subspace, code, codeword)``.
+
+    Codewords are the subspace slices of the ``n_codes`` hash-ranked sample
+    vectors (same committed-hash sampling as every sampler here, so the
+    DuckDB oracle derives the identical books). A production build would
+    k-means each subspace (exactly :func:`kmeans_centroids` per slice —
+    one extra Lloyd loop, same plan shape); the seeded variant keeps the
+    encode/search path fully declarative and oracle-checkable.
+
+    Plan: TakeOrdered(n_codes) on the hash — the corpus never shuffles;
+    the window ranking the n_codes survivors into code ids runs on
+    n_codes rows (sub-broadcast-sized by construction).
+    """
+    from ..functions import hashing
+
+    h = hashing.portable_hash64(
+        F.concat(F.col("__id").cast("string"), F.lit(":" + salt))
+    )
+    seeds = (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .withColumn("__h", h)
+        .orderBy("__h", "__id")
+        .limit(n_codes)
+    )
+    w = Window.orderBy("__h", "__id")
+    coded = seeds.withColumn("code", F.row_number().over(w) - 1)
+    subs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("subspace"),
+                    F.transform(
+                        F.slice("__v", s * dsub + 1, dsub),
+                        lambda x: x.cast("double"),
+                    ).alias("codeword"),
+                )
+                for s in range(m)
+            ]
+        )
+    )
+    return coded.select("code", subs.alias("s")).select(
+        "s.subspace", "code", "s.codeword"
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dsub: int = 8,
+) -> DataFrame:
+    """Encode every vector: ``(id, subspace, code, dist)`` with ``dist``
+    the squared-L2 quantization error of the chosen codeword.
+
+    The codebook (m*n_codes rows) broadcasts; the argmin is
+    ``min(struct(dist, code))`` — a plain aggregate whose partials combine
+    MAP-SIDE (contrast a rank window, which must shuffle every
+    (vector, codeword) pair). Ties break to the smallest code in both
+    engines (struct comparison is lexicographic in Spark and DuckDB).
+    The only corpus-sized exchange is the (id, subspace) aggregate key.
+    """
+    sub = F.slice(
+        F.col(vec_col), F.col("subspace") * dsub + 1, F.lit(dsub)
+    )
+    dist = vector.l2sq(sub, F.col("codeword"))
+    return (
+        corpus.select(id_col, vec_col)
+        .crossJoin(F.broadcast(codebooks))
+        .select(id_col, "subspace", "code", dist.alias("dist"))
+        .groupBy(id_col, "subspace")
+        .agg(F.min(F.struct("dist", "code")).alias("m"))
+        .select(
+            id_col,
+            "subspace",
+            F.col("m.code").alias("code"),
+            F.col("m.dist").alias("dist"),
+        )
+    )
+
+
+def pq_adc_knn(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dsub: int = 8,
+) -> DataFrame:
+    """Asymmetric-distance top-k from PQ codes: the query stays exact, the
+    corpus is its codes. Approx dist(q, x) = sum_s ||q_s - codeword(x_s)||².
+
+    The per-query lookup table (|queries| * m * n_codes rows) broadcasts;
+    the code table — the only corpus-sized input — equi-joins it and
+    reduces to one row per (query, vector). The per-vector sum folds the
+    m subspace distances in SORTED subspace order (collect -> array_sort
+    -> left fold) so the double sum is bit-identical cross-engine — a
+    plain SUM would add in partition order and flip equal-distance ranks.
+    Top-k is one rank window per query, never a global sort.
+    """
+    qsub = F.slice(
+        F.col(vec_col), F.col("subspace") * dsub + 1, F.lit(dsub)
+    )
+    lut = (
+        queries.select(F.col(id_col).alias("query_id"), vec_col)
+        .crossJoin(F.broadcast(codebooks))
+        .select(
+            "query_id",
+            "subspace",
+            "code",
+            vector.l2sq(qsub, F.col("codeword")).alias("d"),
+        )
+    )
+    folded = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("subspace", "d"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["d"],
+            ).alias("adist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", id_col)
+    return (
+        folded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "adist")
+    )

@@ -435,3 +435,24 @@ def test_bigram_lm_joins_broadcast_topk_takeordered(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert plan.count("TakeOrderedAndProject") >= 1
+
+
+def test_pq_encode_argmin_is_map_side_aggregate(spark):
+    # q109: the argmin over codewords must be min(struct) — ONE partial_min
+    # combining map-side — not a rank window over the 16x-expanded rows;
+    # books ride as broadcasts (BNLJ cross join), the corpus exchanges once
+    # on (vec, subspace).
+    plan = plan_of(spark, "q109_pq_encode")
+    assert plan.count("partial_min") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_pq_adc_lut_broadcasts(spark):
+    # q110: the query lookup table can never outgrow |q|*m*k rows -> the
+    # code-table probe must be a broadcast hash join, never sort-merge.
+    plan = plan_of(spark, "q110_pq_adc_knn")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -99,3 +99,58 @@ def test_bigram_lm_golden(spark):
     exp1 = round(-(math.log(3 / 4) + math.log(1 / 4)) / 2, 4)
     exp3 = round(-math.log(1 / 2), 4)
     assert out == {1: (2, exp1), 3: (1, exp3)}
+
+
+def _toy_embeddings(spark, n=40, dim=16):
+    import math as _m
+
+    rows = [
+        (i, [float(_m.sin(i * 31 + j * 7)) for j in range(dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_encode_covers_and_seeds_are_exact(spark):
+    from oco3_data_transformer_spark.operators import similarity as sim
+
+    emb = _toy_embeddings(spark)
+    books = sim.pq_codebooks(emb, m=4, dsub=4, n_codes=8)
+    assert books.count() == 4 * 8
+    enc = sim.pq_encode(emb, books, dsub=4)
+    rows = enc.collect()
+    # every (vector, subspace) encoded exactly once, codes in range
+    assert len(rows) == 40 * 4
+    assert all(0 <= r.code < 8 for r in rows)
+    # a seed vector quantizes to itself: zero error in every subspace
+    zero = [r for r in rows if r.dist == 0.0]
+    assert len(zero) >= 8 * 4  # the 8 seeds hit their own codeword per subspace
+
+
+def test_pq_adc_ranks_are_dense_and_monotone(spark):
+    from oco3_data_transformer_spark.operators import similarity as sim
+
+    emb = _toy_embeddings(spark)
+    books = sim.pq_codebooks(emb, m=4, dsub=4, n_codes=8)
+    codes = sim.pq_encode(emb, books, dsub=4).select("vec_id", "subspace", "code")
+    out = sim.pq_adc_knn(
+        codes, books, emb.filter(F.col("vec_id") < 3), k=5, dsub=4
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3, 4, 5]
+        dists = [r.adist for r in rs]
+        assert dists == sorted(dists)
+        assert all(r.neighbor_id != q for r in rs)
+
+
+def test_pq_codebooks_partitioning_invariant(spark):
+    from oco3_data_transformer_spark.operators import similarity as sim
+
+    emb = _toy_embeddings(spark)
+    a = sorted(map(tuple, sim.pq_codebooks(emb.coalesce(1), m=4, dsub=4, n_codes=8).collect()))
+    b = sorted(map(tuple, sim.pq_codebooks(emb.repartition(9), m=4, dsub=4, n_codes=8).collect()))
+    assert a == b
