@@ -1,0 +1,105 @@
+"""Streaming sketch maintenance (§2.10 + operators/sketch.py, online form):
+a per-group k-mins cardinality sketch kept current over an unbounded stream.
+
+This is the payoff of the sketch's merge contract: the persisted state is
+the k-vector of mins per group (a few hundred bytes), each micro-batch
+reduces to its own k-vector, and the merge is an elementwise min — so the
+maintained sketch is EXACTLY the sketch a batch pass over the union of all
+batches would build (bit-identical, tested), and replays are absorbed for
+free (min is idempotent). Contrast exact streaming count(distinct), whose
+state grows with the key universe (the dropDuplicates path in
+dedup_stream.py) — at firehose scale the sketch is the only bounded-state
+option for per-group cardinality dashboards.
+
+Crash contract, same staged shape as the store sinks: the sketch table is
+rewritten via a staging directory + atomic rename per batch, and because
+merge is idempotent, an at-least-once replay of the last micro-batch
+converges to the same table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hashing
+from ..operators.sketch import KMINS_K, _P
+
+
+def _sketch_partial(df: DataFrame, group_cols: list[str], value_col, k: int) -> DataFrame:
+    """One micro-batch's k-vector per group (same mins as kmins_distinct)."""
+    base = hashing.portable_hash28(value_col)
+    mins = [F.min(hashing.minhash_value(base, i)).alias(f"m{i}") for i in range(k)]
+    return df.groupBy(*group_cols).agg(*mins)
+
+
+def _merge(state: DataFrame, part: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Elementwise min-merge of two sketch tables (full outer on the group)."""
+    merged = state.alias("a").join(
+        part.alias("b"), on=group_cols, how="full_outer"
+    )
+    cols = [F.col(c) for c in group_cols] + [
+        F.least(
+            F.coalesce(F.col(f"a.m{i}"), F.lit(_P)),
+            F.coalesce(F.col(f"b.m{i}"), F.lit(_P)),
+        ).alias(f"m{i}")
+        for i in range(k)
+    ]
+    return merged.select(*cols)
+
+
+def estimate(sketch: DataFrame, group_cols: list[str], k: int = KMINS_K) -> DataFrame:
+    """Read a maintained sketch table into per-group distinct estimates
+    (the same single-division estimator as the batch operator)."""
+    msum = sum(F.col(f"m{i}") for i in range(k))
+    est = F.round(F.lit(float(k) * _P) / msum - 1, 2)
+    return sketch.select(*group_cols, est.alias("est_distinct"))
+
+
+def kmins_sink(
+    sketch_path: str,
+    group_cols: list[str],
+    value_col: str,
+    k: int = KMINS_K,
+):
+    """``foreachBatch`` handler maintaining a k-mins sketch table at
+    ``sketch_path``.
+
+    Each batch: reduce the batch to its per-group k-vector, min-merge with
+    the stored table, stage-write, atomic-rename into place. Idempotent
+    under at-least-once replay (re-merging a batch is a no-op), the same
+    convergence argument as dedup_stream.admission_sink — but here it needs
+    no existence-probe subtlety because merge-with-empty is the identity.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark: SparkSession = batch_df.sparkSession
+        part = _sketch_partial(batch_df, group_cols, F.col(value_col), k)
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(sketch_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            state = spark.read.parquet(sketch_path)
+            merged = _merge(state, part, group_cols, k)
+        else:
+            merged = part
+        staging = sketch_path.rstrip("/") + f".staging-{batch_id}"
+        # sketch tables are group-cardinality-sized; one file keeps the
+        # rename atomic and the read cheap
+        merged.coalesce(1).write.mode("overwrite").parquet(staging)
+        tmp_old = sketch_path.rstrip("/") + f".old-{batch_id}"
+        if fs.exists(jpath):
+            fs.rename(jpath, jvm.org.apache.hadoop.fs.Path(tmp_old))
+        fs.rename(jvm.org.apache.hadoop.fs.Path(staging), jpath)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp_old), True)
+
+    return handle
+
+
+def read_estimates(
+    spark: SparkSession, sketch_path: str, group_cols: list[str], k: int = KMINS_K
+) -> DataFrame:
+    """Current per-group distinct estimates from a maintained sketch table."""
+    return estimate(spark.read.parquet(sketch_path), group_cols, k)

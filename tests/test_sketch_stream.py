@@ -1,0 +1,86 @@
+"""Streaming k-mins sketch maintenance: the streamed sketch must equal the
+batch sketch over the union of batches BIT-FOR-BIT (the merge contract),
+replays must be absorbed, and estimates must flow through."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oco3_data_transformer_spark.operators import sketch as batch_sketch
+from oco3_data_transformer_spark.streaming import sketch_stream
+
+
+def _rows(g: str, lo: int, hi: int):
+    return [(g, f"{g}-v{i}") for i in range(lo, hi)]
+
+
+def test_streamed_sketch_equals_batch_sketch(spark, tmp_path):
+    path = str(tmp_path / "sketch")
+    sink = sketch_stream.kmins_sink(path, ["g"], "v")
+    b0 = spark.createDataFrame(_rows("a", 0, 300) + _rows("b", 0, 50), "g string, v string")
+    b1 = spark.createDataFrame(_rows("a", 200, 600) + _rows("c", 0, 80), "g string, v string")
+    sink(b0, 0)
+    sink(b1, 1)
+
+    streamed = {
+        r.g: r.est_distinct
+        for r in sketch_stream.read_estimates(spark, path, ["g"]).collect()
+    }
+    union = b0.unionByName(b1)
+    batch = {
+        r.g: r.est_distinct
+        for r in batch_sketch.kmins_distinct(union, ["g"], F.col("v")).collect()
+    }
+    assert streamed == batch  # bit-identical, not approximately equal
+    assert set(streamed) == {"a", "b", "c"}
+
+
+def test_replay_is_absorbed(spark, tmp_path):
+    path = str(tmp_path / "sketch")
+    sink = sketch_stream.kmins_sink(path, ["g"], "v")
+    b0 = spark.createDataFrame(_rows("a", 0, 200), "g string, v string")
+    b1 = spark.createDataFrame(_rows("a", 100, 400), "g string, v string")
+    sink(b0, 0)
+    sink(b1, 1)
+    once = spark.read.parquet(path).collect()
+    sink(b1, 1)  # at-least-once replay of the last batch
+    again = spark.read.parquet(path).collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, again))
+
+
+def test_end_to_end_stream(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    path = str(tmp_path / "sketch")
+    schema = "g string, v string"
+
+    def push(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(sketch_stream.kmins_sink(path, ["g"], "v"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(300), "stream did not terminate in 300s"
+        finally:
+            if q.isActive:
+                q.stop()
+
+    push(_rows("a", 0, 150))
+    push(_rows("a", 100, 300) + _rows("b", 0, 40))
+    streamed = {
+        r.g: r.est_distinct
+        for r in sketch_stream.read_estimates(spark, path, ["g"]).collect()
+    }
+    union = spark.createDataFrame(
+        _rows("a", 0, 150) + _rows("a", 100, 300) + _rows("b", 0, 40), schema
+    )
+    batch = {
+        r.g: r.est_distinct
+        for r in batch_sketch.kmins_distinct(union, ["g"], F.col("v")).collect()
+    }
+    assert streamed == batch
