@@ -56,12 +56,12 @@ _CMS_BUCKET_CASE = (
     doc="k-mins distinct-count sketch (Flajolet-Martin/Cohen lineage) over "
     "per-language 3-gram shingles, vs the exact count it replaces. The "
     "sketch is ONE map-side-combined hash aggregate whose per-group state "
-    "is 16 int64 mins — min() combines on the map side and merges "
+    "is 64 int64 mins — min() combines on the map side and merges "
     "associatively, so nothing key-proportional crosses the shuffle; exact "
     "count(distinct) by contrast shuffles every distinct shingle (Spark "
     "plans it as a second keyed exchange). The exact branch exists here "
-    "only to EXHIBIT the estimator error (rel_err ~ 1/sqrt(k) ~ 25% at "
-    "k=16; production raises k) — the production path drops it, which is "
+    "only to EXHIBIT the estimator error (rel_err ~ 1/sqrt(k) ~ 12.5% at "
+    "k=64) — the production path drops it, which is "
     "the whole point at 100 TB. Estimates are bit-identical cross-engine: "
     "integer min-sum formed exactly in int64, ONE double division.",
 )
@@ -338,4 +338,83 @@ def q110(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
         F.round("adist", 6).alias("adist"),
+    )
+
+
+_KM_K = sketch_ops.KMINS_K
+_KM_UNION_MINS = ", ".join(f"min(__m{i}) AS __m{i}" for i in range(_KM_K))
+
+
+@register(
+    "q111_sketch_setops",
+    f"""
+    WITH sh AS (
+        SELECT doc_id % 2 AS half, unnest({_SH3_SQL}) AS shingle
+        FROM documents),
+    sk AS ({sketch_ops.kmins_sketch_sql('sh', ['half'], 'shingle')}),
+    u AS (SELECT {_KM_UNION_MINS} FROM sk),
+    e AS (SELECT half, {sketch_ops.kmins_estimate_sql()} AS est FROM sk),
+    eu AS (SELECT {sketch_ops.kmins_estimate_sql()} AS est_union FROM u),
+    ov AS (
+        SELECT CAST(count(*) AS BIGINT) AS exact_overlap
+        FROM (SELECT shingle FROM sh
+              GROUP BY shingle HAVING count(DISTINCT half) = 2))
+    SELECT e0.est AS est_even, e1.est AS est_odd, eu.est_union,
+           round(e0.est + e1.est - eu.est_union, 2) AS est_overlap,
+           ov.exact_overlap
+    FROM (SELECT est FROM e WHERE half = 0) e0,
+         (SELECT est FROM e WHERE half = 1) e1, eu, ov
+    """,
+    doc="Sketch set-operation estimates: distinct-shingle cardinality of "
+    "two corpus halves, their UNION (elementwise min-merge of the two "
+    "sketches — exact sketch algebra, no rescan), and their INTERSECTION "
+    "by inclusion-exclusion, against the exact overlap for error exhibit. "
+    "This is why mergeable sketches matter at 100 TB: per-partition (or "
+    "per-day, per-source) sketches persisted once can answer any later "
+    "cross-slice distinct/union/overlap question in milliseconds from "
+    "k-vector state — the same merge the streaming sink "
+    "(streaming/sketch_stream.py) applies incrementally. One corpus-sized "
+    "exchange builds both half-sketches; the union fold is a second "
+    "aggregate over TWO rows; the exact branch (one keyed exchange) "
+    "exists only for the error column.",
+)
+def q111(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    sh = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(text.word_ngrams(F.col("text"), 3)).alias("shingle"),
+    )
+    sk = sketch_ops.kmins_sketch(sh, ["half"], F.col("shingle"))
+    union_sk = sk.groupBy().agg(
+        *[F.min(f"__m{i}").alias(f"__m{i}") for i in range(_KM_K)]
+    )
+    est = sk.select("half", sketch_ops.kmins_estimate_col())
+    e0 = est.filter(F.col("half") == 0).select(
+        F.col("est_distinct").alias("est_even")
+    )
+    e1 = est.filter(F.col("half") == 1).select(
+        F.col("est_distinct").alias("est_odd")
+    )
+    eu = union_sk.select(
+        sketch_ops.kmins_estimate_col()
+    ).withColumnRenamed("est_distinct", "est_union")
+    ov = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct("half").alias("nh"))
+        .filter(F.col("nh") == 2)
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return (
+        e0.crossJoin(e1)
+        .crossJoin(eu)
+        .crossJoin(ov)
+        .select(
+            "est_even",
+            "est_odd",
+            "est_union",
+            F.round(
+                F.col("est_even") + F.col("est_odd") - F.col("est_union"), 2
+            ).alias("est_overlap"),
+            "exact_overlap",
+        )
     )

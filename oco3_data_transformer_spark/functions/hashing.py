@@ -83,3 +83,48 @@ def merkle_fold(hash_col: Column) -> Column:
     pairwise-combines digests). Use inside ``groupBy(...).agg(...)``.
     """
     return F.md5(F.array_join(F.array_sort(F.collect_list(hash_col)), "|"))
+
+
+# Extended permutation family for the k-mins cardinality sketch
+# (operators/sketch.py): 48 more committed prime pairs continuing the same
+# construction (all a < 2^29, so a*h + b stays < 2^58 in either engine).
+# MinHash banding keeps its original 16; the sketch estimator's stderr
+# ~ 1/sqrt(k) wants k=64.
+KMINS_EXTRA_SEEDS: list[tuple[int, int]] = [
+    (533000401, 533000411), (533000449, 533000467),
+    (533000509, 533000537), (533000543, 533000561),
+    (533000563, 533000579), (533000591, 533000593),
+    (533000647, 533000659), (533000723, 533000729),
+    (533000731, 533000753), (533000761, 533000791),
+    (533000803, 533000833), (533000837, 533000899),
+    (533000927, 533000933), (533000989, 533001031),
+    (533001059, 533001061), (533001083, 533001089),
+    (533001097, 533001109), (533001113, 533001137),
+    (533001151, 533001163), (533001191, 533001239),
+    (533001257, 533001263), (533001269, 533001299),
+    (533001307, 533001311), (533001367, 533001419),
+    (533001421, 533001449), (533001523, 533001541),
+    (533001551, 533001571), (533001583, 533001593),
+    (533001611, 533001617), (533001647, 533001649),
+    (533001653, 533001659), (533001691, 533001739),
+    (533001743, 533001751), (533001779, 533001797),
+    (533001827, 533001829), (533001857, 533001863),
+    (533001869, 533001877), (533001881, 533001893),
+    (533001907, 533001961), (533001967, 533001971),
+    (533001979, 533002021), (533002027, 533002081),
+    (533002121, 533002123), (533002133, 533002147),
+    (533002187, 533002213), (533002229, 533002297),
+    (533002319, 533002321), (533002361, 533002373),
+]
+KMINS_SEEDS: list[tuple[int, int]] = MINHASH_SEEDS + KMINS_EXTRA_SEEDS
+
+
+def kmins_value(base_hash: Column, seed_idx: int) -> Column:
+    """One k-mins permutation value (extended family, pre-min)."""
+    a, b = KMINS_SEEDS[seed_idx]
+    return (base_hash * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+
+def kmins_value_sql(expr: str, seed_idx: int) -> str:
+    a, b = KMINS_SEEDS[seed_idx]
+    return f"(({expr}) * {a} + {b}) % {MINHASH_PRIME}"

@@ -42,7 +42,7 @@ from ..functions import hashing
 # 28-bit base-hash domain upper bound is the MinHash prime (values of the
 # permutation h_i(x) = (a*x + b) mod p are uniform on [0, p)).
 _P = hashing.MINHASH_PRIME
-KMINS_K = len(hashing.MINHASH_SEEDS)  # 16 -> ~25% stderr; production: 64+
+KMINS_K = len(hashing.KMINS_SEEDS)  # 64 -> ~12.5% stderr
 
 
 def kmins_distinct(
@@ -58,36 +58,71 @@ def kmins_distinct(
     ``count(distinct)``, which shuffles every distinct value).
 
     Emits ``est_distinct`` (double, rounded 2dp). The integer sum of mins
-    is formed exactly in int64 (k * p < 2^33) and divided ONCE, so the
+    is formed exactly in int64 (k * p < 2^35) and divided ONCE, so the
     estimate is bit-identical in any IEEE-754 engine regardless of
     aggregation order.
     """
+    sketched = kmins_sketch(df, group_cols, value_col, k)
+    return sketched.select(*group_cols, kmins_estimate_col(k))
+
+
+def kmins_sketch(
+    df: DataFrame, group_cols: list[str], value_col: Column, k: int = KMINS_K
+) -> DataFrame:
+    """The raw per-group sketch: columns ``__m0..__m{k-1}``.
+
+    Exposed separately because the min-vector IS the mergeable state:
+    elementwise ``least`` of two groups' vectors is exactly the sketch of
+    their union (set-operation estimates, streaming maintenance —
+    streaming/sketch_stream.py persists precisely this table).
+    """
     base = hashing.portable_hash28(value_col)
     mins = [
-        F.min(hashing.minhash_value(base, i)).alias(f"__m{i}") for i in range(k)
+        F.min(hashing.kmins_value(base, i)).alias(f"__m{i}") for i in range(k)
     ]
-    sketched = df.groupBy(*group_cols).agg(*mins)
+    return df.groupBy(*group_cols).agg(*mins)
+
+
+def kmins_estimate_col(k: int = KMINS_K) -> Column:
+    """Estimator column over a sketch's ``__m*`` columns (alias
+    ``est_distinct``). E[sum(m_i)] = k*p/(n+1)  =>  n-hat = k*p/sum - 1;
+    the int64 min-sum is exact, ONE double division, bit-identical in any
+    IEEE-754 engine regardless of aggregation order."""
     msum = sum(F.col(f"__m{i}") for i in range(k))
-    # E[sum(m_i)] = k * p / (n + 1)  =>  n-hat = k*p/sum - 1
-    est = F.round(F.lit(float(k) * _P) / msum - 1, 2)
-    return sketched.select(*group_cols, est.alias("est_distinct"))
+    return (F.round(F.lit(float(k) * _P) / msum - 1, 2)).alias("est_distinct")
+
+
+def kmins_sketch_sql(
+    table_expr: str, group_cols: list[str], value_expr: str, k: int = KMINS_K
+) -> str:
+    """DuckDB SQL for the raw per-group sketch (columns ``__m0..__m{k-1}``),
+    bit-identical to :func:`kmins_sketch`."""
+    base = hashing.portable_hash28_sql(value_expr)
+    mins = ", ".join(
+        f"min({hashing.kmins_value_sql('__b', i)}) AS __m{i}" for i in range(k)
+    )
+    gcols = ", ".join(group_cols)
+    return f"""
+    SELECT {gcols}, {mins}
+    FROM (SELECT {gcols}, {base} AS __b FROM {table_expr})
+    GROUP BY {gcols}
+    """
+
+
+def kmins_estimate_sql(k: int = KMINS_K) -> str:
+    """DuckDB estimator expression over a sketch's ``__m*`` columns."""
+    msum = " + ".join(f"__m{i}" for i in range(k))
+    return f"round({float(k) * _P} / ({msum}) - 1, 2)"
 
 
 def kmins_distinct_sql(
     table_expr: str, group_cols: list[str], value_expr: str, k: int = KMINS_K
 ) -> str:
     """DuckDB SQL producing bit-identical output to :func:`kmins_distinct`."""
-    base = hashing.portable_hash28_sql(value_expr)
-    mins = ", ".join(
-        f"min({hashing.minhash_value_sql('__b', i)}) AS __m{i}" for i in range(k)
-    )
-    msum = " + ".join(f"__m{i}" for i in range(k))
     gcols = ", ".join(group_cols)
     return f"""
-    SELECT {gcols}, round({float(k) * _P} / ({msum}) - 1, 2) AS est_distinct
-    FROM (SELECT {gcols}, {mins}
-          FROM (SELECT {gcols}, {base} AS __b FROM {table_expr})
-          GROUP BY {gcols})
+    SELECT {gcols}, {kmins_estimate_sql(k)} AS est_distinct
+    FROM ({kmins_sketch_sql(table_expr, group_cols, value_expr, k)})
     """
 
 

@@ -19,20 +19,10 @@ converges to the same table.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import hashing
-from ..operators.sketch import KMINS_K, _P
-
-
-def _sketch_partial(df: DataFrame, group_cols: list[str], value_col, k: int) -> DataFrame:
-    """One micro-batch's k-vector per group (same mins as kmins_distinct)."""
-    base = hashing.portable_hash28(value_col)
-    mins = [F.min(hashing.minhash_value(base, i)).alias(f"m{i}") for i in range(k)]
-    return df.groupBy(*group_cols).agg(*mins)
+from ..operators.sketch import KMINS_K, _P, kmins_estimate_col, kmins_sketch
 
 
 def _merge(state: DataFrame, part: DataFrame, group_cols: list[str], k: int) -> DataFrame:
@@ -42,9 +32,9 @@ def _merge(state: DataFrame, part: DataFrame, group_cols: list[str], k: int) -> 
     )
     cols = [F.col(c) for c in group_cols] + [
         F.least(
-            F.coalesce(F.col(f"a.m{i}"), F.lit(_P)),
-            F.coalesce(F.col(f"b.m{i}"), F.lit(_P)),
-        ).alias(f"m{i}")
+            F.coalesce(F.col(f"a.__m{i}"), F.lit(_P)),
+            F.coalesce(F.col(f"b.__m{i}"), F.lit(_P)),
+        ).alias(f"__m{i}")
         for i in range(k)
     ]
     return merged.select(*cols)
@@ -53,9 +43,7 @@ def _merge(state: DataFrame, part: DataFrame, group_cols: list[str], k: int) -> 
 def estimate(sketch: DataFrame, group_cols: list[str], k: int = KMINS_K) -> DataFrame:
     """Read a maintained sketch table into per-group distinct estimates
     (the same single-division estimator as the batch operator)."""
-    msum = sum(F.col(f"m{i}") for i in range(k))
-    est = F.round(F.lit(float(k) * _P) / msum - 1, 2)
-    return sketch.select(*group_cols, est.alias("est_distinct"))
+    return sketch.select(*group_cols, kmins_estimate_col(k))
 
 
 def kmins_sink(
@@ -76,7 +64,7 @@ def kmins_sink(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark: SparkSession = batch_df.sparkSession
-        part = _sketch_partial(batch_df, group_cols, F.col(value_col), k)
+        part = kmins_sketch(batch_df, group_cols, F.col(value_col), k)
         jvm = spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path(sketch_path)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())

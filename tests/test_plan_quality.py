@@ -406,12 +406,12 @@ def test_epoch_pipeline_two_corpus_exchanges(spark):
 
 
 def test_kmins_sketch_combines_map_side(spark):
-    # q106: the 16-min sketch is ONE hash aggregate whose partials combine
-    # map-side (16 partial_min functions) — nothing key-proportional
+    # q106: the 64-min sketch is ONE hash aggregate whose partials combine
+    # map-side (64 partial_min functions) — nothing key-proportional
     # crosses the sketch exchange; the exact count(distinct) branch is the
     # contrast and contributes its own keyed exchanges.
     plan = plan_of(spark, "q106_kmins_distinct")
-    assert plan.count("partial_min") == 16
+    assert plan.count("partial_min") == 64
     assert "CartesianProduct" not in plan
 
 
