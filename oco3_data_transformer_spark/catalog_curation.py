@@ -820,3 +820,34 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_tokens").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q112 — BPE tokenizer APPLICATION (train's counterpart; iterative merges,
+# non-SQL-expressible)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q112_bpe_apply",
+    None,
+    doc="BPE tokenization of the corpus with the merges q94 learns: per-doc "
+    "subword piece counts. The merge loop never touches the token stream — "
+    "all 8 merges apply as chained folds over the DISTINCT-word table "
+    "(vocabulary-sized), which then broadcast-joins back onto the "
+    "posexploded token stream (the word-cache trick every production "
+    "tokenizer uses, expressed relationally; an over-broadcast vocabulary "
+    "downgrades to a shuffle join on the word, nothing else changes). "
+    "Shares bpe_merge_fold with training so segmentation is identical by "
+    "construction; verified against the pure-Python reference "
+    "(tests/test_bpe.py::test_bpe_apply_matches_reference).",
+)
+def q112(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import corpus as corpus_ops
+
+    docs = load(spark, sf, "documents")
+    _, merges = corpus_ops.bpe_train(docs, "text", n_merges=8)
+    pieces = corpus_ops.bpe_apply(docs, merges, "text", "doc_id")
+    return pieces.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size("pieces")).alias("n_pieces"),
+    )

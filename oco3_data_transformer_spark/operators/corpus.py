@@ -404,21 +404,8 @@ def bpe_train(
         left, right, cnt = top.p.l, top.p.r, top.cnt
         merges.append((left, right, int(cnt)))
 
-        # leftmost-greedy merge application: fold over the symbol array,
-        # replacing the accumulator's tail when (tail, next) == (left, right)
-        merged = F.concat(F.lit(left), F.lit(right))
         vocab = vocab.withColumn(
-            "symbols",
-            F.aggregate(
-                "symbols",
-                F.array().cast("array<string>"),
-                lambda acc, s: F.when(
-                    (F.size(acc) >= 1)
-                    & (F.element_at(acc, -1) == F.lit(left))
-                    & (s == F.lit(right)),
-                    F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
-                ).otherwise(F.concat(acc, F.array(s))),
-            ),
+            "symbols", bpe_merge_fold("symbols", left, right)
         )
         if (step + 1) % 4 == 0:
             vocab = vocab.localCheckpoint()
@@ -480,4 +467,54 @@ def bigram_lm_nll(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(-F.sum("lp") / F.count(F.lit(1)), 4).alias("avg_nll"),
         )
+    )
+
+
+def bpe_merge_fold(symbols_col, left: str, right: str) -> Column:
+    """Leftmost-greedy application of ONE merge to a symbol array: fold
+    over the symbols, replacing the accumulator's tail when
+    (tail, next) == (left, right). Shared by training (bpe_train) and
+    tokenization (bpe_apply) so both produce the identical segmentation."""
+    merged = F.concat(F.lit(left), F.lit(right))
+    return F.aggregate(
+        symbols_col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) >= 1)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Tokenize a corpus with a learned BPE merge list: per-token subword
+    pieces, ``(id, pos, w, pieces: array<string>)``.
+
+    Scale shape — the merge loop never touches the token stream: merges
+    apply as chained folds over the DISTINCT-word table (vocabulary-sized,
+    one exchange to build), and the segmented vocabulary broadcast-joins
+    back onto the token stream, so per-token cost is a hash probe. This is
+    the standard word-cache trick every production BPE tokenizer uses,
+    expressed relationally; a vocabulary too large to broadcast downgrades
+    the probe to a shuffle join on ``w`` with no other change.
+    """
+    from ..functions import text as text_fns
+
+    toks = text_fns.tokens(F.col(text_col))
+    words = docs.select(F.explode(toks).alias("w")).distinct()
+    words = words.withColumn("symbols", F.split("w", ""))
+    for left, right, _ in merges:
+        words = words.withColumn("symbols", bpe_merge_fold("symbols", left, right))
+    stream = docs.select(
+        id_col, F.posexplode(toks).alias("pos", "w")
+    )
+    return stream.join(F.broadcast(words), "w").select(
+        id_col, "pos", "w", F.col("symbols").alias("pieces")
     )

@@ -91,3 +91,38 @@ def test_bpe_merge_count_short_corpus(spark):
     got_vocab, got_merges = _spark_bpe(spark, ["ab ab ab"], 50)
     assert got_merges == [("a", "b", 3)]
     assert got_vocab["ab"][1] == ["ab"]
+
+
+def test_bpe_apply_matches_reference(spark):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest wide wide wide",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "text"]
+    )
+    _, merges = corpus_ops.bpe_train(docs, "text", 6)
+    ref_vocab, ref_merges = _ref_from_texts(texts, 6)
+    assert [(l, r) for l, r, _ in merges] == [(l, r) for l, r, _ in ref_merges]
+
+    out = corpus_ops.bpe_apply(docs, merges, "text", "id").collect()
+    # every token occurrence present, with the reference's exact pieces
+    seen = {}
+    for r in out:
+        assert list(r.pieces) == ref_vocab[r.w], (r.w, r.pieces, ref_vocab[r.w])
+        seen.setdefault(r.id, []).append((r.pos, r.w))
+    for i, t in enumerate(texts):
+        toks = t.split()
+        assert sorted(seen[i]) == list(enumerate(toks))
+
+
+def test_bpe_apply_handles_unseen_words(spark):
+    # words absent from training segment with the same folds (no merges hit
+    # -> raw characters), never error
+    train = spark.createDataFrame([(0, "aa aa ab")], ["id", "text"])
+    _, merges = corpus_ops.bpe_train(train, "text", 2)
+    score = spark.createDataFrame([(1, "zq aa")], ["id", "text"])
+    out = {r.w: list(r.pieces) for r in corpus_ops.bpe_apply(score, merges, "text", "id").collect()}
+    assert out["zq"] == ["z", "q"]
+    assert out["aa"] == ["aa"]
