@@ -456,3 +456,15 @@ def test_pq_adc_lut_broadcasts(spark):
     assert plan.count("BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sketch_setops_single_corpus_exchange_per_branch(spark):
+    # q111: the half-sketches are ONE map-side-combined aggregate (64
+    # partial_min) and the union fold reduces TWO rows; the single-row
+    # cross joins must be broadcast nested-loop, never CartesianProduct,
+    # and nothing shuffles the shingle stream beyond the sketch + exact
+    # branches.
+    plan = plan_of(spark, "q111_sketch_setops")
+    assert plan.count("partial_min") >= 64
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
