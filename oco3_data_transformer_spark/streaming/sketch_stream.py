@@ -91,3 +91,83 @@ def read_estimates(
 ) -> DataFrame:
     """Current per-group distinct estimates from a maintained sketch table."""
     return estimate(spark.read.parquet(sketch_path), group_cols, k)
+
+
+# ---------------------------------------------------------------------------
+# Streaming count-min: per-key frequency maintenance in d*w bounded state.
+# Unlike the k-mins sink, the merge here is cell-wise ADDITION — which is
+# NOT idempotent — so at-least-once replay must be fenced explicitly: the
+# sketch table carries the last applied batch_id and the handler skips any
+# batch it has already absorbed (the standard foreachBatch transactional
+# guard; Spark replays whole batches with stable ids, never partial ones).
+# ---------------------------------------------------------------------------
+
+def countmin_sink(
+    sketch_path: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+):
+    """``foreachBatch`` handler maintaining a count-min grid at
+    ``sketch_path`` (columns ``d, bucket, cnt, last_batch``).
+
+    Each batch: build the batch's grid (operators/sketch.countmin_build —
+    map-side-combined, <= d*w rows), fence on ``max(last_batch)``, cell-wise
+    ADD into the stored grid, stage-write + atomic rename. State never
+    exceeds d*w rows regardless of stream volume or key cardinality.
+    """
+    from ..operators.sketch import countmin_build
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark: SparkSession = batch_df.sparkSession
+        part = countmin_build(batch_df, F.col(key_col), depth=depth, width=width)
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(sketch_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            state = spark.read.parquet(sketch_path)
+            applied = state.agg(F.max("last_batch")).collect()[0][0]
+            if applied is not None and applied >= batch_id:
+                return  # replayed batch: addition would double-count
+            merged = (
+                state.select("d", "bucket", F.col("cnt").alias("a"))
+                .join(
+                    part.select("d", "bucket", F.col("cnt").alias("b")),
+                    ["d", "bucket"],
+                    "full_outer",
+                )
+                .select(
+                    "d",
+                    "bucket",
+                    (F.coalesce("a", F.lit(0)) + F.coalesce("b", F.lit(0))).alias(
+                        "cnt"
+                    ),
+                )
+            )
+        else:
+            merged = part
+        merged = merged.withColumn("last_batch", F.lit(batch_id))
+        staging = sketch_path.rstrip("/") + f".staging-{batch_id}"
+        merged.coalesce(1).write.mode("overwrite").parquet(staging)
+        tmp_old = sketch_path.rstrip("/") + f".old-{batch_id}"
+        if fs.exists(jpath):
+            fs.rename(jpath, jvm.org.apache.hadoop.fs.Path(tmp_old))
+        fs.rename(jvm.org.apache.hadoop.fs.Path(staging), jpath)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp_old), True)
+
+    return handle
+
+
+def read_frequencies(
+    spark: SparkSession,
+    sketch_path: str,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-estimate frequencies for ``keys`` from a maintained grid."""
+    from ..operators.sketch import countmin_estimate
+
+    grid = spark.read.parquet(sketch_path).select("d", "bucket", "cnt")
+    return countmin_estimate(grid, keys, key_col, depth=depth, width=width)

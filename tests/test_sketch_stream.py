@@ -84,3 +84,80 @@ def test_end_to_end_stream(spark, tmp_path):
         for r in batch_sketch.kmins_distinct(union, ["g"], F.col("v")).collect()
     }
     assert streamed == batch
+
+
+def test_streamed_countmin_equals_batch_and_fences_replay(spark, tmp_path):
+    path = str(tmp_path / "cms")
+    sink = sketch_stream.countmin_sink(path, "k", depth=4, width=97)
+    b0 = spark.createDataFrame([(f"key-{i % 40}",) for i in range(400)], "k string")
+    b1 = spark.createDataFrame([(f"key-{i % 70}",) for i in range(700)], "k string")
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # at-least-once replay: addition MUST be fenced
+
+    union = b0.unionByName(b1)
+    keys = union.distinct()
+    streamed = {
+        r.k: r.est_cnt
+        for r in sketch_stream.read_frequencies(
+            spark, path, keys, "k", depth=4, width=97
+        ).collect()
+    }
+    grid = batch_sketch.countmin_build(union, F.col("k"), depth=4, width=97)
+    batch = {
+        r.k: r.est_cnt
+        for r in batch_sketch.countmin_estimate(
+            grid, keys, "k", depth=4, width=97
+        ).collect()
+    }
+    assert streamed == batch  # bit-identical grid, including the replay
+    # CMS invariant survives streaming maintenance
+    exact = {r.k: r.cnt for r in union.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert all(streamed[k] >= exact[k] for k in exact)
+
+
+def test_countmin_stream_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    path = str(tmp_path / "cms")
+    schema = "k string"
+
+    def push(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                sketch_stream.countmin_sink(path, "k", depth=4, width=97)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(300), "stream did not terminate in 300s"
+        finally:
+            if q.isActive:
+                q.stop()
+
+    push([(f"a-{i % 20}",) for i in range(200)])
+    push([(f"b-{i % 30}",) for i in range(300)])
+    union = spark.createDataFrame(
+        [(f"a-{i % 20}",) for i in range(200)] + [(f"b-{i % 30}",) for i in range(300)],
+        schema,
+    )
+    keys = union.distinct()
+    streamed = {
+        r.k: r.est_cnt
+        for r in sketch_stream.read_frequencies(
+            spark, path, keys, "k", depth=4, width=97
+        ).collect()
+    }
+    grid = batch_sketch.countmin_build(union, F.col("k"), depth=4, width=97)
+    batch = {
+        r.k: r.est_cnt
+        for r in batch_sketch.countmin_estimate(
+            grid, keys, "k", depth=4, width=97
+        ).collect()
+    }
+    assert streamed == batch
