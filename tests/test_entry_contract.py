@@ -29,7 +29,7 @@ def test_queries_and_oracles_consistent():
     assert rows_only == {
         "q42_oco3_pipeline", "q43_image_features",
         "q44_oco3_global_raster", "q53_audio_features",
-        "q94_bpe_train",
+        "q94_bpe_train", "q112_bpe_apply",
     }
 
 
