@@ -276,7 +276,7 @@ def q109(spark: SparkSession, sf: str) -> DataFrame:
     books = sim_ops.pq_codebooks(
         emb, m=PQ_M, dsub=PQ_DSUB, n_codes=PQ_CODES
     )
-    enc = sim_ops.pq_encode(emb, books, dsub=PQ_DSUB)
+    enc = sim_ops.pq_encode(emb, books, dsub=PQ_DSUB, kernel="sql")
     return enc.select(
         "vec_id", "subspace", "code", F.round("dist", 6).alias("qerr")
     )
@@ -330,7 +330,7 @@ def q110(spark: SparkSession, sf: str) -> DataFrame:
     books = sim_ops.pq_codebooks(
         emb, m=PQ_M, dsub=PQ_DSUB, n_codes=PQ_CODES
     )
-    enc = sim_ops.pq_encode(emb, books, dsub=PQ_DSUB).select(
+    enc = sim_ops.pq_encode(emb, books, dsub=PQ_DSUB, kernel="sql").select(
         "vec_id", "subspace", "code"
     )
     queries = emb.filter(F.col("vec_id") < 10)

@@ -791,34 +791,78 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dsub: int = 8,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Encode every vector: ``(id, subspace, code, dist)`` with ``dist``
     the squared-L2 quantization error of the chosen codeword.
 
-    The codebook (m*n_codes rows) broadcasts; the argmin is
-    ``min(struct(dist, code))`` — a plain aggregate whose partials combine
-    MAP-SIDE (contrast a rank window, which must shuffle every
-    (vector, codeword) pair). Ties break to the smallest code in both
-    engines (struct comparison is lexicographic in Spark and DuckDB).
-    The only corpus-sized exchange is the (id, subspace) aggregate key.
+    ``kernel='arrow'`` (default): codebooks ride as a Spark broadcast
+    variable; each Arrow batch computes all subspace argmins with numpy
+    broadcasting in ONE task — encode is row-local, so the plan has ZERO
+    corpus exchanges (the m rows per vector are emitted directly). The
+    production path: at 100 TB encoding is a map-only scan.
+
+    ``kernel='sql'``: the pure-relational form — codebook broadcast cross
+    join, argmin via ``min(struct(dist, code))`` (a MAP-SIDE-combining
+    aggregate, not a rank window), one exchange on (id, subspace). Ties
+    break to the smallest code in both engines (lexicographic struct
+    compare); this is the DuckDB-oracle-checkable reference the arrow
+    kernel is differentially tested against
+    (tests/test_sketch.py::test_pq_encode_kernels_agree).
     """
-    sub = F.slice(
-        F.col(vec_col), F.col("subspace") * dsub + 1, F.lit(dsub)
-    )
-    dist = vector.l2sq(sub, F.col("codeword"))
-    return (
-        corpus.select(id_col, vec_col)
-        .crossJoin(F.broadcast(codebooks))
-        .select(id_col, "subspace", "code", dist.alias("dist"))
-        .groupBy(id_col, "subspace")
-        .agg(F.min(F.struct("dist", "code")).alias("m"))
-        .select(
-            id_col,
-            "subspace",
-            F.col("m.code").alias("code"),
-            F.col("m.dist").alias("dist"),
+    if kernel == "sql":
+        sub = F.slice(
+            F.col(vec_col), F.col("subspace") * dsub + 1, F.lit(dsub)
         )
+        dist = vector.l2sq(sub, F.col("codeword"))
+        return (
+            corpus.select(id_col, vec_col)
+            .crossJoin(F.broadcast(codebooks))
+            .select(id_col, "subspace", "code", dist.alias("dist"))
+            .groupBy(id_col, "subspace")
+            .agg(F.min(F.struct("dist", "code")).alias("m"))
+            .select(
+                id_col,
+                "subspace",
+                F.col("m.code").alias("code"),
+                F.col("m.dist").alias("dist"),
+            )
+        )
+
+    bp = codebooks.orderBy("subspace", "code").toPandas()  # m*n_codes rows
+    banks = {
+        int(s): np.stack(g.sort_values("code")["codeword"].to_numpy())
+        for s, g in bp.groupby("subspace")
+    }
+    b = corpus.sparkSession.sparkContext.broadcast(banks)
+    out_schema = (
+        f"{id_col} {corpus.schema[id_col].dataType.simpleString()}, "
+        "subspace int, code int, dist double"
     )
+
+    def enc(batches, _id=id_col, _vec=vec_col, _d=dsub):
+        _banks = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[_vec].to_numpy()).astype(np.float64)
+            ids = pdf[_id].to_numpy()
+            for s, C in _banks.items():
+                Xs = X[:, s * _d : (s + 1) * _d]
+                # (n, k) squared distances; clamp tiny negative fp residue
+                # so a seed's self-match stays exactly 0.0 like the fold
+                d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                code = np.argmin(d2, axis=1)  # first min = smallest code
+                yield pd.DataFrame(
+                    {
+                        _id: ids,
+                        "subspace": s,
+                        "code": code.astype("int32"),
+                        "dist": np.maximum(d2[np.arange(len(ids)), code], 0.0),
+                    }
+                )
+
+    return corpus.select(id_col, vec_col).mapInPandas(enc, out_schema)
 
 
 def pq_adc_knn(

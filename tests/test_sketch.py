@@ -154,3 +154,24 @@ def test_pq_codebooks_partitioning_invariant(spark):
     a = sorted(map(tuple, sim.pq_codebooks(emb.coalesce(1), m=4, dsub=4, n_codes=8).collect()))
     b = sorted(map(tuple, sim.pq_codebooks(emb.repartition(9), m=4, dsub=4, n_codes=8).collect()))
     assert a == b
+
+
+def test_pq_encode_kernels_agree(spark):
+    # arrow (zero-shuffle numpy) vs sql (oracle reference): identical codes,
+    # distances equal to fp round-off
+    from oco3_data_transformer_spark.operators import similarity as sim
+
+    emb = _toy_embeddings(spark, n=60, dim=16)
+    books = sim.pq_codebooks(emb, m=4, dsub=4, n_codes=8)
+    a = {
+        (r.vec_id, r.subspace): (r.code, r.dist)
+        for r in sim.pq_encode(emb, books, dsub=4, kernel="arrow").collect()
+    }
+    s = {
+        (r.vec_id, r.subspace): (r.code, r.dist)
+        for r in sim.pq_encode(emb, books, dsub=4, kernel="sql").collect()
+    }
+    assert set(a) == set(s)
+    for key in s:
+        assert a[key][0] == s[key][0], key
+        assert abs(a[key][1] - s[key][1]) < 1e-9, key
