@@ -418,3 +418,150 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
             "exact_overlap",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q113/q114 — the rest of the sketch quartet: quantiles and membership.
+# ---------------------------------------------------------------------------
+
+HIST_BIN_W = 64
+HIST_BINS = 64
+BLOOM_BITS = 1024
+BLOOM_HASHES = 3
+
+_HIST_SQL = f"""
+    hist AS (
+        SELECT lang,
+               least(CAST(floor(n_chars / {HIST_BIN_W}) AS INT),
+                     {HIST_BINS - 1}) AS bin,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2)
+    """
+
+
+@register(
+    "q113_histogram_quantiles",
+    f"""
+    WITH {_HIST_SQL.strip()},
+    e50 AS ({sketch_ops.histogram_quantile_sql('hist', ['lang'], 0.5, HIST_BIN_W)}),
+    e90 AS ({sketch_ops.histogram_quantile_sql('hist', ['lang'], 0.9, HIST_BIN_W)}),
+    ex AS (
+        SELECT lang,
+               round(quantile_cont(n_chars, 0.50), 6) AS exact_p50,
+               round(quantile_cont(n_chars, 0.90), 6) AS exact_p90
+        FROM documents GROUP BY 1)
+    SELECT lang, e50.est_q AS est_p50, e90.est_q AS est_p90,
+           exact_p50, exact_p90
+    FROM e50 JOIN (SELECT lang, est_q FROM e90) e90 USING (lang)
+    JOIN ex USING (lang)
+    """,
+    doc="Histogram-sketch quantiles (the deterministic analog of "
+    "percentile_approx's t-digest): per-language p50/p90 of document "
+    "length estimated from a <= 64-bin fixed-width histogram, against the "
+    "exact interpolated percentiles (q104's sort-based form) for error "
+    "exhibit. The sketch is one map-side-combined aggregate whose "
+    "per-group state is bounded by the bin count and merges by addition "
+    "— quantiles at 100 TB without q104's per-group sort; the window "
+    "passes that locate the crossing bin run over the SKETCH (|groups| x "
+    "64 rows), never the data. Estimates are integer-derived (bin counts "
+    "and one division), bit-identical cross-engine.",
+)
+def q113(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    hist = sketch_ops.histogram_sketch(
+        docs, ["lang"], F.col("n_chars"), HIST_BIN_W, HIST_BINS
+    )
+    e50 = sketch_ops.histogram_quantile(hist, ["lang"], 0.5, HIST_BIN_W)
+    e90 = sketch_ops.histogram_quantile(
+        hist, ["lang"], 0.9, HIST_BIN_W
+    ).withColumnRenamed("est_q", "est_p90")
+    ex = docs.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.50)"), 6).alias("exact_p50"),
+        F.round(F.expr("percentile(n_chars, 0.90)"), 6).alias("exact_p90"),
+    )
+    return (
+        e50.withColumnRenamed("est_q", "est_p50")
+        .join(e90, "lang")
+        .join(ex, "lang")
+        .select("lang", "est_p50", "est_p90", "exact_p50", "exact_p90")
+    )
+
+
+def _bloom_bits_sql() -> str:
+    base = hashing.portable_hash28_sql("CAST(c_custkey AS VARCHAR)")
+    sels = " UNION ".join(
+        f"SELECT DISTINCT ({hashing.minhash_value_sql(base, i)}) % {BLOOM_BITS} AS bit"
+        f" FROM build"
+        for i in range(BLOOM_HASHES)
+    )
+    return sels
+
+
+@register(
+    "q114_bloom_semijoin",
+    f"""
+    WITH build AS (SELECT c_custkey FROM customer WHERE c_nationkey = 1),
+    bits AS ({_bloom_bits_sql()}),
+    bs AS (SELECT list(bit ORDER BY bit) AS bits FROM bits),
+    probe AS (
+        SELECT o_custkey,
+               {hashing.portable_hash28_sql("CAST(o_custkey AS VARCHAR)")}
+                   AS __b
+        FROM orders),
+    mem AS (
+        SELECT o_custkey,
+               {" AND ".join(
+                   f"list_contains(bits, ({hashing.minhash_value_sql('__b', i)}) % {BLOOM_BITS})"
+                   for i in range(BLOOM_HASHES))} AS bloom_pass
+        FROM probe CROSS JOIN bs),
+    ex AS (
+        SELECT CAST(count(*) AS BIGINT) AS exact_pass FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM build))
+    SELECT CAST(count(*) AS BIGINT) AS n_probe,
+           CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS bloom_pass,
+           ex.exact_pass,
+           CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+               - ex.exact_pass AS false_pos
+    FROM mem, ex GROUP BY ex.exact_pass
+    """,
+    doc="Bloom-filter semi-join pruning profile: the nation-1 customer "
+    "keys set 3 committed-hash bits in a 1024-bit filter; every order "
+    "probes it ROW-LOCALLY — the bit set collapses to one broadcast array "
+    "row and the test is three array_contains, a scan-local projection "
+    "with ZERO shuffle of the probe side (the explicit form of the "
+    "runtime bloom join injection Spark applies to shuffle joins, usable "
+    "when the probe is a 100 TB scan you want pruned BEFORE any "
+    "exchange). The filter is sized small on purpose so false positives "
+    "exist and the oracle checks the FP count, not just membership; "
+    "false negatives are impossible by construction (asserted in "
+    "tests/test_sketch.py).",
+)
+def q114(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    build = cust.filter(F.col("c_nationkey") == 1).select("c_custkey")
+    bits = sketch_ops.bloom_build(
+        build, F.col("c_custkey").cast("string"),
+        n_bits=BLOOM_BITS, n_hashes=BLOOM_HASHES,
+    )
+    mem = sketch_ops.bloom_membership(
+        orders.select("o_custkey"), bits,
+        F.col("o_custkey").cast("string"),
+        n_bits=BLOOM_BITS, n_hashes=BLOOM_HASHES,
+    )
+    passed = mem.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias("bloom_pass"),
+    )
+    exact = (
+        orders.join(
+            F.broadcast(build), orders.o_custkey == build.c_custkey, "left_semi"
+        ).agg(F.count(F.lit(1)).alias("exact_pass"))
+    )
+    return passed.crossJoin(exact).select(
+        "n_probe",
+        "bloom_pass",
+        "exact_pass",
+        (F.col("bloom_pass") - F.col("exact_pass")).alias("false_pos"),
+    )

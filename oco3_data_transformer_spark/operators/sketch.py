@@ -34,7 +34,7 @@ training-data-pipeline surface the Spark engine adds.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing
@@ -196,3 +196,145 @@ def countmin_cells_sql(key_expr: str, depth: int, width: int) -> str:
         for i in range(depth)
     )
     return f"[{cells}]"
+
+
+def histogram_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: Column,
+    bin_width: int,
+    n_bins: int,
+) -> DataFrame:
+    """Fixed-bin histogram sketch: ``(group, bin, cnt)`` with at most
+    ``n_bins`` rows per group (the last bin absorbs the tail).
+
+    The deterministic analog of a t-digest: bounded mergeable state
+    (merge = per-bin addition) supporting quantile estimates without the
+    global sort exact percentiles need. Production trades the fixed grid
+    for t-digest's adaptive centroids (Spark's ``percentile_approx``);
+    the fixed grid is what stays bit-identical cross-engine.
+    One map-side-combined aggregate — each partition reduces to <= n_bins
+    partials per group before the exchange.
+    """
+    bin_col = F.least(
+        F.floor(value_col / bin_width).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        df.select(*group_cols, bin_col.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantile(
+    hist: DataFrame, group_cols: list[str], q: float, bin_width: int
+) -> DataFrame:
+    """Per-group quantile estimate from a histogram sketch: locate the bin
+    where the cumulative count crosses ``q * N`` and interpolate linearly
+    inside it. One window pass over the (group-count x n_bins)-sized
+    sketch — never over the data. Emits ``est_q`` (double, 4dp; every
+    step is integer-derived so the estimate is bit-identical
+    cross-engine)."""
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    cum = F.sum("cnt").over(w)
+    total = F.sum("cnt").over(Window.partitionBy(*group_cols))
+    target = F.lit(q) * total
+    ranked = hist.select(
+        *group_cols,
+        "bin",
+        "cnt",
+        cum.alias("cum"),
+        (cum - F.col("cnt")).alias("cum_before"),
+        target.alias("target"),
+    ).filter(F.col("cum") >= F.col("target"))
+    pick = Window.partitionBy(*group_cols).orderBy("bin")
+    first = ranked.withColumn("rn", F.row_number().over(pick)).filter(
+        F.col("rn") == 1
+    )
+    est = (
+        F.col("bin") * bin_width
+        + (F.col("target") - F.col("cum_before")) / F.col("cnt") * bin_width
+    )
+    return first.select(*group_cols, F.round(est, 4).alias("est_q"))
+
+
+def histogram_quantile_sql(
+    hist_expr: str, group_cols: list[str], q: float, bin_width: int
+) -> str:
+    """DuckDB SQL mirroring :func:`histogram_quantile` over a histogram
+    CTE/table with columns ``(group..., bin, cnt)``."""
+    gcols = ", ".join(group_cols)
+    return f"""
+    SELECT {gcols}, round(bin * {bin_width}
+        + (target - cum_before) / cnt * {bin_width}, 4) AS est_q
+    FROM (
+        SELECT {gcols}, bin, cnt, cum, cum - cnt AS cum_before, target,
+               row_number() OVER (PARTITION BY {gcols} ORDER BY bin) AS rn
+        FROM (
+            SELECT {gcols}, bin, cnt,
+                   sum(cnt) OVER (PARTITION BY {gcols} ORDER BY bin) AS cum,
+                   {q} * sum(cnt) OVER (PARTITION BY {gcols}) AS target
+            FROM {hist_expr})
+        WHERE cum >= target)
+    WHERE rn = 1
+    """
+
+
+def bloom_build(
+    df: DataFrame, key_col: Column, n_bits: int = 4096, n_hashes: int = 3
+) -> DataFrame:
+    """Build a Bloom bit set as a DISTINCT-bucket table (<= n_bits rows).
+
+    Each key sets ``n_hashes`` bits via the committed permutations — the
+    same membership structure Spark's runtime bloom-filter join injection
+    builds internally, exposed as a data operator so a 100 TB probe side
+    can be pre-pruned against a small build side with NO shuffle of the
+    probe (see :func:`bloom_membership`). Map-side combined: partitions
+    reduce to <= n_bits rows before the exchange.
+    """
+    base = hashing.portable_hash28(key_col)
+    bits = df.select(
+        F.explode(
+            F.array(
+                *[
+                    (hashing.minhash_value(base, i) % n_bits)
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("bit")
+    )
+    return bits.distinct()
+
+
+def bloom_membership(
+    probe: DataFrame,
+    bloom_bits: DataFrame,
+    key_col: Column,
+    n_bits: int = 4096,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Row-local Bloom membership test for ``probe``: returns the probe
+    DataFrame cross-joined with the (single-row, broadcast) collected bit
+    set plus a ``bloom_pass`` boolean column.
+
+    The probe side is NEVER shuffled or joined per-row: the bit set
+    collapses to one array row (<= n_bits ints), broadcasts, and the test
+    is ``array_contains`` on each of the key's n_hashes bits — a scan-local
+    projection, the shape that makes Bloom pruning free at 100 TB.
+    May pass false positives (bounded by the usual (1-e^{-kn/m})^k), never
+    false negatives.
+    """
+    bitset = bloom_bits.agg(F.collect_set("bit").alias("__bits"))
+    base = hashing.portable_hash28(key_col)
+    checks = [
+        F.array_contains(
+            F.col("__bits"), hashing.minhash_value(base, i) % n_bits
+        )
+        for i in range(n_hashes)
+    ]
+    passed = checks[0]
+    for c in checks[1:]:
+        passed = passed & c
+    return probe.crossJoin(F.broadcast(bitset)).withColumn(
+        "bloom_pass", passed
+    ).drop("__bits")

@@ -468,3 +468,25 @@ def test_sketch_setops_single_corpus_exchange_per_branch(spark):
     assert plan.count("partial_min") >= 64
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_histogram_sketch_map_side_and_windows_on_sketch(spark):
+    # q113: the histogram build is a map-side-combined partial aggregate;
+    # its quantile windows run over the sketch, and the exact-percentile
+    # contrast branch contributes the only data-sized sort.
+    plan = plan_of(spark, "q113_histogram_quantiles")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_probe_never_shuffles(spark):
+    # q114: the probe (orders) side must reach its aggregate without ANY
+    # hash exchange — membership is a broadcast-array projection; the only
+    # keyed exchange in the whole plan would be from the build side's
+    # distinct (which is bit-set-sized).
+    plan = plan_of(spark, "q114_bloom_semijoin")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # probe row count: no hashpartitioning on o_custkey anywhere
+    assert "hashpartitioning(o_custkey" not in plan

@@ -175,3 +175,49 @@ def test_pq_encode_kernels_agree(spark):
     for key in s:
         assert a[key][0] == s[key][0], key
         assert abs(a[key][1] - s[key][1]) < 1e-9, key
+
+
+def test_histogram_sketch_bounded_and_merge_is_addition(spark):
+    rows = [("g", float(i % 977)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    hist = sketch.histogram_sketch(df, ["g"], F.col("v"), 64, 8)
+    got = {r.bin: r.cnt for r in hist.collect()}
+    assert set(got) <= set(range(8))  # tail clamps into the last bin
+    # merge contract: histograms of two halves ADD to the full histogram
+    h1 = sketch.histogram_sketch(
+        spark.createDataFrame(rows[:2500], "g string, v double"), ["g"], F.col("v"), 64, 8
+    )
+    h2 = sketch.histogram_sketch(
+        spark.createDataFrame(rows[2500:], "g string, v double"), ["g"], F.col("v"), 64, 8
+    )
+    merged = (
+        h1.unionByName(h2).groupBy("g", "bin").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert {r.bin: r.cnt for r in merged.collect()} == got
+
+
+def test_histogram_quantile_brackets_exact(spark):
+    # estimate must land within one bin width of the exact quantile
+    rows = [("g", float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    hist = sketch.histogram_sketch(df, ["g"], F.col("v"), 32, 64)
+    for q, exact in [(0.5, 499.5), (0.9, 899.1)]:
+        est = sketch.histogram_quantile(hist, ["g"], q, 32).collect()[0].est_q
+        assert abs(est - exact) <= 32, (q, est, exact)
+
+
+def test_bloom_never_false_negative(spark):
+    build = spark.createDataFrame([(f"m-{i}",) for i in range(80)], "k string")
+    probe = spark.createDataFrame(
+        [(f"m-{i}",) for i in range(80)] + [(f"x-{i}",) for i in range(900)],
+        "k string",
+    )
+    bits = sketch.bloom_build(build, F.col("k"), n_bits=512, n_hashes=3)
+    mem = sketch.bloom_membership(probe, bits, F.col("k"), n_bits=512, n_hashes=3)
+    rows = mem.collect()
+    members = {r.k for r in rows if r.k.startswith("m-")}
+    assert all(r.bloom_pass for r in rows if r.k.startswith("m-"))  # no FN ever
+    assert len(members) == 80
+    # filter sized to produce SOME false positives at this load factor
+    fps = [r for r in rows if r.k.startswith("x-") and r.bloom_pass]
+    assert 0 < len(fps) < 900
