@@ -565,3 +565,100 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
         "exact_pass",
         (F.col("bloom_pass") - F.col("exact_pass")).alias("false_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q115 — IVF-PQ: the full ANN serving composition (routing × compression)
+# ---------------------------------------------------------------------------
+
+IVFPQ_K = 3
+IVFPQ_NPROBE = 2
+
+from .functions import vector as _vec  # noqa: E402
+
+
+@register(
+    "q115_ivfpq_knn",
+    f"""
+    WITH cents AS (
+        SELECT label AS cell, arg_min(embedding, vec_id) AS centroid
+        FROM embeddings GROUP BY label),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_vec.cosine_sql('e.embedding', 'c.centroid')} DESC, c.cell)
+                       AS rk
+            FROM embeddings e CROSS JOIN cents c) WHERE rk = 1),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.vec_id AS query_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_vec.cosine_sql('q.embedding', 'c.centroid')} DESC, c.cell)
+                       AS rk
+            FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10)
+        WHERE rk <= {IVFPQ_NPROBE}),
+    {_pq_books_sql().strip().lstrip()},
+    {_PQ_ENC_SQL.strip()},
+    cands AS (
+        SELECT p.query_id, a.vec_id
+        FROM probes p JOIN assigned a USING (cell)
+        WHERE a.vec_id <> p.query_id),
+    lut AS (
+        SELECT q.vec_id AS query_id, b.subspace, b.code,
+               {_vec.l2sq_sql(
+                   f"list_slice(q.embedding, b.subspace * {PQ_DSUB} + 1,"
+                   f" b.subspace * {PQ_DSUB} + {PQ_DSUB})",
+                   "b.codeword")} AS d
+        FROM embeddings q CROSS JOIN books b WHERE q.vec_id < 10),
+    folded AS (
+        SELECT c.query_id, c.vec_id,
+               list_sum(list_transform(
+                   list_sort(list({{'s': l.subspace, 'd': l.d}})),
+                   x -> x.d)) AS adist
+        FROM cands c
+        JOIN (SELECT vec_id, subspace, mm.code AS code FROM enc) e
+          USING (vec_id)
+        JOIN lut l
+          ON l.query_id = c.query_id AND l.subspace = e.subspace
+         AND l.code = e.code
+        GROUP BY 1, 2)
+    SELECT query_id, vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY adist, vec_id) AS INT) AS rank,
+           round(adist, 6) AS adist
+    FROM folded
+    QUALIFY rank <= {IVFPQ_K}
+    """,
+    doc="IVF-PQ — the full Faiss-style ANN serving composition: IVF "
+    "routing picks nprobe=2 cells per query (broadcast-bank projection, "
+    "zero shuffle), then asymmetric PQ distance ranks only the CODES of "
+    "vectors in those cells. The two scale savings multiply: the cell "
+    "equi-join touches nprobe/nlist of the corpus, and what it touches "
+    "is 8-byte codes, not float vectors — a query never reads a raw "
+    "corpus vector. LUT broadcasts; subspace fold sums in sorted order "
+    "(bit-identical cross-engine); per-query rank window, no global "
+    "sort. Composes q40 (routing) x q109 (encode) x q110 (ADC) into one "
+    "declarative plan.",
+)
+def q115(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    cents = emb.groupBy(F.col("label").alias("cell")).agg(
+        F.min_by("embedding", "vec_id").alias("centroid")
+    )
+    assigned = sim_ops.ivf_assign(emb.select("vec_id", "embedding"), cents)
+    books = sim_ops.pq_codebooks(emb, m=PQ_M, dsub=PQ_DSUB, n_codes=PQ_CODES)
+    codes = sim_ops.pq_encode(emb, books, dsub=PQ_DSUB, kernel="sql").select(
+        "vec_id", "subspace", "code"
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = sim_ops.ivfpq_knn(
+        codes, assigned, books, cents, queries,
+        k=IVFPQ_K, nprobe=IVFPQ_NPROBE, dsub=PQ_DSUB,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        F.round("adist", 6).alias("adist"),
+    )

@@ -277,29 +277,25 @@ def ivf_assign(
     )
 
 
-def ivf_knn(
-    assigned_corpus: DataFrame,
-    centroids: DataFrame,
+def probe_cells(
     queries: DataFrame,
-    k: int = 5,
-    nprobe: int = 2,
+    centroids: DataFrame,
+    nprobe: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cent_id: str = "cell",
     cent_vec: str = "centroid",
 ) -> DataFrame:
-    """IVF search: route each query to its ``nprobe`` nearest cells, then
-    exact top-k within those cells only. Returns (query_id, neighbor_id,
-    rank, cos). At 100 TB the cell equi-join key makes this a partitioned
-    hash join touching nprobe/nlist of the corpus.
+    """Route each query to its ``nprobe`` nearest cells by cosine:
+    ``(query_id, q_vec, q_norm, cell)``, nprobe rows per query.
 
-    Probe routing is a pure projection, not a window: the (small by
-    construction) centroid bank is folded into ONE broadcast array row, and
-    each query picks its top-``nprobe`` cells with
-    ``slice(array_sort(transform(bank, ...)))`` — no crossJoin row
-    explosion, no shuffle, no sort of |Q|·nlist rows. Ordering matches the
-    old rank window exactly: cos desc, cell asc tiebreak (struct sort on
-    (-cos, cell))."""
+    A pure projection, not a window: the (small by construction) centroid
+    bank folds into ONE broadcast array row, and each query picks its
+    top-``nprobe`` cells with ``slice(array_sort(transform(bank, ...)))``
+    — no crossJoin row explosion, no shuffle, no sort of |Q|*nlist rows.
+    Ties break (cos desc, cell asc) via the struct sort on (-cos, cell).
+    Shared by ivf_knn and ivfpq_knn.
+    """
     bank = F.broadcast(
         centroids.select(
             F.struct(
@@ -312,7 +308,7 @@ def ivf_knn(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).withColumn("q_norm", vector.norm(F.col("q_vec")))
-    probes = (
+    return (
         q.crossJoin(bank)
         .withColumn(
             "__scored",
@@ -337,6 +333,34 @@ def ivf_knn(
                 F.slice(F.array_sort("__scored"), 1, nprobe)["cell"]
             ).alias(cent_id),
         )
+    )
+
+
+def ivf_knn(
+    assigned_corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cell",
+    cent_vec: str = "centroid",
+) -> DataFrame:
+    """IVF search: route each query to its ``nprobe`` nearest cells, then
+    exact top-k within those cells only. Returns (query_id, neighbor_id,
+    rank, cos). At 100 TB the cell equi-join key makes this a partitioned
+    hash join touching nprobe/nlist of the corpus.
+
+    Probe routing is a pure projection, not a window: the (small by
+    construction) centroid bank is folded into ONE broadcast array row, and
+    each query picks its top-``nprobe`` cells with
+    ``slice(array_sort(transform(bank, ...)))`` — no crossJoin row
+    explosion, no shuffle, no sort of |Q|·nlist rows. Ordering matches the
+    old rank window exactly: cos desc, cell asc tiebreak (struct sort on
+    (-cos, cell))."""
+    probes = probe_cells(
+        queries, centroids, nprobe, id_col, vec_col, cent_id, cent_vec
     )
     c = assigned_corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), F.col(cent_id)
@@ -901,6 +925,72 @@ def pq_adc_knn(
     folded = (
         codes.join(F.broadcast(lut), ["subspace", "code"])
         .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("subspace", "d"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["d"],
+            ).alias("adist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", id_col)
+    return (
+        folded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "adist")
+    )
+
+
+def ivfpq_knn(
+    codes: DataFrame,
+    assigned: DataFrame,
+    codebooks: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dsub: int = 8,
+) -> DataFrame:
+    """IVF-PQ search — the Faiss serving composition: coarse IVF routing
+    picks ``nprobe`` cells per query, then asymmetric PQ distance ranks
+    only the CODES of vectors in those cells. Returns
+    ``(query_id, neighbor_id, rank, adist)``.
+
+    The 100 TB shape multiplies both savings: the cell equi-join touches
+    nprobe/nlist of the corpus, and what it touches is 8-byte codes, not
+    float vectors (32x less IO) — queries never see a raw corpus vector at
+    all. Routing is the shared broadcast-bank projection
+    (:func:`probe_cells`, zero shuffle); the per-query lookup table
+    broadcasts; the subspace fold sums in sorted order for cross-engine
+    bit-identical totals (same discipline as :func:`pq_adc_knn`).
+    """
+    probes = probe_cells(
+        queries, centroids, nprobe, id_col, vec_col
+    ).select("query_id", "cell")
+    cands = (
+        probes.join(assigned.select(id_col, "cell"), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+    )
+    qsub = F.slice(
+        F.col(vec_col), F.col("subspace") * dsub + 1, F.lit(dsub)
+    )
+    lut = (
+        queries.select(F.col(id_col).alias("query_id"), vec_col)
+        .crossJoin(F.broadcast(codebooks))
+        .select(
+            "query_id",
+            "subspace",
+            "code",
+            vector.l2sq(qsub, F.col("codeword")).alias("d"),
+        )
+    )
+    folded = (
+        codes.join(cands, id_col)
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
         .groupBy("query_id", id_col)
         .agg(
             F.aggregate(

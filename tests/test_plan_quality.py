@@ -490,3 +490,16 @@ def test_bloom_probe_never_shuffles(spark):
     assert "CartesianProduct" not in plan
     # probe row count: no hashpartitioning on o_custkey anywhere
     assert "hashpartitioning(o_custkey" not in plan
+
+
+def test_ivfpq_routing_projection_and_code_probe(spark):
+    # q115: routing must stay the broadcast-bank projection (no
+    # |Q|*nlist window/sort), the LUT probe a broadcast join, and the
+    # only corpus-scale exchanges the encode argmin + candidate/fold
+    # aggregates — never a sort-merge or cartesian.
+    plan = plan_of(spark, "q115_ivfpq_knn")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # cell join + lut probe
+    # encode argmin + the centroid min_by, both map-side-combining
+    assert plan.count("partial_min") == 2

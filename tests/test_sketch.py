@@ -221,3 +221,37 @@ def test_bloom_never_false_negative(spark):
     # filter sized to produce SOME false positives at this load factor
     fps = [r for r in rows if r.k.startswith("x-") and r.bloom_pass]
     assert 0 < len(fps) < 900
+
+
+def test_ivfpq_subset_of_adc_on_probed_cells(spark):
+    # IVF-PQ must equal plain ADC restricted to the probed cells: the
+    # routing only FILTERS candidates, never changes a distance
+    from oco3_data_transformer_spark.operators import similarity as sim
+
+    emb = _toy_embeddings(spark, n=50, dim=16)
+    emb = emb.withColumn("label", (F.col("vec_id") % 4).cast("int"))
+    cents = emb.groupBy(F.col("label").alias("cell")).agg(
+        F.min_by("embedding", "vec_id").alias("centroid")
+    )
+    assigned = sim.ivf_assign(emb.select("vec_id", "embedding"), cents)
+    books = sim.pq_codebooks(emb, m=4, dsub=4, n_codes=8)
+    codes = sim.pq_encode(emb, books, dsub=4).select("vec_id", "subspace", "code")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = sim.ivfpq_knn(
+        codes, assigned, books, cents, queries, k=5, nprobe=2, dsub=4
+    ).collect()
+    # full ADC for comparison
+    full = {
+        (r.query_id, r.neighbor_id): r.adist
+        for r in sim.pq_adc_knn(codes, books, queries, k=50, dsub=4).collect()
+    }
+    probed = {
+        r.query_id: set()
+        for r in out
+    }
+    for r in out:
+        assert (r.query_id, r.neighbor_id) in full
+        assert abs(full[(r.query_id, r.neighbor_id)] - r.adist) < 1e-12
+        probed[r.query_id].add(r.neighbor_id)
+    for q, rs in probed.items():
+        assert 0 < len(rs) <= 5
