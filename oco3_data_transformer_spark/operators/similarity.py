@@ -773,9 +773,13 @@ def pq_codebooks(
     one extra Lloyd loop, same plan shape); the seeded variant keeps the
     encode/search path fully declarative and oracle-checkable.
 
-    Plan: TakeOrdered(n_codes) on the hash — the corpus never shuffles;
-    the window ranking the n_codes survivors into code ids runs on
-    n_codes rows (sub-broadcast-sized by construction).
+    Plan: TakeOrdered(n_codes) on the hash — the corpus never shuffles.
+    The n_codes survivors come to the driver (control-plane collect, 16
+    rows — the same motion as the k-means init) and return as a local
+    relation, so consumers that reference the books several times (encode
+    + LUT + routing in one IVF-PQ plan) don't re-evaluate the sampling
+    subtree; float32 -> float64 slice conversion is exact, so the rows are
+    bit-identical to the oracle CTE's.
     """
     from ..functions import hashing
 
@@ -787,25 +791,15 @@ def pq_codebooks(
         .withColumn("__h", h)
         .orderBy("__h", "__id")
         .limit(n_codes)
+        .collect()
     )
-    w = Window.orderBy("__h", "__id")
-    coded = seeds.withColumn("code", F.row_number().over(w) - 1)
-    subs = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(s).alias("subspace"),
-                    F.transform(
-                        F.slice("__v", s * dsub + 1, dsub),
-                        lambda x: x.cast("double"),
-                    ).alias("codeword"),
-                )
-                for s in range(m)
-            ]
-        )
-    )
-    return coded.select("code", subs.alias("s")).select(
-        "s.subspace", "code", "s.codeword"
+    rows = [
+        (s, code, [float(x) for x in r["__v"][s * dsub : (s + 1) * dsub]])
+        for code, r in enumerate(seeds)
+        for s in range(m)
+    ]
+    return corpus.sparkSession.createDataFrame(
+        rows, "subspace int, code int, codeword array<double>"
     )
 
 
