@@ -102,25 +102,17 @@ def read_estimates(
 # guard; Spark replays whole batches with stable ids, never partial ones).
 # ---------------------------------------------------------------------------
 
-def countmin_sink(
-    sketch_path: str,
-    key_col: str,
-    depth: int = 4,
-    width: int = 2048,
-):
-    """``foreachBatch`` handler maintaining a count-min grid at
-    ``sketch_path`` (columns ``d, bucket, cnt, last_batch``).
-
-    Each batch: build the batch's grid (operators/sketch.countmin_build —
-    map-side-combined, <= d*w rows), fence on ``max(last_batch)``, cell-wise
-    ADD into the stored grid, stage-write + atomic rename. State never
-    exceeds d*w rows regardless of stream volume or key cardinality.
-    """
-    from ..operators.sketch import countmin_build
+def _fenced_additive_sink(sketch_path: str, build, cell_cols: list[str]):
+    """Shared handler core for ADDITIVE sketches (count-min grid, fixed-bin
+    histogram): per-batch partial via ``build(batch_df)`` -> fence on
+    ``max(last_batch)`` (addition is not idempotent, so a replayed batch
+    must be skipped — the standard foreachBatch transactional guard; Spark
+    replays whole batches with stable ids, never partial ones) -> cell-wise
+    ADD on ``cell_cols`` -> stage-write + atomic rename."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark: SparkSession = batch_df.sparkSession
-        part = countmin_build(batch_df, F.col(key_col), depth=depth, width=width)
+        part = build(batch_df)
         jvm = spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path(sketch_path)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -130,15 +122,14 @@ def countmin_sink(
             if applied is not None and applied >= batch_id:
                 return  # replayed batch: addition would double-count
             merged = (
-                state.select("d", "bucket", F.col("cnt").alias("a"))
+                state.select(*cell_cols, F.col("cnt").alias("a"))
                 .join(
-                    part.select("d", "bucket", F.col("cnt").alias("b")),
-                    ["d", "bucket"],
+                    part.select(*cell_cols, F.col("cnt").alias("b")),
+                    cell_cols,
                     "full_outer",
                 )
                 .select(
-                    "d",
-                    "bucket",
+                    *cell_cols,
                     (F.coalesce("a", F.lit(0)) + F.coalesce("b", F.lit(0))).alias(
                         "cnt"
                     ),
@@ -156,6 +147,46 @@ def countmin_sink(
         fs.delete(jvm.org.apache.hadoop.fs.Path(tmp_old), True)
 
     return handle
+
+
+def countmin_sink(
+    sketch_path: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+):
+    """``foreachBatch`` handler maintaining a count-min grid at
+    ``sketch_path`` (columns ``d, bucket, cnt, last_batch``). State never
+    exceeds d*w rows regardless of stream volume or key cardinality."""
+    from ..operators.sketch import countmin_build
+
+    return _fenced_additive_sink(
+        sketch_path,
+        lambda df: countmin_build(df, F.col(key_col), depth=depth, width=width),
+        ["d", "bucket"],
+    )
+
+
+def histogram_sink(
+    sketch_path: str,
+    group_cols: list[str],
+    value_col: str,
+    bin_width: int,
+    n_bins: int,
+):
+    """``foreachBatch`` handler maintaining a fixed-bin histogram sketch
+    (columns ``group..., bin, cnt, last_batch``) — streaming quantile
+    state: ``operators.sketch.histogram_quantile`` reads estimates off the
+    maintained table at any moment without touching the stream's history."""
+    from ..operators.sketch import histogram_sketch
+
+    return _fenced_additive_sink(
+        sketch_path,
+        lambda df: histogram_sketch(
+            df, group_cols, F.col(value_col), bin_width, n_bins
+        ),
+        [*group_cols, "bin"],
+    )
 
 
 def read_frequencies(

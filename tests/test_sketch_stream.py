@@ -161,3 +161,24 @@ def test_countmin_stream_end_to_end(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_streamed_histogram_equals_batch_and_quantiles_flow(spark, tmp_path):
+    path = str(tmp_path / "hist")
+    sink = sketch_stream.histogram_sink(path, ["g"], "v", bin_width=32, n_bins=16)
+    b0 = spark.createDataFrame([("g", float(i % 300)) for i in range(900)], "g string, v double")
+    b1 = spark.createDataFrame([("g", float(i % 450)) for i in range(1300)], "g string, v double")
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # replay fenced
+
+    union = b0.unionByName(b1)
+    streamed_hist = spark.read.parquet(path).select("g", "bin", "cnt")
+    batch_hist = batch_sketch.histogram_sketch(union, ["g"], F.col("v"), 32, 16)
+    assert sorted(map(tuple, streamed_hist.collect())) == sorted(
+        map(tuple, batch_hist.collect())
+    )
+    # quantile estimates read straight off the maintained table
+    est = batch_sketch.histogram_quantile(streamed_hist, ["g"], 0.5, 32).collect()[0].est_q
+    ref = batch_sketch.histogram_quantile(batch_hist, ["g"], 0.5, 32).collect()[0].est_q
+    assert est == ref
