@@ -33,6 +33,10 @@ ROUND4 = [
     "q110_pq_adc_knn",
     "q111_sketch_setops",
     "q112_bpe_apply",
+    "q113_histogram_quantiles",
+    "q114_bloom_semijoin",
+    "q115_ivfpq_knn",
+    "q116_ann_recall",
 ]
 
 
