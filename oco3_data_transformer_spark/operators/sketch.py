@@ -161,10 +161,13 @@ def countmin_estimate(
 ) -> DataFrame:
     """Point-estimate frequencies for ``keys`` from a built sketch.
 
-    The key row expands to its d cells, equi-joins the sketch on
+    The key row expands to its d cells, LEFT-equi-joins the sketch on
     (d, bucket) — the sketch side is d*width rows, so Spark broadcasts it —
-    and takes ``min(cnt)`` per key: the count-min estimate (>= true count
-    always; > only under collisions).
+    and takes ``min(cnt)`` per key with an absent cell counting as 0: the
+    count-min estimate (>= true count always; > only under collisions).
+    The left join matters for keys OUTSIDE the sketched corpus: one empty
+    cell proves a count of 0, so such probes estimate exactly 0 instead of
+    inheriting collision mass from their non-empty cells.
     """
     base = hashing.portable_hash28(F.col(key_col))
     cells = keys.select(
@@ -182,9 +185,9 @@ def countmin_estimate(
         ).alias("cell"),
     ).select(key_col, "cell.d", "cell.bucket")
     return (
-        cells.join(F.broadcast(sketch), ["d", "bucket"])
+        cells.join(F.broadcast(sketch), ["d", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("est_cnt"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_cnt"))
     )
 
 

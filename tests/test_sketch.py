@@ -255,3 +255,16 @@ def test_ivfpq_subset_of_adc_on_probed_cells(spark):
         probed[r.query_id].add(r.neighbor_id)
     for q, rs in probed.items():
         assert 0 < len(rs) <= 5
+
+
+def test_countmin_absent_keys_estimate_zero(spark):
+    # a probe key outside the sketched corpus with at least one empty cell
+    # must estimate exactly 0 (an empty cell PROVES count 0) — the left
+    # join + coalesce path
+    corpus = spark.createDataFrame([(f"in-{i}",) for i in range(20)], "k string")
+    grid = sketch.countmin_build(corpus, F.col("k"), depth=4, width=8192)
+    probes = spark.createDataFrame([(f"out-{i}",) for i in range(50)], "k string")
+    est = sketch.countmin_estimate(grid, probes, "k", depth=4, width=8192)
+    rows = est.collect()
+    assert len(rows) == 50
+    assert all(r.est_cnt == 0 for r in rows)
