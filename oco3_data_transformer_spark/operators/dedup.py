@@ -999,3 +999,63 @@ def containment_pairs(
         (F.col("n_common").cast("double") / F.col("n_b")).alias("containment"),
     )
     return a_in_b.unionByName(b_in_a).filter(F.col("containment") >= threshold)
+
+
+def dup_ngram_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Per-document duplicated-substring statistics — the k-gram
+    approximation of exact substring dedup from Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"): a k-gram
+    OCCURRENCE (multiplicity counts, unlike the distinct-shingle near-dup
+    family) is duplicated iff the same k-gram appears >= 2 times anywhere
+    in the corpus, including elsewhere in the same document. Returns
+    ``(id, n_grams, n_dup, dup_frac)`` per document with >= k tokens —
+    the memorization-risk profile that document-level Jaccard misses
+    (a boilerplate footer repeated across distinct articles).
+
+    Scale shape (the paper's suffix array does not distribute; this is the
+    standard shuffle-native reformulation):
+
+      1. doc table exchanged on ``id`` (skew-free) BEFORE tokenization so
+         the CPU-heavy ngram projection spreads across all cores — same
+         rationale as :func:`hashed_shingle_table`;
+      2. grams collapse to ``(id, h, c_loc)`` on that SAME partitioning
+         (group keys ⊇ id, no new exchange) — the corpus-wide stage below
+         moves one row per distinct gram per doc, not per occurrence;
+      3. global counts via groupBy(h) — map-side partial combine bounds
+         hot boilerplate grams before the exchange;
+      4. join (id,h,c_loc) ⋈ (h,c_glob) as a shuffle join so AQE
+         skew-splits naturally-hot grams (a window over partitionBy(h)
+         would be one exchange cheaper but un-splittable);
+      5. final groupBy(id) agg.
+
+    Grams are keyed by the PORTABLE 60-bit md5 hash (functions/hashing.py)
+    rather than xxhash64, so the ANSI-SQL oracle sees bit-identical keys —
+    and identical collisions, should one ever occur.
+    """
+    sess_par = df.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        df.repartition(sess_par, F.col(id_col))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(text.word_ngrams(F.col(text_col), k)).alias("g"),
+        )
+        .withColumn("h", hashing.portable_hash64(F.col("g")))
+        .drop("g")
+    )
+    per_doc = grams.groupBy("id", "h").agg(F.count(F.lit(1)).alias("c_loc"))
+    glob = per_doc.groupBy("h").agg(F.sum("c_loc").alias("c_glob"))
+    dup = F.when(F.col("c_glob") >= 2, F.col("c_loc")).otherwise(F.lit(0))
+    return (
+        per_doc.join(glob, "h")
+        .groupBy("id")
+        .agg(
+            F.sum("c_loc").alias("n_grams"),
+            F.sum(dup).alias("n_dup"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup").cast("double") / F.col("n_grams"), 4),
+        )
+    )
