@@ -97,6 +97,15 @@ def main(
     con = duck_connection(sf_dir)
     failed, results = [], []
     names = only.split(",") if only else list(REGISTRY)
+    # Reject unknown names up front instead of recording them as failures:
+    # a typo'd --only once serialized a misfired run (n_match 0,
+    # failed=['none']) as if it were a real parity result (ADVICE r04).
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        raise SystemExit(
+            f"unknown quer{'y' if len(unknown) == 1 else 'ies'} {unknown}; "
+            f"valid names are the {len(REGISTRY)} REGISTRY keys (q01_... etc.)"
+        )
     for name in names:
         try:
             res = compare_query(spark, con, name, sf_dir)
@@ -130,5 +139,17 @@ def main(
     return 1 if failed else 0
 
 
+def _cli() -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    p.add_argument("--only", default=None, help="comma-separated query names")
+    p.add_argument("--out", default=None, help="artifact path (default: "
+                   "CORRECTNESS_SELF.json for full-catalog runs, none otherwise)")
+    a = p.parse_args()
+    return main(a.sf_dir, a.only, a.out)
+
+
 if __name__ == "__main__":
-    sys.exit(main(*sys.argv[1:]))
+    sys.exit(_cli())

@@ -86,11 +86,16 @@ class ParquetStorageAdapter(StorageAdapter):
     supports_concurrent_writers = False
 
     def exists(self, spark: SparkSession, path: str) -> bool:
-        try:
-            spark.read.parquet(path).limit(1).collect()
-            return True
-        except Exception:
-            return False
+        # Explicit filesystem probe (same fix as streaming/dedup_stream.py:110):
+        # exists() guards DESTRUCTIVE decisions — merge() treats False as
+        # "store absent" and dynamic-overwrites partitions with only the
+        # batch rows — so only a genuinely-absent path may return False.
+        # A broad try/except around a read would turn any transient FS or
+        # permission error into silent data loss; fs.exists lets real read
+        # errors propagate and the caller retry.
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
 
     def read(self, spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
@@ -132,18 +137,18 @@ class DeltaStorageAdapter(StorageAdapter):
                 "session built with configure_spark_with_delta_pip"
             ) from e
 
-    def exists(self, spark: SparkSession, path: str) -> bool:  # pragma: no cover
+    def exists(self, spark: SparkSession, path: str) -> bool:
         from delta.tables import DeltaTable
 
         return DeltaTable.isDeltaTable(spark, path)
 
-    def read(self, spark: SparkSession, path: str) -> DataFrame:  # pragma: no cover
+    def read(self, spark: SparkSession, path: str) -> DataFrame:
         return spark.read.format("delta").load(path)
 
-    def append(self, df, path, partition_cols):  # pragma: no cover
+    def append(self, df, path, partition_cols):
         df.write.format("delta").mode("append").partitionBy(*partition_cols).save(path)
 
-    def overwrite_partitions(self, df, path, partition_cols):  # pragma: no cover
+    def overwrite_partitions(self, df, path, partition_cols):
         (
             df.write.format("delta")
             .mode("overwrite")
