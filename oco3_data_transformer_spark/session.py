@@ -66,3 +66,56 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# Below this input size the per-stage scheduling floor, not throughput,
+# dominates local-mode latency; above it the cluster defaults (AQE on,
+# full shuffle width) win and MUST stay on (skew-join splitting, runtime
+# coalescing). 1 GiB ~= the point where sf-scaled measurements showed the
+# defaults matching or beating the reduced-width configs (PERF.md).
+SMALL_INPUT_BYTES = 1 << 30
+_PARTITION_TARGET_BYTES = 8 << 20
+
+
+def tune_for_input(spark, paths: list[str] | str) -> dict[str, str]:
+    """Scale-aware session tuning for SMALL inputs (runtime-settable confs).
+
+    Local-mode Spark pays a fixed per-stage scheduling cost; with toy
+    inputs (a few MB per table) the default 32-way shuffle width plus
+    AQE's stage-by-stage re-planning is pure latency — measured at sf0.1
+    it is ~25% of the 14-query headline total (scripts/floor_matrix.py:
+    8.67 s baseline -> 6.31 s at 8 partitions / AQE off; the same setting
+    is neutral-to-better at the 10x fixture and NOT applied at >=1 GiB).
+    This helper sizes ``spark.sql.shuffle.partitions`` to the measured
+    input (one ~8 MiB partition target, floor 8, cap = the session
+    default) and disables AQE only under :data:`SMALL_INPUT_BYTES`.
+    Inputs at or above the threshold get the untouched cluster defaults —
+    at 100 TB this function is a no-op by construction, so nothing here
+    trades scale robustness for microbenchmark latency.
+
+    Returns the conf dict it applied (useful for logging / restoring).
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for p in paths:
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(hconf)
+        if fs.exists(jpath):
+            total += fs.getContentSummary(jpath).getLength()
+    if total >= SMALL_INPUT_BYTES:
+        applied = {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
+        }
+    else:
+        parts = max(8, min(DEFAULT_SHUFFLE_PARTITIONS, total // _PARTITION_TARGET_BYTES))
+        applied = {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.shuffle.partitions": str(int(parts)),
+        }
+    for k, v in applied.items():
+        spark.conf.set(k, v)
+    return applied
