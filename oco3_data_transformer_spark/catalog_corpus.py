@@ -1157,3 +1157,51 @@ def q105(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_rows").alias("n_docs"),
         F.sum(F.col("mx") * F.col("n_rows") - F.col("sm")).alias("padding"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q117 — PageRank over the event-type transition graph (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+from .operators import graph as graph_ops  # noqa: E402
+
+PR_ITERS = 10
+
+
+@register(
+    "q117_transition_pagerank",
+    f"""
+    WITH edges AS (
+        SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n_transitions
+        FROM (
+            SELECT event_type AS from_state,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+            FROM events)
+        WHERE to_state IS NOT NULL
+        GROUP BY from_state, to_state),
+    {graph_ops.pagerank_sql("edges", "from_state", "to_state",
+                            "n_transitions", iters=PR_ITERS)}
+    SELECT node, round(pr, 6) AS pagerank FROM pr{PR_ITERS}
+    """,
+    doc="Weighted PageRank over the first-order event-type transition "
+    "graph (q82's edge table): quality-signal propagation — rank states "
+    "by stationary visit probability so downstream sampling can weight "
+    f"by source rank. {PR_ITERS} damped iterations (d=0.85) with "
+    "dangling-mass redistribution, keeping sum(pr)=1 exactly; the oracle "
+    "unrolls the identical rounds as CTEs (operators/graph.pagerank_sql), "
+    "so the rank VALUES are oracle-checked, not just the ordering. Scale "
+    "shape: the heavy stage is the one window+groupBy building the edge "
+    "table (|states|^2 rows, map-side combined); each iteration is two "
+    "hash exchanges on the rank vector with lineage cut every round "
+    "(plan-pinned in test_plan_quality.py).",
+)
+def q117(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    edges = ts_ops.transition_matrix(
+        ev, "user_id", "ts", "event_id", "event_type"
+    ).select("from_state", "to_state", "n_transitions")
+    pr = graph_ops.pagerank(
+        edges, "from_state", "to_state", "n_transitions", iters=PR_ITERS
+    )
+    return pr.select("node", F.round("pr", 6).alias("pagerank"))

@@ -15,9 +15,12 @@ DataFrame joins so the same code runs unchanged when the node set IS
 data-proportional (e.g. a web-domain graph): each step is
 join-on-src → groupBy(dst), i.e. two hash exchanges on the edge
 partitioning, which AQE broadcasts whenever the rank vector is small.
-Lineage is cut every few iterations (localCheckpoint on the rank vector
-only — |nodes| rows, never the edge table) so the unrolled plan doesn't
-grow superlinearly.
+The rank vector (|nodes| rows, never the edge table) is
+localCheckpoint'ed EVERY iteration — the GraphX/GraphFrames cadence.
+Cutting less often is a trap this module originally fell into: each
+iteration references the previous rank vector more than once, so the
+unrolled plan DOUBLES per round between cuts (2^k subplan duplication,
+caught by test_plan_quality's join-count pin).
 
 No Python UDFs; the fixpoint is a fixed iteration count (the reference
 pattern for rank stability at damping 0.85 is 10-20 rounds), which keeps
@@ -29,8 +32,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-CHECKPOINT_EVERY = 4  # rank-vector lineage cut cadence (tiny: |nodes| rows)
 
 
 def pagerank(
@@ -53,15 +54,19 @@ def pagerank(
     where ``out_w(u)`` is u's total outgoing weight and dangling mass is
     the summed rank of nodes with no out-edges (their rank teleports
     uniformly, keeping Σpr = 1 exactly — the invariant the tests pin).
+    The dangling mass is computed by CONSERVATION, not by a second scan
+    of the rank vector: Σ_v contrib(v) sums pr over exactly the
+    non-dangling nodes, so dm = 1 − Σ contrib. That keeps each iteration
+    to ONE reference of the previous rank vector (plan growth stays
+    linear) and drops the dangling-node semi-join entirely.
 
     The plan per iteration: ranks ⋈ edges on src (AQE-broadcast when the
     rank vector is small), groupBy(dst) partial-agg, then a left join back
     onto the node set so zero-in-degree nodes keep their teleport share.
-    The dangling mass is a scalar formed as a 1-row aggregate and joined
-    in by a cross-join-on-literal — Catalyst plans it as a broadcast
-    nested loop over ONE row, not a data-proportional cartesian.
+    The conservation scalar is a 1-row aggregate joined in by a
+    cross-join-on-literal — Catalyst plans it as a broadcast nested loop
+    over ONE row, not a data-proportional cartesian.
     """
-    sess = edges.sparkSession
     e = edges.select(
         F.col(src_col).alias("__src"),
         F.col(dst_col).alias("__dst"),
@@ -71,6 +76,9 @@ def pagerank(
         e.select(F.col("__src").alias("node"))
         .unionByName(e.select(F.col("__dst").alias("node")))
         .distinct()
+        # referenced every iteration (left join) + by the initial vector:
+        # materialize once instead of re-running the union-distinct
+        .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()  # control-plane scalar: sizes the teleport term
     out_w = e.groupBy("__src").agg(F.sum("__w").alias("__out_w"))
@@ -80,24 +88,22 @@ def pagerank(
         .select("__src", "__dst", (F.col("__w") / F.col("__out_w")).alias("__p"))
         .localCheckpoint(eager=False)
     )
-    dangling = nodes.join(
-        out_w.select(F.col("__src").alias("node")), "node", "left_anti"
-    )
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
     for i in range(iters):
-        dm = (
-            ranks.join(dangling, "node", "left_semi")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("__dm"))
-        )
         contrib = (
             ranks.join(probs, ranks["node"] == probs["__src"])
             .groupBy(F.col("__dst").alias("node"))
             .agg(F.sum(F.col("pr") * F.col("__p")).alias("__in"))
         )
+        # dm = 1 - Σ contrib (mass conservation; see docstring). contrib is
+        # referenced twice (scalar + join) — both hang off the CHECKPOINTED
+        # rank vector, so the duplication is one bounded join, not a
+        # growing chain.
+        s = contrib.agg(F.coalesce(F.sum("__in"), F.lit(0.0)).alias("__s"))
         ranks = (
             nodes.join(contrib, "node", "left")
-            .crossJoin(dm)  # 1-row broadcast scalar, not data-proportional
+            .crossJoin(s)  # 1-row broadcast scalar, not data-proportional
             .select(
                 "node",
                 (
@@ -105,14 +111,16 @@ def pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("__in"), F.lit(0.0))
-                        + F.col("__dm") / n_nodes
+                        + (F.lit(1.0) - F.col("__s")) / n_nodes
                     )
                 ).alias("pr"),
             )
         )
-        if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < iters:
-            # cut lineage on the |nodes|-row vector only; eager so the
-            # truncated plan is what later iterations build on
+        if i + 1 < iters:
+            # cut lineage on the |nodes|-row vector only, EVERY round
+            # (eager, so the truncated plan is what the next round builds
+            # on) — the GraphX cadence; see module docstring for why less
+            # often is exponential
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
@@ -137,28 +145,32 @@ def pagerank_sql(
     parts = [
         f"e AS (SELECT {src} AS src, {dst} AS dst, CAST({weight} AS DOUBLE) AS w"
         f" FROM {edges_cte})",
-        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
         "ow AS (SELECT src, sum(w) AS out_w FROM e GROUP BY 1)",
-        "probs AS (SELECT src, dst, w / out_w AS p FROM e JOIN ow USING (src))",
-        "dangling AS (SELECT node FROM nodes WHERE node NOT IN"
-        " (SELECT src FROM ow))",
+        "probs AS MATERIALIZED"
+        " (SELECT src, dst, w / out_w AS p FROM e JOIN ow USING (src))",
         "pr0 AS (SELECT node, 1.0 / n AS pr FROM nodes, nn)",
     ]
     for i in range(iters):
         prev, cur = f"pr{i}", f"pr{i + 1}"
+        # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs once per
+        # reference, and c{i} is referenced twice per round (scalar + join)
+        # — inlined, the plan doubles per round and the PLANNER goes 2^iters
+        # (the exact dual of the DataFrame loop's lineage-cut requirement).
         parts.append(
-            f"dm{i} AS (SELECT coalesce(sum(pr), 0.0) AS dm FROM {prev}"
-            " WHERE node IN (SELECT node FROM dangling))"
-        )
-        parts.append(
-            f"c{i} AS (SELECT dst AS node, sum(pr * p) AS contrib"
+            f"c{i} AS MATERIALIZED (SELECT dst AS node, sum(pr * p) AS contrib"
             f" FROM {prev} JOIN probs ON {prev}.node = probs.src GROUP BY 1)"
+        )
+        # dangling mass by conservation, mirroring the DataFrame loop:
+        # sum(contrib) covers exactly the non-dangling rank mass
+        parts.append(
+            f"s{i} AS (SELECT coalesce(sum(contrib), 0.0) AS s FROM c{i})"
         )
         parts.append(
             f"{cur} AS (SELECT nodes.node,"
             f" (1.0 - {damping}) / n + {damping} *"
-            f" (coalesce(contrib, 0.0) + dm / n) AS pr"
-            f" FROM nodes LEFT JOIN c{i} USING (node), nn, dm{i})"
+            f" (coalesce(contrib, 0.0) + (1.0 - s) / n) AS pr"
+            f" FROM nodes LEFT JOIN c{i} USING (node), nn, s{i})"
         )
     return ",\n".join(parts)

@@ -503,3 +503,45 @@ def test_ivfpq_routing_projection_and_code_probe(spark):
     assert plan.count("BroadcastHashJoin") >= 2  # cell join + lut probe
     # encode argmin + the centroid min_by, both map-side-combining
     assert plan.count("partial_min") == 2
+
+
+def test_pagerank_iteration_plan_and_lineage_cut(spark):
+    """q117 PageRank: the rank vector is localCheckpoint'ed every round, so
+    the FINAL plan contains exactly one iteration's shape hanging off an
+    RDD scan — join+groupBy with hash aggregates, no cartesian over data;
+    the only cross join is the 1-row conservation scalar, planned as a
+    broadcast nested loop. Pins the fix for the original 2^k subplan
+    duplication (each round references the previous vector; uncut lineage
+    doubled the plan per round — 30 joins at iters=10)."""
+    from oco3_data_transformer_spark.catalog import REGISTRY
+
+    df = REGISTRY["q117_transition_pagerank"].fn(spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "ExistingRDD" in plan  # lineage cut: plan starts at the vector
+    # one iteration: contrib join (x2: scalar + left-join reference,
+    # both off the checkpointed vector) + nodes left join -- bounded,
+    # NOT proportional to iters
+    n_joins = sum(plan.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert 0 < n_joins <= 8, f"unrolled join chain too deep: {n_joins}"
+    assert "CartesianProduct" not in plan  # scalar join must broadcast
+    assert plan.count("HashAggregate") >= 2  # contrib groupBy is partial+final
+
+
+def test_pagerank_mass_conservation_and_oracle_shape(spark):
+    """sum(pr) == 1 exactly (dangling redistribution keeps the invariant)
+    and a hand-built graph ranks the obvious sink-hub highest."""
+    from oco3_data_transformer_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0), ("a", "c", 3.0),
+         ("d", "c", 1.0)],  # d is a source; no out-edges from... c has one
+        "src string, dst string, w double",
+    )
+    pr = pagerank(edges, "src", "dst", "w", iters=12)
+    rows = {r.node: r.pr for r in pr.collect()}
+    assert abs(sum(rows.values()) - 1.0) < 1e-9
+    assert set(rows) == {"a", "b", "c", "d"}
+    assert rows["c"] == max(rows.values())  # heaviest in-weight
+    assert rows["d"] == min(rows.values())  # no in-edges: teleport share only
