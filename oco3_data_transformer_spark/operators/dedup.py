@@ -110,10 +110,23 @@ def hashed_shingle_table(
     return base.select("id", *cols).dropDuplicates(["id", "h"])
 
 
+# Auto-salting policy (hot_threshold="auto"): a key shared by k documents
+# expands to k^2/2 pairs in the co-occurrence join; 256 docs/key (~32k
+# pairs) is the per-key task-work bound above which the expansion is
+# spread over salt buckets. WHICH keys exceed it is measured from a
+# deterministic ~5% document sample (xxhash64(id) % MOD == 0) — cheap
+# (the profile exchange carries 5% of the shingle table) and safe to
+# approximate, because salting is RESULT-IDENTICAL either way
+# (tests/test_dedup_adversarial.py): a missed hot key only loses the
+# spread, a false positive only adds a harmless salt round-trip.
+AUTO_HOT_DOC_COUNT = 256
+AUTO_PROFILE_MOD = 20
+
+
 def _join_cooccurrence_pairs(
     sh: DataFrame,
     key: str = "shingle",
-    hot_threshold: int | None = None,
+    hot_threshold: int | str | None = None,
     salt_buckets: int = 16,
 ) -> DataFrame:
     """(id_a, id_b, n_common) via self-join on the key.
@@ -125,16 +138,18 @@ def _join_cooccurrence_pairs(
     shingles; use :func:`_cooccurrence_pairs` for near-unique keys (LSH
     buckets) where grouping is cheaper than a shuffle join.
 
-    ``hot_threshold``: optional explicit skew control for corpora with
-    MEASURED pathological keys (the adversarial fixture's 30%-hot shingle
-    is the model). Keys held by more than ``hot_threshold`` documents are
-    routed through :func:`joins.salted_join` — the hot key's k² expansion
-    is spread over ``salt_buckets`` tasks by construction, independent of
-    whether AQE's runtime skew split is available or applicable (AQE
-    splits shuffle partitions, not broadcast-joined ones, and only after
-    a size threshold trips). The hot-key set itself is outlier-small by
-    definition and is broadcast to split the shingle stream; results are
-    identical to the unsalted join (tests/test_dedup_adversarial.py
+    ``hot_threshold``: skew control for corpora with pathological keys
+    (the adversarial fixture's 30%-hot shingle is the model). Keys held
+    by more than ``hot_threshold`` documents are routed through
+    :func:`joins.salted_join` — the hot key's k² expansion is spread over
+    ``salt_buckets`` tasks by construction, independent of whether AQE's
+    runtime skew split is available or applicable (AQE splits shuffle
+    partitions, not broadcast-joined ones, and only after a size
+    threshold trips). ``"auto"`` derives the hot-key set from a sampled
+    frequency profile instead of an exact count pass (see
+    AUTO_HOT_DOC_COUNT above). The hot-key set itself is outlier-small
+    by definition and is broadcast to split the shingle stream; results
+    are identical to the unsalted join (tests/test_dedup_adversarial.py
     asserts equality on the adversarial corpus).
     """
     a = sh.select(F.col("id").alias("id_a"), F.col(key))
@@ -144,12 +159,21 @@ def _join_cooccurrence_pairs(
     else:
         from .joins import salted_join
 
-        hot_keys = (
-            sh.groupBy(key)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > hot_threshold)
-            .select(key)
-        )
+        if hot_threshold == "auto":
+            hot_keys = (
+                sh.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(AUTO_PROFILE_MOD)) == 0)
+                .groupBy(key)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") >= max(2, AUTO_HOT_DOC_COUNT // AUTO_PROFILE_MOD))
+                .select(key)
+            )
+        else:
+            hot_keys = (
+                sh.groupBy(key)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > hot_threshold)
+                .select(key)
+            )
         matched = (
             a.join(F.broadcast(hot_keys), key, "left_anti")
             .join(b.join(F.broadcast(hot_keys), key, "left_anti"), [key])
@@ -228,7 +252,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    hot_shingle_threshold: int | None = None,
+    hot_shingle_threshold: int | str | None = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs with word-n-gram Jaccard >= threshold.
     Returns (id_a, id_b, jacc) with id_a < id_b.
@@ -236,9 +260,13 @@ def ngram_jaccard_pairs(
     One shuffle builds the hashed shingle table; sizes and the pair join
     both hang off it (ReusedExchange — verify with .explain).
 
-    ``hot_shingle_threshold``: explicit salting for shingles shared by
-    more than this many docs (see :func:`_join_cooccurrence_pairs`) —
-    results unchanged, hot-key pair expansion bounded by construction."""
+    ``hot_shingle_threshold``: salting for shingles shared by more than
+    this many docs (see :func:`_join_cooccurrence_pairs`) — results
+    unchanged, hot-key pair expansion bounded by construction. Defaults
+    to ``"auto"``: the hot-key set is measured from a sampled frequency
+    profile, so a skewed corpus self-salts with no operator argument
+    (VERDICT r04 item 7); pass an int for an explicit cutoff or ``None``
+    to disable."""
     sh = hashed_shingle_table(df, id_col, text_col, n, partition_by_id=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = _join_cooccurrence_pairs(sh, key="h", hot_threshold=hot_shingle_threshold)

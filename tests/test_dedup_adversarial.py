@@ -221,3 +221,37 @@ def test_chain_components_converge_min_label_and_star(spark, corpus):
     # min-label at max_iters=12 would NOT converge on diameter-500 —
     # that asymmetry is exactly why the star variant exists; assert the
     # star version got there within its O(log n) budget (12 >= ~2*log2(500))
+
+
+def test_auto_salting_no_argument(spark, corpus):
+    """hot_shingle_threshold defaults to "auto" (VERDICT r04 item 7): on
+    the 30%-hot corpus the sampled frequency profile must actually detect
+    the hot shingles, and the self-salted default must return EXACTLY the
+    explicitly-unsalted result."""
+    survivors = _survivors(corpus).localCheckpoint(eager=True)
+
+    # the auto profile (deterministic ~5% doc sample) sees the hot keys
+    sh = dedup.hashed_shingle_table(survivors, "doc_id", "text", 3)
+    cutoff = max(2, dedup.AUTO_HOT_DOC_COUNT // dedup.AUTO_PROFILE_MOD)
+    hot = (
+        sh.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(dedup.AUTO_PROFILE_MOD)) == 0)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= cutoff)
+    )
+    assert hot.count() >= 1
+
+    unsalted = {
+        (r.id_a, r.id_b, round(r.jacc, 9))
+        for r in dedup.ngram_jaccard_pairs(
+            survivors, "doc_id", "text", n=3, threshold=0.5,
+            hot_shingle_threshold=None,
+        ).collect()
+    }
+    auto = {
+        (r.id_a, r.id_b, round(r.jacc, 9))
+        for r in dedup.ngram_jaccard_pairs(
+            survivors, "doc_id", "text", n=3, threshold=0.5,
+        ).collect()
+    }
+    assert auto == unsalted
