@@ -121,6 +121,10 @@ def hashed_shingle_table(
 # spread, a false positive only adds a harmless salt round-trip.
 AUTO_HOT_DOC_COUNT = 256
 AUTO_PROFILE_MOD = 20
+# Driver-side cap on the collected hot-key set (the hottest keys win the
+# salt; anything past the cap still has AQE's runtime skew split as the
+# backstop). 4096 int64 keys is a ~32 KB literal — control-plane-sized.
+MAX_AUTO_HOT_KEYS = 4096
 
 
 def _join_cooccurrence_pairs(
@@ -154,19 +158,36 @@ def _join_cooccurrence_pairs(
     """
     a = sh.select(F.col("id").alias("id_a"), F.col(key))
     b = sh.select(F.col("id").alias("id_b"), F.col(key))
+    if hot_threshold == "auto":
+        # Control-plane probe: the sampled profile's hot-key set comes to
+        # the driver (same motion as the k-means init; outlier-small by
+        # definition and capped below) so the COMMON case — no hot keys —
+        # keeps the exact 2-branch plan of the unsalted join. Leaving the
+        # salt branches in the plan unconditionally cost ~40% on the 10x
+        # q31 even with zero hot keys (four probe joins against an empty
+        # broadcast + a dead salted union).
+        cutoff = max(2, AUTO_HOT_DOC_COUNT // AUTO_PROFILE_MOD)
+        hot_rows = (
+            sh.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(AUTO_PROFILE_MOD)) == 0)
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") >= cutoff)
+            .orderBy(F.col("__n").desc(), key)
+            .limit(MAX_AUTO_HOT_KEYS)
+            .collect()
+        )
+        hot_threshold = None if not hot_rows else "auto-found"
+        hot_key_values = [r[key] for r in hot_rows]
     if hot_threshold is None:
         matched = a.join(b, [key]).select("id_a", "id_b")
     else:
         from .joins import salted_join
 
-        if hot_threshold == "auto":
-            hot_keys = (
-                sh.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(AUTO_PROFILE_MOD)) == 0)
-                .groupBy(key)
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .filter(F.col("__n") >= max(2, AUTO_HOT_DOC_COUNT // AUTO_PROFILE_MOD))
-                .select(key)
-            )
+        if hot_threshold == "auto-found":
+            # literal in-list -> scan-local split, no key-set join at all
+            is_hot = F.col(key).isin(hot_key_values)
+            cold_a, cold_b = a.filter(~is_hot), b.filter(~is_hot)
+            hot_a, hot_b = a.filter(is_hot), b.filter(is_hot)
         else:
             hot_keys = (
                 sh.groupBy(key)
@@ -174,17 +195,15 @@ def _join_cooccurrence_pairs(
                 .filter(F.col("__n") > hot_threshold)
                 .select(key)
             )
+            cold_a = a.join(F.broadcast(hot_keys), key, "left_anti")
+            cold_b = b.join(F.broadcast(hot_keys), key, "left_anti")
+            hot_a = a.join(F.broadcast(hot_keys), key, "left_semi")
+            hot_b = b.join(F.broadcast(hot_keys), key, "left_semi")
         matched = (
-            a.join(F.broadcast(hot_keys), key, "left_anti")
-            .join(b.join(F.broadcast(hot_keys), key, "left_anti"), [key])
+            cold_a.join(cold_b, [key])
             .select("id_a", "id_b")
             .unionByName(
-                salted_join(
-                    a.join(F.broadcast(hot_keys), key, "left_semi"),
-                    b.join(F.broadcast(hot_keys), key, "left_semi"),
-                    key,
-                    salt_buckets,
-                ).select("id_a", "id_b")
+                salted_join(hot_a, hot_b, key, salt_buckets).select("id_a", "id_b")
             )
         )
     return (
