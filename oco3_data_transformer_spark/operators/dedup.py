@@ -1014,6 +1014,7 @@ def containment_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.6,
+    hot_shingle_threshold: int | str | None = "auto",
 ) -> DataFrame:
     """Asymmetric shingle containment: C(sub -> super) = |sub ∩ super| /
     |sub|. Returns ``(id_sub, id_super, containment)`` for every ordered
@@ -1029,7 +1030,7 @@ def containment_pairs(
     """
     sh = hashed_shingle_table(df, id_col, text_col, n, partition_by_id=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = _join_cooccurrence_pairs(sh, key="h")
+    inter = _join_cooccurrence_pairs(sh, key="h", hot_threshold=hot_shingle_threshold)
     scored = inter.join(
         sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
     ).join(
