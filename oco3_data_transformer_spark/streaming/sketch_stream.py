@@ -277,3 +277,55 @@ def read_frequencies(
 
     grid = spark.read.parquet(sketch_path).select("d", "bucket", "cnt")
     return countmin_estimate(grid, keys, key_col, depth=depth, width=width)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bloom membership: bounded-bit-set maintenance. Set-union merge
+# is idempotent (a replayed batch re-sets the same bits), so like the
+# k-mins sink — and unlike the additive grid/histogram sinks — it needs no
+# batch fence; the staged swap + recovery give the same crash contract.
+# ---------------------------------------------------------------------------
+
+def bloom_sink(
+    sketch_path: str,
+    key_col: str,
+    n_bits: int = 4096,
+    n_hashes: int = 3,
+):
+    """``foreachBatch`` handler maintaining a Bloom bucket table (column
+    ``bit``, <= n_bits rows) at ``sketch_path``: the streaming form of
+    ``operators.sketch.bloom_build``. State is bounded by n_bits forever;
+    ``read_membership`` prunes any probe table against the current bits
+    with a scan-local projection (no shuffle of the probe)."""
+    from ..operators.sketch import bloom_build
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark: SparkSession = batch_df.sparkSession
+        _recover_live(spark, sketch_path)
+        part = bloom_build(batch_df, F.col(key_col), n_bits, n_hashes)
+        _, jpath, fs = _fs_for(spark, sketch_path)
+        if fs.exists(jpath):
+            state = spark.read.parquet(sketch_path).select("bit")
+            merged = state.unionByName(part).distinct()
+        else:
+            merged = part
+        _staged_swap(spark, merged, sketch_path, batch_id)
+
+    return handle
+
+
+def read_membership(
+    spark: SparkSession,
+    sketch_path: str,
+    probe: DataFrame,
+    key_col: str,
+    n_bits: int = 4096,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-test ``probe`` rows against the maintained bit set (adds
+    ``bloom_pass``; false positives possible, false negatives never)."""
+    from ..operators.sketch import bloom_membership
+
+    return bloom_membership(
+        probe, spark.read.parquet(sketch_path), F.col(key_col), n_bits, n_hashes
+    )

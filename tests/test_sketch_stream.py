@@ -304,3 +304,41 @@ def test_additive_sink_rejects_fresh_checkpoint_restart(spark, tmp_path):
     sink(b0, 1)
     with pytest.raises(RuntimeError, match="fresh checkpoint"):
         sink(b0, 0)
+
+
+def test_streamed_bloom_equals_batch_replay_and_crash(spark, tmp_path, monkeypatch):
+    """Bloom sink: streamed bit set == batch bit set over the union
+    (set-union merge), replay absorbed with no fence, and the
+    crash-between-renames window recovers like the other sinks."""
+    import pytest
+
+    path = str(tmp_path / "bloom")
+    sink = sketch_stream.bloom_sink(path, "k", n_bits=512, n_hashes=3)
+    b0 = spark.createDataFrame([(f"a-{i}",) for i in range(200)], "k string")
+    b1 = spark.createDataFrame([(f"b-{i}",) for i in range(150)], "k string")
+    sink(b0, 0)
+
+    monkeypatch.setattr(sketch_stream, "_staged_swap", _crashy_swap)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        sink(b1, 1)
+    monkeypatch.undo()
+    sink(b1, 1)  # restart replay
+    sink(b1, 1)  # plus an at-least-once replay: idempotent
+
+    streamed = {r.bit for r in spark.read.parquet(path).collect()}
+    union = b0.unionByName(b1)
+    batch = {
+        r.bit
+        for r in batch_sketch.bloom_build(union, F.col("k"), 512, 3).collect()
+    }
+    assert streamed == batch
+
+    # membership off the maintained table: every present key passes (no
+    # false negatives), and a disjoint probe set is mostly pruned
+    present = sketch_stream.read_membership(
+        spark, path, union.distinct(), "k", 512, 3
+    )
+    assert present.filter(~F.col("bloom_pass")).count() == 0
+    absent = spark.createDataFrame([(f"z-{i}",) for i in range(300)], "k string")
+    passed = sketch_stream.read_membership(spark, path, absent, "k", 512, 3)
+    assert passed.filter(F.col("bloom_pass")).count() < 300  # some pruning
