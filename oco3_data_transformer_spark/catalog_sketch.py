@@ -770,3 +770,77 @@ def q116(spark: SparkSession, sf: str) -> DataFrame:
         "n_hits",
         F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q118 — k-means-trained PQ codebooks (the production training path)
+# ---------------------------------------------------------------------------
+
+_Q118_SLICE = (
+    f"list_slice(e.embedding, b.subspace * {PQ_DSUB} + 1,"
+    f" b.subspace * {PQ_DSUB} + {PQ_DSUB})"
+)
+
+
+@register(
+    "q118_pq_kmeans_books",
+    f"""
+    WITH {_pq_books_sql().strip()},
+    t0 AS (
+        SELECT e.vec_id, b.subspace, b.code,
+               {vector_fns.l2sq_sql(_Q118_SLICE, "b.codeword")} AS dist
+        FROM embeddings e CROSS JOIN books b),
+    asg AS (
+        SELECT vec_id, subspace, min({{'dist': dist, 'code': code}}).code AS code
+        FROM t0 GROUP BY 1, 2),
+    sl AS (
+        SELECT a.subspace, a.code,
+               list_slice(e.embedding, a.subspace * {PQ_DSUB} + 1,
+                          a.subspace * {PQ_DSUB} + {PQ_DSUB}) AS s
+        FROM asg a JOIN embeddings e USING (vec_id)),
+    flat AS (
+        SELECT subspace, code, generate_subscripts(s, 1) AS pos,
+               CAST(unnest(s) AS DOUBLE) AS x
+        FROM sl),
+    upd AS (
+        SELECT subspace, code, list(m ORDER BY pos) AS codeword
+        FROM (SELECT subspace, code, pos, avg(x) AS m
+              FROM flat GROUP BY 1, 2, 3)
+        GROUP BY 1, 2),
+    b1 AS (
+        -- an empty cell keeps its previous codeword (mirrors the
+        -- nonempty-only update in pq_codebooks_kmeans)
+        SELECT b.subspace, b.code, coalesce(u.codeword, b.codeword) AS codeword
+        FROM books b LEFT JOIN upd u ON b.subspace = u.subspace AND b.code = u.code),
+    t1 AS (
+        SELECT e.vec_id, b.subspace, b.code,
+               {vector_fns.l2sq_sql(_Q118_SLICE, "b.codeword")} AS dist
+        FROM embeddings e CROSS JOIN b1 b),
+    enc1 AS (
+        SELECT vec_id, subspace, min({{'dist': dist, 'code': code}}).code AS code
+        FROM t1 GROUP BY 1, 2)
+    SELECT subspace, code, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM enc1 GROUP BY 1, 2
+    """,
+    doc="PQ codebook TRAINING (one per-subspace Lloyd round over the "
+    "hash-sampled init — the production path pq_codebooks documents) and "
+    "the resulting code histogram: vectors per (subspace, codeword) after "
+    "re-encoding against the trained books. The corpus never shuffles "
+    "(all m subspaces train in one mapInPandas pass; driver reduces "
+    "m x n_codes partial rows — kmeans_centroids' shape); ties break to "
+    "the smallest code in both engines, and the oracle replays the "
+    "identical round relationally (argmin assignment -> elementwise "
+    "means via generate_subscripts/unnest -> re-encode), the q50 "
+    "technique. Like q50 the compared values are the integer assignment "
+    "counts, which are invariant to last-ulp float summation-order "
+    "differences between the engines.",
+)
+def q118(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    books = sim_ops.pq_codebooks_kmeans(
+        emb, m=PQ_M, dsub=PQ_DSUB, n_codes=PQ_CODES, iters=1
+    )
+    codes = sim_ops.pq_encode(emb, books, dsub=PQ_DSUB)
+    return codes.groupBy("subspace", "code").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )

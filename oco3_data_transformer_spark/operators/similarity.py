@@ -1000,3 +1000,95 @@ def ivfpq_knn(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "adist")
     )
+
+
+def pq_codebooks_kmeans(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dsub: int = 8,
+    n_codes: int = 16,
+    iters: int = 1,
+    salt: str = "pq-seed",
+) -> DataFrame:
+    """Per-subspace Lloyd (L2 k-means) refinement of the PQ codebooks —
+    the production training path :func:`pq_codebooks` documents: init from
+    the hash-ranked sample books, then each iteration assigns every
+    vector's subspace slice to its nearest codeword and recomputes each
+    codeword as its cell's mean. ``iters=0`` returns the sampled books
+    unchanged.
+
+    Scale shape mirrors :func:`kmeans_centroids`: the corpus NEVER
+    shuffles. All ``m`` subspaces train in one ``mapInPandas`` pass per
+    iteration (broadcast codeword banks; per-batch numpy argmin + scatter
+    sums), emitting m x n_codes partial rows per partition; the driver
+    reduces those into the new books (control-plane, m*n_codes rows).
+    Empty cells keep their previous codeword; ties break to the smallest
+    code (np.argmin first index — matching the relational
+    min(struct(dist, code)) form, so an unrolled SQL oracle replays the
+    identical rounds).
+    """
+    import numpy as np
+    import pandas as pd
+
+    init = pq_codebooks(corpus, id_col, vec_col, m, dsub, n_codes, salt)
+    bp = init.orderBy("subspace", "code").toPandas()
+    books = {
+        int(s): np.stack(g.sort_values("code")["codeword"].to_numpy())
+        for s, g in bp.groupby("subspace")
+    }
+    sc = corpus.sparkSession.sparkContext
+    vecs = corpus.select(F.col(vec_col).alias("vec"))
+
+    for _ in range(iters):
+        b = sc.broadcast(books)
+
+        def partials(batches, _d=dsub, _m=m, _k=n_codes):
+            _books = b.value
+            sums = {s: np.zeros((_k, _d)) for s in range(_m)}
+            counts = {s: np.zeros(_k, dtype=np.int64) for s in range(_m)}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+                for s in range(_m):
+                    Xs = X[:, s * _d : (s + 1) * _d]
+                    C = _books[s]
+                    d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                    assign = np.argmin(d2, axis=1)  # first-index ties
+                    np.add.at(sums[s], assign, Xs)
+                    np.add.at(counts[s], assign, 1)
+            yield pd.DataFrame(
+                {
+                    "subspace": [s for s in range(_m) for _ in range(_k)],
+                    "code": [c for _ in range(_m) for c in range(_k)],
+                    "s": [sums[s][c] for s in range(_m) for c in range(_k)],
+                    "n": [counts[s][c] for s in range(_m) for c in range(_k)],
+                }
+            )
+
+        agg = vecs.mapInPandas(
+            partials, schema="subspace int, code int, s array<double>, n long"
+        ).toPandas()
+        new_books = {s: books[s].copy() for s in range(m)}
+        sums = {s: np.zeros((n_codes, dsub)) for s in range(m)}
+        counts = {s: np.zeros(n_codes, dtype=np.int64) for s in range(m)}
+        for _, row in agg.iterrows():
+            sums[int(row["subspace"])][int(row["code"])] += np.asarray(row["s"])
+            counts[int(row["subspace"])][int(row["code"])] += int(row["n"])
+        for s in range(m):
+            nonempty = counts[s] > 0
+            new_books[s][nonempty] = (
+                sums[s][nonempty] / counts[s][nonempty, None]
+            )
+        books = new_books
+
+    rows = [
+        (s, c, [float(x) for x in books[s][c]])
+        for s in range(m)
+        for c in range(n_codes)
+    ]
+    return corpus.sparkSession.createDataFrame(
+        rows, "subspace int, code int, codeword array<double>"
+    )

@@ -268,3 +268,32 @@ def test_countmin_absent_keys_estimate_zero(spark):
     rows = est.collect()
     assert len(rows) == 50
     assert all(r.est_cnt == 0 for r in rows)
+
+
+def test_pq_kmeans_books_lloyd_decreases_quantization_error(spark):
+    """pq_codebooks_kmeans: iters=0 returns the sampled books unchanged,
+    and each Lloyd round is monotone — total squared quantization error
+    never increases (the classic k-means guarantee, checked end-to-end
+    through the Spark training pass + encode)."""
+    import numpy as np
+
+    from oco3_data_transformer_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    b0 = sim.pq_codebooks(emb, m=4, dsub=4, n_codes=8)
+    b0_k = sim.pq_codebooks_kmeans(emb, m=4, dsub=4, n_codes=8, iters=0)
+    assert sorted(map(tuple, b0.collect())) == sorted(map(tuple, b0_k.collect()))
+
+    def total_qerr(books):
+        enc = sim.pq_encode(emb, books, dsub=4)
+        return enc.agg(F.sum("dist")).collect()[0][0]
+
+    e0 = total_qerr(b0)
+    e1 = total_qerr(sim.pq_codebooks_kmeans(emb, m=4, dsub=4, n_codes=8, iters=1))
+    e3 = total_qerr(sim.pq_codebooks_kmeans(emb, m=4, dsub=4, n_codes=8, iters=3))
+    assert e1 <= e0 + 1e-9
+    assert e3 <= e1 + 1e-9
+    assert e1 < e0  # and it actually moved on random data
