@@ -1205,3 +1205,123 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
         edges, "from_state", "to_state", "n_transitions", iters=PR_ITERS
     )
     return pr.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# q119 — triangle counts / local clustering on the rare-shingle
+# co-occurrence graph (operators/graph.triangle_counts)
+# ---------------------------------------------------------------------------
+
+RARE_DF_MIN = 2
+RARE_DF_MAX = 8
+_Q119_EDGES_SQL = f"""
+    WITH {_SHINGLES_SQL},
+    sdf AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),
+    rare AS (SELECT shingle FROM sdf
+             WHERE df BETWEEN {RARE_DF_MIN} AND {RARE_DF_MAX}),
+    edges AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM shingles a
+        JOIN rare USING (shingle)
+        JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id)"""
+
+from .operators.graph import triangle_counts_sql  # noqa: E402
+
+
+@register(
+    "q119_neardup_graph_triangles",
+    f"""{_Q119_EDGES_SQL},
+    {triangle_counts_sql("edges", "id_a", "id_b")}
+    SELECT node AS doc_id, CAST(deg AS BIGINT) AS deg, n_tri,
+           round(lcc, 6) AS lcc
+    FROM tri_nodes
+    """,
+    doc="Triangle counts + local clustering coefficient per document over "
+    "the rare-shingle co-occurrence graph (docs sharing a shingle with "
+    f"corpus frequency {RARE_DF_MIN}-{RARE_DF_MAX} — the LSH-candidate "
+    "graph before Jaccard verification). High-LCC nodes sit in cliquish "
+    "near-dup clusters (boilerplate families); low-LCC high-degree nodes "
+    "are hub false-positives — the standard graph diagnostic for tuning "
+    "dedup thresholds. Algorithm: degree-ordered compact-forward wedge "
+    "join (oriented low→high rank), which caps out-degree at O(sqrt|E|) "
+    "so hub nodes cannot explode the wedge exchange; every triangle is "
+    "counted exactly once at its minimum-rank apex. The SQL oracle runs "
+    "the textually-parallel orientation so both engines count identical "
+    "triangles.",
+)
+def q119(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    sh = dedup_ops.hashed_shingle_table(docs, "doc_id", "text", NGRAM_N)
+    sdf = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    rare = sdf.filter(
+        (F.col("df") >= RARE_DF_MIN) & (F.col("df") <= RARE_DF_MAX)
+    ).select("h")
+    shr = sh.join(rare, "h")
+    a = shr.select(F.col("id").alias("id_a"), "h")
+    b = shr.select(F.col("id").alias("id_b"), "h")
+    edges = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    tri = graph_ops.triangle_counts(edges, "id_a", "id_b")
+    return tri.select(
+        F.col("node").alias("doc_id"),
+        F.col("deg").cast("long").alias("deg"),
+        "n_tri",
+        F.round("lcc", 6).alias("lcc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q120 — block-scoped mutual-kNN graph (operators/similarity.mutual_knn)
+# ---------------------------------------------------------------------------
+
+from .functions import vector  # noqa: E402
+from .operators import similarity as sim_ops  # noqa: E402
+
+MUTUAL_K = 10
+
+
+@register(
+    "q120_mutual_knn_graph",
+    f"""
+    WITH sub AS (
+        SELECT vec_id, embedding, label FROM embeddings WHERE label IN (0, 1)),
+    scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               {vector.cosine_sql('a.embedding', 'b.embedding')} AS cos
+        FROM sub a JOIN sub b
+          ON a.label = b.label AND a.vec_id <> b.vec_id),
+    ranked AS (
+        SELECT qid, nid, cos, row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+        FROM scored),
+    knn AS (SELECT * FROM ranked WHERE rnk <= {MUTUAL_K})
+    SELECT x.qid AS id_a, x.nid AS id_b,
+           CAST(x.rnk AS INT) AS rank_ab, CAST(y.rnk AS INT) AS rank_ba,
+           round(x.cos, 6) AS cos
+    FROM knn x JOIN knn y
+      ON x.qid = y.nid AND x.nid = y.qid AND x.qid < x.nid
+    """,
+    doc="Mutual-kNN graph over embedding blocks (labels 0-1 stand in for "
+    "IVF cells): an undirected edge exists iff each endpoint is in the "
+    "other's top-k cosine neighbors — the symmetric neighborhood graph "
+    "graph-based semantic-dedup and agglomerative-clustering pipelines "
+    "build before community detection (mutuality filters hub noise). "
+    "Scale: candidates generated only within the block (Σ|block|², never "
+    "|corpus|²), per-query top-k is a bounded window, mutualization is "
+    "one self-equi-join of the k-bounded kNN table on the reversed pair "
+    "key.",
+)
+def q120(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings").filter(F.col("label").isin(0, 1))
+    out = sim_ops.mutual_knn(emb, "vec_id", "embedding", "label", k=MUTUAL_K)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("rank_ab").cast("int").alias("rank_ab"),
+        F.col("rank_ba").cast("int").alias("rank_ba"),
+        F.round("cos", 6).alias("cos"),
+    )

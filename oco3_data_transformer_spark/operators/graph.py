@@ -1,4 +1,4 @@
-"""Graph ranking operators — PageRank over an aggregated edge table.
+"""Graph operators — PageRank and triangle counting over edge tables.
 
 The training-data-pipeline use case is quality-signal propagation: rank
 nodes of a derived graph (page/link, document/citation, or — as in the
@@ -174,3 +174,137 @@ def pagerank_sql(
             f" FROM nodes LEFT JOIN c{i} USING (node), nn, s{i})"
         )
     return ",\n".join(parts)
+
+
+def triangle_counts(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected edge table; returns ``(node, deg, n_tri, lcc)``.
+
+    Algorithm: compact-forward / degree-ordered wedge join (Latapy 2008;
+    the shape Spark GraphFrames and every distributed triangle counter
+    use). Each undirected edge is ORIENTED from its lower-``(deg, id)``
+    endpoint to the higher one; wedges are pairs of out-edges sharing an
+    apex; a wedge (y, z) closes iff the oriented edge y→z exists. Every
+    triangle is found exactly once (at its minimum-rank apex).
+
+    Why this survives 100 TB: the naive 3-way self-join explodes on hub
+    nodes (a degree-d hub contributes d² wedges). Degree orientation
+    caps every node's OUT-degree at O(sqrt(|E|)) — hubs become wedge
+    *destinations*, not apexes — so the wedge exchange is
+    O(Σ out_deg²) = O(|E|^1.5) worst-case instead of O(Σ deg²), and the
+    skew lands on the hash-partitioned JOIN KEY (apex id), which AQE
+    splits. All three joins shuffle on node ids; the edge table is never
+    replicated. No Python UDFs — the whole plan is codegen'd exchanges.
+    """
+    e = (
+        edges.select(
+            F.least(a_col, b_col).alias("u"), F.greatest(a_col, b_col).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        # referenced by degrees (twice), orientation, and the closing
+        # join — materialize the normalized table once
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("__du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("__dv"))
+    # u < v by construction, so (deg, id) order == (du <= dv ? u : v)
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(F.col("__du") <= F.col("__dv"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("src"),
+            F.when(F.col("__du") <= F.col("__dv"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("dst"),
+            F.when(F.col("__du") <= F.col("__dv"), F.col("__dv"))
+            .otherwise(F.col("__du"))
+            .alias("__ddeg"),
+        )
+        .localCheckpoint(eager=False)  # referenced 3× (two wedge legs + close)
+    )
+    e1 = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("y"), F.col("__ddeg").alias("__dy")
+    )
+    e2 = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("z"), F.col("__ddeg").alias("__dz")
+    )
+    wedges = e1.join(e2, "x").filter(
+        (F.col("__dy") < F.col("__dz"))
+        | ((F.col("__dy") == F.col("__dz")) & (F.col("y") < F.col("z")))
+    )
+    closing = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tri = wedges.join(closing, ["y", "z"]).select("x", "y", "z")
+    per_node = (
+        tri.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+            F.when(
+                F.col("deg") >= 2,
+                F.lit(2.0)
+                * F.coalesce(F.col("n_tri"), F.lit(0))
+                / (F.col("deg").cast("double") * (F.col("deg") - F.lit(1))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
+
+
+def triangle_counts_sql(edges_cte: str, a: str, b: str) -> str:
+    """ANSI-SQL (DuckDB) twin of :func:`triangle_counts`: same
+    normalization, same degree orientation, same wedge-close join, kept
+    textually parallel so both engines count the identical triangles.
+    Returns a CTE chain body; the caller selects from ``tri_nodes``
+    (columns ``node, deg, n_tri, lcc``)."""
+    return f"""
+    te AS MATERIALIZED (
+        SELECT DISTINCT least({a}, {b}) AS u, greatest({a}, {b}) AS v
+        FROM {edges_cte} WHERE {a} <> {b}),
+    tdeg AS MATERIALIZED (
+        SELECT node, count(*) AS deg FROM (
+            SELECT u AS node FROM te UNION ALL SELECT v FROM te)
+        GROUP BY node),
+    oriented AS MATERIALIZED (
+        SELECT CASE WHEN du.deg <= dv.deg THEN te.u ELSE te.v END AS src,
+               CASE WHEN du.deg <= dv.deg THEN te.v ELSE te.u END AS dst,
+               CASE WHEN du.deg <= dv.deg THEN dv.deg ELSE du.deg END AS ddeg
+        FROM te JOIN tdeg du ON du.node = te.u JOIN tdeg dv ON dv.node = te.v),
+    tri AS (
+        SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        FROM oriented e1
+        JOIN oriented e2 ON e1.src = e2.src
+         AND (e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+        JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+    per_node AS (
+        SELECT node, count(*) AS n_tri FROM (
+            SELECT x AS node FROM tri UNION ALL
+            SELECT y FROM tri UNION ALL
+            SELECT z FROM tri)
+        GROUP BY node),
+    tri_nodes AS (
+        SELECT tdeg.node, tdeg.deg,
+               CAST(coalesce(per_node.n_tri, 0) AS BIGINT) AS n_tri,
+               CASE WHEN tdeg.deg >= 2
+                    THEN 2.0 * coalesce(per_node.n_tri, 0)
+                         / (CAST(tdeg.deg AS DOUBLE) * (tdeg.deg - 1))
+                    ELSE 0.0 END AS lcc
+        FROM tdeg LEFT JOIN per_node USING (node))"""

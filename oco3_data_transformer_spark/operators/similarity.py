@@ -1092,3 +1092,69 @@ def pq_codebooks_kmeans(
     return corpus.sparkSession.createDataFrame(
         rows, "subspace int, code int, codeword array<double>"
     )
+
+
+def mutual_knn(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Block-scoped mutual-kNN graph: an undirected edge (a, b) exists iff
+    b is in a's top-k cosine neighbors AND a is in b's — the symmetric
+    neighborhood graph that graph-based semantic dedup / agglomerative
+    clustering pipelines build before community detection (mutuality is
+    the classic noise filter: hubs collect thousands of one-way inbound
+    neighbors but reciprocate only genuine ones).
+
+    Returns ``(id_a, id_b, rank_ab, rank_ba, cos)`` with ``id_a < id_b``.
+
+    Scale shape: candidates are generated ONLY within ``block_col`` (an
+    IVF cell / cluster id / LSH bucket — same bound as
+    :func:`cosine_neardup_pairs`), so the pair table is Σ|block|², never
+    |corpus|². The per-query top-k is a rank-1-style window partitioned
+    by the query id — state is one row_number counter, and the partition
+    is at most |block| rows. Mutualization is one self-equi-join of the
+    (already k-bounded) kNN table on the reversed key — |corpus|·k rows
+    a side, hash-exchanged on the pair key. All JVM expressions
+    (zip_with/aggregate dot products); the Arrow-matmul kernel
+    (:func:`brute_force_knn`) remains the unblocked alternative.
+    """
+    sub = vectors.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.col(block_col).alias("__blk"),
+    )
+    a, b = sub.alias("a"), sub.alias("b")
+    scored = a.join(
+        b,
+        (F.col("a.__blk") == F.col("b.__blk"))
+        & (F.col("a.__id") != F.col("b.__id")),
+    ).select(
+        F.col("a.__id").alias("qid"),
+        F.col("b.__id").alias("nid"),
+        vector.cosine(F.col("a.__vec"), F.col("b.__vec")).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    knn = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "rnk", "cos")
+    )
+    x, y = knn.alias("x"), knn.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.qid") == F.col("y.nid"))
+            & (F.col("x.nid") == F.col("y.qid"))
+            & (F.col("x.qid") < F.col("x.nid")),
+        )
+        .select(
+            F.col("x.qid").alias("id_a"),
+            F.col("x.nid").alias("id_b"),
+            F.col("x.rnk").alias("rank_ab"),
+            F.col("y.rnk").alias("rank_ba"),
+            F.col("x.cos").alias("cos"),
+        )
+    )

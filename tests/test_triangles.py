@@ -1,0 +1,173 @@
+"""Tests for operators/graph.triangle_counts: hand-built goldens plus a
+differential check against a brute-force itertools reference on random
+graphs (same style as the pagerank/PQ/BPE differentials), and the
+mutual-kNN graph (operators/similarity.mutual_knn) against a numpy
+reference."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oco3_data_transformer_spark.operators.graph import triangle_counts
+from oco3_data_transformer_spark.operators.similarity import mutual_knn
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, "a string, b string")
+    return {
+        r["node"]: (r["deg"], r["n_tri"], r["lcc"])
+        for r in triangle_counts(df, "a", "b").collect()
+    }
+
+
+def test_triangle_k4_complete_graph(spark):
+    edges = [(a, b) for a, b in itertools.combinations("wxyz", 2)]
+    got = _run(spark, edges)
+    # K4: every node has degree 3 and sits in C(3,2)=3 triangles, lcc 1.0
+    assert got == {n: (3, 3, 1.0) for n in "wxyz"}
+
+
+def test_triangle_wedge_has_none(spark):
+    got = _run(spark, [("a", "b"), ("b", "c")])
+    assert got == {"a": (1, 0, 0.0), "b": (2, 0, 0.0), "c": (1, 0, 0.0)}
+
+
+def test_triangle_duplicate_reversed_and_self_edges_normalized(spark):
+    # duplicates, reversed duplicates and self-loops must not change counts
+    edges = [
+        ("a", "b"), ("b", "a"), ("a", "b"),
+        ("b", "c"), ("a", "c"), ("c", "c"),
+    ]
+    got = _run(spark, edges)
+    assert got == {"a": (2, 1, 1.0), "b": (2, 1, 1.0), "c": (2, 1, 1.0)}
+
+
+def _brute_force(edges):
+    """Per-node triangle counts by enumerating all node triples."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    deg = {n: sum(1 for e in und if n in e) for n in nodes}
+    tri = {n: 0 for n in nodes}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (
+            tuple(sorted((x, y))) in und
+            and tuple(sorted((y, z))) in und
+            and tuple(sorted((x, z))) in und
+        ):
+            for n in (x, y, z):
+                tri[n] += 1
+    return {
+        n: (
+            deg[n],
+            tri[n],
+            (2.0 * tri[n] / (deg[n] * (deg[n] - 1))) if deg[n] >= 2 else 0.0,
+        )
+        for n in nodes
+    }
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_triangle_counts_match_brute_force(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randint(6, 14)
+    names = [f"n{i}" for i in range(n)]
+    edges = [
+        (a, b)
+        for a, b in itertools.combinations(names, 2)
+        if rng.random() < 0.45
+    ]
+    if not edges:
+        edges = [(names[0], names[1])]
+    want = _brute_force(edges)
+    got = _run(spark, edges)
+    assert set(got) == set(want)
+    for node in want:
+        d_w, t_w, l_w = want[node]
+        d_g, t_g, l_g = got[node]
+        assert (d_g, t_g) == (d_w, t_w), node
+        assert l_g == pytest.approx(l_w)
+
+
+def test_triangle_hub_star_zero_triangles(spark):
+    # a pure hub (star graph) has many wedges but no closing edges — the
+    # degree orientation makes the hub a wedge DESTINATION, so the wedge
+    # join emits nothing from the hub itself
+    edges = [("hub", f"leaf{i}") for i in range(12)]
+    got = _run(spark, edges)
+    assert got["hub"] == (12, 0, 0.0)
+    assert all(got[f"leaf{i}"] == (1, 0, 0.0) for i in range(12))
+
+
+# ---------------------------------------------------------------------------
+# mutual_knn
+# ---------------------------------------------------------------------------
+
+
+def _mutual_reference(vecs, labels, k):
+    """numpy mutual-kNN: per-block exact cosine top-k, then mutual filter."""
+    n = len(vecs)
+    V = np.asarray(vecs, dtype=np.float64)
+    norm = np.linalg.norm(V, axis=1)
+    knn = {}
+    for i in range(n):
+        cands = [
+            (
+                float(V[i] @ V[j] / (norm[i] * norm[j])),
+                j,
+            )
+            for j in range(n)
+            if j != i and labels[j] == labels[i]
+        ]
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        knn[i] = {j: (r + 1, c) for r, (c, j) in enumerate(cands[:k])}
+    out = {}
+    for i in range(n):
+        for j, (r_ij, c) in knn[i].items():
+            if i < j and i in knn[j]:
+                out[(i, j)] = (r_ij, knn[j][i][0], c)
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_mutual_knn_matches_numpy_reference(spark, seed):
+    rng = np.random.default_rng(seed)
+    n, d, k = 40, 8, 5
+    vecs = rng.normal(size=(n, d)).round(3).tolist()
+    labels = [int(i % 3) for i in range(n)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], labels[i]) for i in range(n)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["rank_ab"], r["rank_ba"], r["cos"])
+        for r in mutual_knn(df, "vec_id", "embedding", "label", k=k).collect()
+    }
+    want = _mutual_reference(vecs, labels, k)
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == want[key][0]
+        assert got[key][1] == want[key][1]
+        assert got[key][2] == pytest.approx(want[key][2])
+
+
+def test_mutual_knn_edges_are_mutual_and_block_scoped(spark):
+    rng = np.random.default_rng(7)
+    n, k = 30, 4
+    df = spark.createDataFrame(
+        [
+            (i, [float(x) for x in rng.normal(size=6)], int(i % 2))
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    rows = mutual_knn(df, "vec_id", "embedding", "label", k=k).collect()
+    # ordered pair key, both ranks within k, and edges never cross blocks
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert 1 <= r["rank_ab"] <= k and 1 <= r["rank_ba"] <= k
+        assert r["id_a"] % 2 == r["id_b"] % 2
