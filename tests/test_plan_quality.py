@@ -545,3 +545,32 @@ def test_pagerank_mass_conservation_and_oracle_shape(spark):
     assert set(rows) == {"a", "b", "c", "d"}
     assert rows["c"] == max(rows.values())  # heaviest in-weight
     assert rows["d"] == min(rows.values())  # no in-edges: teleport share only
+
+
+def test_triangle_counts_no_cartesian_and_window_free(spark):
+    """q119: the triangle plan must be pure hash joins/aggregates on node
+    keys — no cartesian product (the naive all-triples shape) and no
+    global window; the wedge join and closing join are equi-joins."""
+    plan = plan_of(spark, "q119_neardup_graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan  # rank is degree ORDERING, not a window
+
+
+def test_mutual_knn_window_is_block_partitioned(spark):
+    """q120: the per-query top-k window must be partitioned (qid), never a
+    global single-partition window, and candidate generation must be an
+    equi-join on the block key, not a cartesian product."""
+    plan = plan_of(spark, "q120_mutual_knn_graph")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the rank window is partitioned by the query id (a global window
+    # would print an empty partition spec: "...], [], [...")
+    import re
+
+    spec = re.search(r"row_number\(\) windowspecdefinition\(\w*qid", plan)
+    assert spec, "rank window not partitioned by qid"
+    # Spark's rank-limit pushdown must fire: the k-filter runs BELOW the
+    # window (partial per sorted run + final), so no task ever ranks a
+    # full block — the property that keeps the top-k bounded at scale
+    assert plan.count("WindowGroupLimit") >= 2
