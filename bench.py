@@ -60,15 +60,21 @@ HEADLINE = [
     "q41_grid_kernel",
 ]
 
-# Round-4 sketch/ANN/LM operators, timed at both legs and recorded under
-# "round4_detail" in BENCH_DETAIL.json (VERDICT r04 item 4: their perf
-# story belongs in a driver artifact). Kept OUT of the headline total so
-# the headline stays comparable across rounds r01-r05.
+# Round-4 sketch/ANN/LM operators plus the round-5 graph family, timed at
+# both legs and recorded under "round4_detail" in BENCH_DETAIL.json
+# (VERDICT r04 item 4: their perf story belongs in a driver artifact).
+# Kept OUT of the headline total so the headline stays comparable across
+# rounds r01-r05.
 SKETCH_DETAIL = [
     "q106_kmins_distinct",
     "q108_bigram_perplexity",
     "q111_sketch_setops",
     "q115_ivfpq_knn",
+    # round-5 graph family
+    "q117_transition_pagerank",
+    "q119_neardup_graph_triangles",
+    "q120_mutual_knn_graph",
+    "q121_neardup_graph_communities",
 ]
 
 

@@ -1325,3 +1325,65 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
         F.col("rank_ba").cast("int").alias("rank_ba"),
         F.round("cos", 6).alias("cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q121 — label-propagation communities on the weighted rare-shingle graph
+# (operators/graph.label_propagation)
+# ---------------------------------------------------------------------------
+
+from .operators.graph import label_propagation_sql  # noqa: E402
+
+LPA_ITERS = 4
+_Q121_WEDGES_SQL = f"""
+    WITH {_SHINGLES_SQL},
+    sdf AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),
+    rare AS (SELECT shingle FROM sdf
+             WHERE df BETWEEN {RARE_DF_MIN} AND {RARE_DF_MAX}),
+    wedges AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        FROM shingles a
+        JOIN rare USING (shingle)
+        JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id)"""
+
+
+@register(
+    "q121_neardup_graph_communities",
+    f"""{_Q121_WEDGES_SQL},
+    {label_propagation_sql("wedges", "id_a", "id_b", "n_common",
+                           iters=LPA_ITERS)}
+    SELECT node AS doc_id, community FROM lp{LPA_ITERS}
+    """,
+    doc="Label-propagation communities (Raghavan 2007, synchronous, "
+    f"{LPA_ITERS} fixed rounds, min-label tie-break) over the weighted "
+    "rare-shingle co-occurrence graph (weight = number of shared rare "
+    "shingles). Communities are the boilerplate/near-dup FAMILIES that "
+    "connected components over-merge — one spurious shared shingle glues "
+    "two CC groups, but LPA keeps them apart unless the bridge carries "
+    "real weight. Per round: edges ⋈ labels → groupBy(node, label) "
+    "partial-agg → rank-1 window argmax (WindowGroupLimit-bounded), with "
+    "the |nodes|-row label vector lineage-cut every round (pagerank "
+    "cadence); integer weights make the argmax engine-portable. The "
+    "oracle unrolls the identical rounds as CTEs.",
+)
+def q121(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    sh = dedup_ops.hashed_shingle_table(docs, "doc_id", "text", NGRAM_N)
+    sdf = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    rare = sdf.filter(
+        (F.col("df") >= RARE_DF_MIN) & (F.col("df") <= RARE_DF_MAX)
+    ).select("h")
+    shr = sh.join(rare, "h")
+    a = shr.select(F.col("id").alias("id_a"), "h")
+    b = shr.select(F.col("id").alias("id_b"), "h")
+    wedges = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    lp = graph_ops.label_propagation(
+        wedges, "id_a", "id_b", "n_common", iters=LPA_ITERS
+    )
+    return lp.select(F.col("node").alias("doc_id"), "community")

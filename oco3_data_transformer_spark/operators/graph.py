@@ -308,3 +308,107 @@ def triangle_counts_sql(edges_cte: str, a: str, b: str) -> str:
                          / (CAST(tdeg.deg AS DOUBLE) * (tdeg.deg - 1))
                     ELSE 0.0 END AS lcc
         FROM tdeg LEFT JOIN per_node USING (node))"""
+
+
+def label_propagation(
+    edges: DataFrame,
+    a_col: str,
+    b_col: str,
+    weight_col: str | None = None,
+    iters: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected weighted edge table; returns ``(node, community)`` after a
+    FIXED number of rounds (the determinism contract shared by pagerank:
+    fixed iterations + a total tie-break order ⇒ bit-identical results on
+    any partitioning, and the oracle unrolls the same rounds as CTEs).
+
+    Update rule per round, evaluated for all nodes simultaneously:
+    adopt the label carrying the highest summed edge weight among the
+    node's neighbors; ties break toward the SMALLEST label. Initial
+    label = the node's own id. Communities ≈ densely-connected clusters
+    — on a near-dup candidate graph these are the boilerplate families
+    connected components over-merge (a single spurious edge glues two CC
+    groups; LPA keeps them apart unless the bridge carries real weight).
+
+    Scale shape: each round is join(edges ⋈ labels on dst) →
+    groupBy(node, label) partial-agg → per-node argmax. The argmax is a
+    rank-1 window partitioned by node — WindowGroupLimit pushdown keeps
+    it k=1-bounded per sorted run — and the label vector (|nodes| rows,
+    never the edge table) is localCheckpoint'ed every round, the same
+    linear-plan-growth discipline as :func:`pagerank`. Integer weights
+    sum exactly, so the argmax is engine-portable with no float-order
+    caveats.
+    """
+    w_expr = (
+        F.col(weight_col).cast("long") if weight_col is not None else F.lit(1)
+    )
+    half = edges.select(
+        F.col(a_col).alias("__a"), F.col(b_col).alias("__b"), w_expr.alias("__w")
+    ).filter(F.col("__a") != F.col("__b"))
+    # symmetrize: each undirected edge contributes to both endpoints' votes
+    e = half.unionByName(
+        half.select(
+            F.col("__b").alias("__a"), F.col("__a").alias("__b"), "__w"
+        )
+    ).localCheckpoint(eager=False)  # referenced every round
+    labels = (
+        e.select(F.col("__a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("community"))
+    )
+    from pyspark.sql import Window
+
+    for i in range(iters):
+        votes = (
+            e.join(labels, e["__b"] == labels["node"])
+            .groupBy(F.col("__a").alias("n"), F.col("community").alias("cand"))
+            .agg(F.sum("__w").alias("__wsum"))
+        )
+        rank_w = Window.partitionBy("n").orderBy(
+            F.col("__wsum").desc(), F.col("cand").asc()
+        )
+        labels = (
+            votes.withColumn("__r", F.row_number().over(rank_w))
+            .filter(F.col("__r") == 1)
+            .select(F.col("n").alias("node"), F.col("cand").alias("community"))
+        )
+        if i + 1 < iters:
+            # cut lineage on the |nodes|-row vector only (pagerank cadence)
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def label_propagation_sql(
+    edges_cte: str,
+    a: str,
+    b: str,
+    weight: str | None = None,
+    iters: int = 4,
+) -> str:
+    """ANSI-SQL (DuckDB) twin of :func:`label_propagation`: unrolls the
+    identical rounds as CTEs (MATERIALIZED — each label vector is
+    referenced by the next round's join). Caller selects from
+    ``lp{iters}`` (columns ``node, community``)."""
+    w = f"CAST({weight} AS BIGINT)" if weight is not None else "1"
+    parts = [
+        f"lph AS (SELECT {a} AS na, {b} AS nb, {w} AS w"
+        f" FROM {edges_cte} WHERE {a} <> {b})",
+        "lpe AS MATERIALIZED (SELECT na, nb, w FROM lph"
+        " UNION ALL SELECT nb, na, w FROM lph)",
+        "lp0 AS (SELECT DISTINCT na AS node, na AS community FROM lpe)",
+    ]
+    for i in range(iters):
+        prev, cur = f"lp{i}", f"lp{i + 1}"
+        parts.append(
+            f"v{i} AS (SELECT lpe.na AS n, {prev}.community AS cand,"
+            f" sum(lpe.w) AS wsum"
+            f" FROM lpe JOIN {prev} ON lpe.nb = {prev}.node GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"{cur} AS MATERIALIZED (SELECT n AS node, cand AS community FROM ("
+            f"SELECT n, cand, row_number() OVER ("
+            f"PARTITION BY n ORDER BY wsum DESC, cand) AS r FROM v{i})"
+            f" WHERE r = 1)"
+        )
+    return ",\n".join(parts)
