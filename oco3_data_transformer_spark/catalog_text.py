@@ -866,3 +866,38 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
 def q80(spark: SparkSession, sf: str) -> DataFrame:
     out = dedup_ops.shingle_novelty(load(spark, sf, "documents"), "doc_id", "text", NGRAM_N)
     return out.select(F.col("id").alias("doc_id"), "n_sh", "n_novel", "novelty")
+
+
+PREFIX_JACC_T = 0.7
+
+
+@register(
+    "q122_prefix_filter_simjoin",
+    f"""
+    WITH {_SHINGLES_SQL},
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id)
+    SELECT id_a, id_b,
+           round(CAST(n_common AS DOUBLE) / (x.n_sh + y.n_sh - n_common), 4) AS jacc
+    FROM inter JOIN sizes x ON id_a = x.id JOIN sizes y ON id_b = y.id
+    WHERE CAST(n_common AS DOUBLE) / (x.n_sh + y.n_sh - n_common)
+          >= {PREFIX_JACC_T}
+    """,
+    doc="EXACT Jaccard similarity self-join via prefix filtering (AllPairs, "
+    "Bayardo 2007): documents ordered by one global shingle order "
+    "(rarest-first), only the first |x|-ceil(t|x|)+1 shingles of each doc "
+    "enter the candidate join (plus the t·max<=min length filter), then "
+    "candidates are verified with an exact intersection count. The oracle "
+    "is deliberately NOT the same algorithm — it is the brute-force "
+    "all-pairs join — so the hash-match PROVES the prefix bound loses no "
+    "pair. 100 TB shape: the pair join indexes ~(1-t) of each doc and by "
+    "construction its RAREST shingles; the hot stop-shingles that make "
+    "full co-occurrence quadratic never enter the index.",
+)
+def q122(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = dedup_ops.prefix_filter_jaccard_pairs(
+        load(spark, sf, "documents"), "doc_id", "text", NGRAM_N, PREFIX_JACC_T
+    )
+    return pairs.select("id_a", "id_b", F.round("jacc", 4).alias("jacc"))

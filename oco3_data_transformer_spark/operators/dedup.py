@@ -1107,3 +1107,99 @@ def dup_ngram_spans(
             F.round(F.col("n_dup").cast("double") / F.col("n_grams"), 4),
         )
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT Jaccard similarity self-join via prefix filtering (AllPairs,
+    Bayardo et al. WWW'07): returns every pair with shingle-Jaccard >=
+    ``threshold`` as ``(id_a, id_b, jacc)``, id_a < id_b — the same logical
+    result as :func:`ngram_jaccard_pairs`, produced without ever joining
+    the full shingle table against itself.
+
+    Prefix-filtering principle: order every document's shingles by one
+    global total order (ascending corpus document-frequency, ties by hash —
+    rarest first). If jacc(x, y) >= t then |x∩y| >= ceil(t·|x|), so the
+    first ``|x| - ceil(t·|x|) + 1`` shingles of x and the corresponding
+    prefix of y must share at least one element — only PREFIXES need to be
+    joined to find every candidate. A pair is also impossible unless
+    ``t·max(|x|,|y|) <= min(|x|,|y|)`` (length filter, applied in the
+    candidate join). Candidates are then verified with an exact
+    intersection count.
+
+    Why this is the 100 TB shape: the full-shingle co-occurrence join
+    (:func:`ngram_jaccard_pairs`) exchanges the whole shingle table and
+    its pair expansion is Σ df(s)² over ALL shingles — stop-shingles make
+    that quadratic. Here only the prefix (~(1-t) of each doc, and by
+    construction its RAREST shingles) enters the pair join, so the hot
+    high-df keys that drive the blow-up are precisely the ones excluded
+    from the index. The verify stage touches candidate pairs only. The
+    df-ranking costs one extra exchange on the shingle hash + one window
+    on id — both linear — traded against the quadratic candidate
+    reduction. Exactness is oracle-PROVEN, not argued: the catalog query
+    (q122) hash-matches a brute-force all-pairs DuckDB oracle, so a pair
+    lost to a wrong prefix bound would fail the gate.
+    """
+    from pyspark.sql import Window
+
+    sh = hashed_shingle_table(df, id_col, text_col, n, partition_by_id=True)
+    # The shingle index is consumed by FIVE subplans (df-rank, both prefix
+    # sides, the verify explode, sizes) whose pushed join-null filters
+    # differ — Catalyst's ReuseExchange canonicalization misses them and
+    # would re-tokenize the corpus per consumer (8 scans observed).
+    # Materialize it once: the index build is the linear pass you'd
+    # persist anyway before an AllPairs join at corpus scale.
+    sh = sh.localCheckpoint(eager=False)
+    # global canonical order: ascending document frequency, ties by hash.
+    # EXACT df (not sampled): the bound must hold for every key, and the
+    # df aggregate is one linear exchange on the 8-byte hash.
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+    w_id = Window.partitionBy("id")
+    ranked = sh.join(dfreq, "h").select(
+        "id",
+        "h",
+        F.row_number()
+        .over(w_id.orderBy(F.col("__df").asc(), F.col("h").asc()))
+        .alias("__pos"),
+        F.count(F.lit(1)).over(w_id).alias("__n_sh"),
+    )
+    prefix = ranked.filter(
+        F.col("__pos")
+        <= F.col("__n_sh") - F.ceil(F.col("__n_sh") * F.lit(threshold)) + 1
+    )
+    # prefix feeds both sides of the candidate self-join; one more
+    # materialization keeps the df-join + rank window single-computed
+    prefix = prefix.localCheckpoint(eager=False)
+    a = prefix.select(
+        F.col("id").alias("id_a"), "h", F.col("__n_sh").alias("__n_a")
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), "h", F.col("__n_sh").alias("__n_b")
+    )
+    cand = (
+        a.join(b, "h")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: jacc <= min/max, so t·max <= min is necessary
+            & (F.col("__n_a") * F.lit(threshold) <= F.col("__n_b"))
+            & (F.col("__n_b") * F.lit(threshold) <= F.col("__n_a"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verify on candidates only: explode each candidate pair by
+    # id_a's shingles, count matches against id_b's — shuffle volume is
+    # |candidates|·avg_doc_size, not corpus-quadratic
+    toks_a = cand.join(sh.select(F.col("id").alias("id_a"), "h"), "id_a")
+    inter = (
+        toks_a.join(sh.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return _jaccard_filter(inter, sizes, threshold)

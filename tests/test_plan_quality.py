@@ -593,3 +593,68 @@ def test_mutual_knn_window_is_block_partitioned(spark):
     # window (partial per sorted run + final), so no task ever ranks a
     # full block — the property that keeps the top-k bounded at scale
     assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_q121_lpa_iteration_plan_bounded(spark):
+    """q121 label propagation: the final plan hangs off the checkpointed
+    round-3 label vector (ExistingRDD), so its join depth is ONE round's —
+    bounded, not proportional to iters — and the per-node argmax runs as a
+    rank-1 window with WindowGroupLimit pushdown, never a global sort."""
+    from oco3_data_transformer_spark.catalog import REGISTRY
+
+    df = REGISTRY["q121_neardup_graph_communities"].fn(spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "ExistingRDD" in plan  # lineage cut on the label vector
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_joins = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert 0 < n_joins <= 4, f"unrolled join chain too deep: {n_joins}"
+    # the argmax is rank-1: WindowGroupLimit keeps it k=1-bounded per run
+    assert "WindowGroupLimit" in plan
+
+
+def test_q122_prefix_join_plan_shape(spark):
+    """q122 prefix-filter sim-join: candidate generation must be an
+    equi-join on the shingle hash (no cartesian anywhere), and the corpus
+    must be tokenized exactly ONCE — the shingle index and the prefix
+    table are materialized (localCheckpoint), so the final plan hangs
+    entirely off ExistingRDDs with zero parquet re-scans (the naive plan
+    re-derived the shingle pipeline per consumer: 8 scans observed)."""
+    plan = plan_of(spark, "q122_prefix_filter_simjoin")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") == 0, "corpus re-tokenized past the index"
+    assert "ExistingRDD" in plan
+    # the df-rank window lives INSIDE the checkpointed prefix table; pin
+    # its id-partitioning on the operator's own pre-checkpoint plan
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from oco3_data_transformer_spark.operators.dedup import (
+        hashed_shingle_table,
+    )
+    from oco3_data_transformer_spark.sources.registry import load
+
+    sh = hashed_shingle_table(
+        load(spark, SF, "documents"), "doc_id", "text", 3
+    )
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("id").orderBy("__df", "h")
+    ranked = sh.join(dfreq, "h").select(
+        "id", F.row_number().over(w).alias("__pos")
+    )
+    rplan = ranked._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re
+
+    assert re.search(r"row_number\(\) windowspecdefinition\(id", rplan)
