@@ -1387,3 +1387,55 @@ def q121(spark: SparkSession, sf: str) -> DataFrame:
         wedges, "id_a", "id_b", "n_common", iters=LPA_ITERS
     )
     return lp.select(F.col("node").alias("doc_id"), "community")
+
+
+# ---------------------------------------------------------------------------
+# q123 — k-core membership on the rare-shingle graph (operators/graph.k_core)
+# ---------------------------------------------------------------------------
+
+from .operators.graph import k_core_sql  # noqa: E402
+
+KCORE_ITERS = 4
+
+
+@register(
+    "q123_neardup_graph_kcore",
+    f"""{_Q119_EDGES_SQL},
+    {k_core_sql("edges", "id_a", "id_b", k=None, iters=KCORE_ITERS)}
+    SELECT node AS doc_id, deg FROM kcore
+    """,
+    doc=f"k-core membership ({KCORE_ITERS} simultaneous peeling rounds) "
+    "over the rare-shingle co-occurrence graph, with k self-scaled to "
+    "floor(lower-quartile initial degree) — a fixed k that peels one corpus is a "
+    "no-op on a denser one (the sf0.01 graph's min degree is 5). Each "
+    "round drops every node whose degree in the surviving subgraph is "
+    "< k: dense boilerplate families survive; chains and hub artifacts — "
+    "high raw degree, low induced connectivity — peel away first. The "
+    "density complement of q119's triangle/LCC view and the precursor of "
+    "core-based curation sampling. Scale shape: the symmetrized edge "
+    "table is materialized once and NEVER rewritten — each round is two "
+    "hash joins of the edges against the monotonically-shrinking "
+    "node-sized alive vector (AQE-broadcast while it fits) + one "
+    "map-side-combined degree count; only the alive vector is "
+    "lineage-cut per round; the quartile-k calibration is a one-row "
+    "control-plane collect. The oracle unrolls the identical rounds as "
+    "CTEs, so membership AND induced degrees are hash-checked.",
+)
+def q123(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    sh = dedup_ops.hashed_shingle_table(docs, "doc_id", "text", NGRAM_N)
+    sdf = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    rare = sdf.filter(
+        (F.col("df") >= RARE_DF_MIN) & (F.col("df") <= RARE_DF_MAX)
+    ).select("h")
+    shr = sh.join(rare, "h")
+    a = shr.select(F.col("id").alias("id_a"), "h")
+    b = shr.select(F.col("id").alias("id_b"), "h")
+    edges = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    kc = graph_ops.k_core(edges, "id_a", "id_b", k=None, iters=KCORE_ITERS)
+    return kc.select(F.col("node").alias("doc_id"), "deg")

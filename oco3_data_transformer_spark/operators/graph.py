@@ -412,3 +412,132 @@ def label_propagation_sql(
             f" WHERE r = 1)"
         )
     return ",\n".join(parts)
+
+
+def k_core(
+    edges: DataFrame,
+    a_col: str,
+    b_col: str,
+    k: int | None = None,
+    iters: int = 4,
+) -> DataFrame:
+    """k-core membership after a FIXED number of peeling rounds: each
+    round simultaneously removes every node whose degree within the
+    currently-surviving subgraph is < k. Returns ``(node, deg)`` for the
+    survivors, with ``deg`` their induced degree after the last round.
+
+    ``k=None`` (default) self-scales the threshold to
+    ``floor(lower-quartile(initial degree))`` — a fixed k that peels on
+    one corpus is a no-op on a denser one (measured: the sf0.01
+    rare-shingle graph has min degree 5, so k=3 removes nothing), while
+    a quantile bites at every density. The quartile (not the median) is
+    the default because simultaneous peeling CASCADES: removing half the
+    nodes at once collapses the remainder's degrees and k=median empties
+    the sf0.01 graph, where k=q25 retains the dense 72% (measured).
+    The quantile is an exact interpolated percentile, identical in Spark
+    and DuckDB (the q104 contract), and comes to the driver as a one-row
+    control-plane collect.
+
+    The k-core is the standard density diagnostic on a near-dup candidate
+    graph: dense boilerplate families survive high-k peeling while
+    chain/hub artifacts (which can have high raw degree but low induced
+    connectivity) fall out in the first rounds — the complement of the
+    triangle/LCC view (:func:`triangle_counts`).
+
+    Determinism: peeling is confluent (the k-core is unique and the
+    simultaneous-removal schedule is deterministic), and a FIXED round
+    count makes the intermediate (possibly unconverged) result identical
+    across engines and partitionings — the same contract as
+    :func:`pagerank` / :func:`label_propagation`, so the SQL oracle
+    unrolls the identical rounds as CTEs.
+
+    Scale shape: the symmetrized edge table is materialized ONCE
+    (localCheckpoint) and never rewritten; each round recomputes degrees
+    as edges ⟕ alive-filter on both endpoints (two hash joins against
+    the |nodes|-row alive vector, which AQE broadcasts while it fits) →
+    groupBy(src) count. Only the alive vector — monotonically shrinking,
+    node-sized — is lineage-cut per round. Rewriting the edge table each
+    round (the textbook formulation) would shuffle edge-sized data per
+    iteration; filtering against the original is equivalent because
+    peeling is monotone (a removed node never returns).
+    """
+    half = edges.select(
+        F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
+    ).filter(F.col("__a") != F.col("__b"))
+    e = (
+        half.unionByName(
+            half.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # round-0 degrees (every node alive) double as the k calibration input
+    deg = e.groupBy(F.col("__a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    if k is None:
+        row = deg.select(
+            F.floor(F.expr("percentile(deg, 0.25)")).cast("long").alias("k")
+        ).collect()
+        k = int(row[0]["k"]) if row and row[0]["k"] is not None else 1
+    alive = deg.filter(F.col("deg") >= k).select("node")
+    for i in range(1, iters):
+        alive = alive.localCheckpoint(eager=True)
+        live = e.join(alive.withColumnRenamed("node", "__a"), "__a").join(
+            alive.withColumnRenamed("node", "__b"), "__b"
+        )
+        deg = live.groupBy(F.col("__a").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        alive = deg.filter(F.col("deg") >= k).select("node")
+    # survivors with their degree in the round-`iters` induced subgraph:
+    # one more induced-degree pass over the final alive set
+    alive = alive.localCheckpoint(eager=True)
+    live = e.join(alive.withColumnRenamed("node", "__a"), "__a").join(
+        alive.withColumnRenamed("node", "__b"), "__b"
+    )
+    return live.groupBy(F.col("__a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+
+
+def k_core_sql(
+    edges_cte: str, a: str, b: str, k: int | None = None, iters: int = 4
+) -> str:
+    """ANSI-SQL (DuckDB) twin of :func:`k_core`: unrolls the identical
+    peeling rounds as CTEs; ``k=None`` derives the same
+    floor-of-median-degree threshold as a scalar subquery. Caller selects
+    from ``kcore`` (columns ``node, deg``)."""
+    k_expr = str(k) if k is not None else "(SELECT k FROM kparam)"
+    parts = [
+        f"kch AS (SELECT {a} AS na, {b} AS nb FROM {edges_cte}"
+        f" WHERE {a} <> {b})",
+        "kce AS MATERIALIZED (SELECT DISTINCT na, nb FROM ("
+        "SELECT na, nb FROM kch UNION ALL SELECT nb, na FROM kch))",
+        "d0 AS (SELECT na AS node, count(*) AS deg FROM kce GROUP BY na)",
+    ]
+    if k is None:
+        parts.append(
+            "kparam AS (SELECT CAST(floor(quantile_cont(deg, 0.25)) AS BIGINT)"
+            " AS k FROM d0)"
+        )
+    parts.append(
+        f"kc1 AS MATERIALIZED (SELECT node FROM d0 WHERE deg >= {k_expr})"
+    )
+    for i in range(1, iters):
+        prev, cur = f"kc{i}", f"kc{i + 1}"
+        parts.append(
+            f"d{i} AS (SELECT kce.na AS node, count(*) AS deg FROM kce"
+            f" JOIN {prev} x ON kce.na = x.node"
+            f" JOIN {prev} y ON kce.nb = y.node GROUP BY kce.na)"
+        )
+        parts.append(
+            f"{cur} AS MATERIALIZED (SELECT node FROM d{i}"
+            f" WHERE deg >= {k_expr})"
+        )
+    parts.append(
+        f"kcore AS (SELECT kce.na AS node, count(*) AS deg FROM kce"
+        f" JOIN kc{iters} x ON kce.na = x.node"
+        f" JOIN kc{iters} y ON kce.nb = y.node GROUP BY kce.na)"
+    )
+    return ",\n".join(parts)

@@ -658,3 +658,29 @@ def test_q122_prefix_join_plan_shape(spark):
     import re
 
     assert re.search(r"row_number\(\) windowspecdefinition\(id", rplan)
+
+
+def test_q123_kcore_final_plan_bounded(spark):
+    """q123 k-core: the final plan is ONE induced-degree pass — two hash
+    joins of the checkpointed edge table against the checkpointed final
+    alive vector — regardless of peel rounds; no cartesian anywhere and
+    the degree count is a partial (map-side-combined) aggregate."""
+    from oco3_data_transformer_spark.catalog import REGISTRY
+
+    df = REGISTRY["q123_neardup_graph_kcore"].fn(spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "ExistingRDD" in plan  # edges + alive both lineage-cut
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_joins = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    # formatted mode prints each operator in the tree AND a detail block,
+    # so 2 physical joins count as 4 mentions
+    assert 0 < n_joins <= 4, f"final pass join count: {n_joins}"
+    assert "partial_count" in plan  # degree agg map-side combines
