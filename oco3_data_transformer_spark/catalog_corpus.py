@@ -1439,3 +1439,72 @@ def q123(spark: SparkSession, sf: str) -> DataFrame:
     )
     kc = graph_ops.k_core(edges, "id_a", "id_b", k=None, iters=KCORE_ITERS)
     return kc.select(F.col("node").alias("doc_id"), "deg")
+
+
+# ---------------------------------------------------------------------------
+# q124 — personalized PageRank seed expansion
+# (operators/graph.personalized_pagerank)
+# ---------------------------------------------------------------------------
+
+from .operators.graph import personalized_pagerank_sql  # noqa: E402
+
+PPR_ITERS = 8
+PPR_SEED_MAX = 10
+
+
+@register(
+    "q124_seed_expansion_ppr",
+    f"""{_Q121_WEDGES_SQL},
+    wsym AS (SELECT id_a AS a, id_b AS b, n_common FROM wedges
+             UNION ALL SELECT id_b, id_a, n_common FROM wedges),
+    pseeds AS (SELECT doc_id AS node FROM documents
+               WHERE doc_id < {PPR_SEED_MAX}),
+    {personalized_pagerank_sql("wsym", "a", "b", "n_common", "pseeds",
+                               iters=PPR_ITERS)}
+    SELECT node AS doc_id, round(pr, 6) AS ppr FROM ppr{PPR_ITERS}
+    """,
+    doc="Personalized PageRank (random walk with restart) over the "
+    "weighted rare-shingle graph, teleporting to a curated seed set "
+    f"(doc_id < {PPR_SEED_MAX}): the canonical seed-EXPANSION curation "
+    "move — score every document by damped-walk proximity to known-good "
+    "seeds, then sample by that weight (what q75's weighted sampler "
+    f"consumes). {PPR_ITERS} rounds at d=0.85 with dangling mass "
+    "restarting AT THE SEEDS, keeping sum(ppr)=1 exactly; the oracle "
+    "unrolls the identical rounds as CTEs so proximity VALUES are "
+    "hash-checked at 6 dp. Scale shape mirrors q117: the heavy stage is "
+    "the one wedge exchange building the weighted edges; each round is "
+    "two hash exchanges on the node-sized rank vector (lineage-cut per "
+    "round), and the seed flag rides the checkpointed node vector.",
+)
+def q124(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    sh = dedup_ops.hashed_shingle_table(docs, "doc_id", "text", NGRAM_N)
+    sdf = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    rare = sdf.filter(
+        (F.col("df") >= RARE_DF_MIN) & (F.col("df") <= RARE_DF_MAX)
+    ).select("h")
+    shr = sh.join(rare, "h")
+    a = shr.select(F.col("id").alias("id_a"), "h")
+    b = shr.select(F.col("id").alias("id_b"), "h")
+    wedges = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    wsym = wedges.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b"), "n_common"
+    ).unionByName(
+        wedges.select(
+            F.col("id_b").alias("a"), F.col("id_a").alias("b"), "n_common"
+        )
+    )
+    seeds = docs.filter(F.col("doc_id") < PPR_SEED_MAX).select(
+        F.col("doc_id").alias("node")
+    )
+    ppr = graph_ops.personalized_pagerank(
+        wsym, "a", "b", "n_common", seeds, iters=PPR_ITERS
+    )
+    return ppr.select(
+        F.col("node").alias("doc_id"), F.round("ppr", 6).alias("ppr")
+    )

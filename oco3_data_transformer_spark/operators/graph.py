@@ -541,3 +541,134 @@ def k_core_sql(
         f" JOIN kc{iters} y ON kce.nb = y.node GROUP BY kce.na)"
     )
     return ",\n".join(parts)
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    weight_col: str,
+    seeds: DataFrame,
+    iters: int = 8,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart): the teleport
+    distribution is uniform over ``seeds`` (a DataFrame with a ``node``
+    column) instead of over all nodes, so rank mass measures proximity to
+    the seed set. Returns ``(node, ppr)``.
+
+      ppr_{t+1}(v) = (1-d)·t(v) + d·[ Σ_{u→v} ppr_t(u)·w(u,v)/out_w(u)
+                                      + dangling_mass_t · t(v) ]
+
+    with t(v) = 1/|S| for v ∈ S, else 0; dangling mass restarts at the
+    seeds, keeping Σppr = 1 exactly (conservation, as in
+    :func:`pagerank` — dm = 1 − Σ contrib, one reference of the rank
+    vector per round). Initial vector = t.
+
+    The curation use: expand a small curated/known-good document set
+    through the near-dup or citation graph — documents reachable from
+    many seeds through heavy edges rank high, making ``ppr`` the
+    seed-similarity sampling weight (the Grover/Leskovec-style proximity
+    score, damped walk length ≈ 1/(1-d)).
+
+    Same plan discipline as :func:`pagerank`: the seed flag rides the
+    checkpointed node vector; each round is join-on-src → groupBy(dst) →
+    left join back to nodes; the rank vector is lineage-cut every round.
+    """
+    e = edges.select(
+        F.col(src_col).alias("__src"),
+        F.col(dst_col).alias("__dst"),
+        F.col(weight_col).cast("double").alias("__w"),
+    )
+    seed_nodes = seeds.select(F.col("node")).distinct()
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .unionByName(e.select(F.col("__dst").alias("node")))
+        .distinct()
+        .join(seed_nodes.withColumn("__is_seed", F.lit(1)), "node", "left")
+        .select("node", F.coalesce("__is_seed", F.lit(0)).alias("__is_seed"))
+        .localCheckpoint(eager=False)
+    )
+    # |S ∩ graph|: teleport normalizes over seeds present in the graph
+    n_seeds = nodes.agg(F.sum("__is_seed")).collect()[0][0]
+    if not n_seeds:
+        raise ValueError("personalized_pagerank: no seed appears in the graph")
+    t_expr = (F.col("__is_seed") / F.lit(float(n_seeds))).alias("__t")
+    out_w = e.groupBy("__src").agg(F.sum("__w").alias("__out_w"))
+    probs = (
+        e.join(out_w, "__src")
+        .select("__src", "__dst", (F.col("__w") / F.col("__out_w")).alias("__p"))
+        .localCheckpoint(eager=False)
+    )
+    ranks = nodes.select("node", t_expr.alias("pr"))
+    for i in range(iters):
+        contrib = (
+            ranks.join(probs, ranks["node"] == probs["__src"])
+            .groupBy(F.col("__dst").alias("node"))
+            .agg(F.sum(F.col("pr") * F.col("__p")).alias("__in"))
+        )
+        s = contrib.agg(F.coalesce(F.sum("__in"), F.lit(0.0)).alias("__s"))
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(s)  # 1-row broadcast scalar
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * t_expr
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__in"), F.lit(0.0))
+                        + (F.lit(1.0) - F.col("__s")) * t_expr
+                    )
+                ).alias("pr"),
+            )
+        )
+        if i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.col("pr").alias("ppr"))
+
+
+def personalized_pagerank_sql(
+    edges_cte: str,
+    src: str,
+    dst: str,
+    weight: str,
+    seeds_cte: str,
+    iters: int = 8,
+    damping: float = 0.85,
+) -> str:
+    """ANSI-SQL (DuckDB) twin of :func:`personalized_pagerank`; the seed
+    relation ``seeds_cte`` must expose a ``node`` column. Caller selects
+    from ``ppr{iters}`` (columns ``node, pr``). Textually parallel to the
+    DataFrame loop (same teleport, dangling restart, join shape)."""
+    d = damping
+    parts = [
+        f"pe AS (SELECT {src} AS src, {dst} AS dst, CAST({weight} AS DOUBLE)"
+        f" AS w FROM {edges_cte})",
+        "pnodes AS MATERIALIZED (SELECT node,"
+        f" CASE WHEN node IN (SELECT node FROM {seeds_cte}) THEN 1 ELSE 0 END"
+        " AS is_seed FROM (SELECT src AS node FROM pe UNION SELECT dst FROM pe))",
+        "ns AS (SELECT CAST(sum(is_seed) AS DOUBLE) AS n FROM pnodes)",
+        "pow_ AS (SELECT src, sum(w) AS out_w FROM pe GROUP BY 1)",
+        "pprobs AS MATERIALIZED"
+        " (SELECT src, dst, w / out_w AS p FROM pe JOIN pow_ USING (src))",
+        "ppr0 AS (SELECT node, is_seed / n AS pr FROM pnodes, ns)",
+    ]
+    for i in range(iters):
+        prev, cur = f"ppr{i}", f"ppr{i + 1}"
+        parts.append(
+            f"pc{i} AS MATERIALIZED (SELECT dst AS node, sum(pr * p) AS contrib"
+            f" FROM {prev} JOIN pprobs ON {prev}.node = pprobs.src GROUP BY 1)"
+        )
+        parts.append(
+            f"ps{i} AS (SELECT coalesce(sum(contrib), 0.0) AS s FROM pc{i})"
+        )
+        parts.append(
+            f"{cur} AS MATERIALIZED (SELECT pnodes.node,"
+            f" {1.0 - d} * (is_seed / n)"
+            f" + {d} * (coalesce(contrib, 0.0) + (1.0 - s) * (is_seed / n))"
+            f" AS pr"
+            f" FROM pnodes LEFT JOIN pc{i} ON pnodes.node = pc{i}.node,"
+            f" ps{i}, ns)"
+        )
+    return ",\n".join(parts)

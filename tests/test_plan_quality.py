@@ -684,3 +684,26 @@ def test_q123_kcore_final_plan_bounded(spark):
     # so 2 physical joins count as 4 mentions
     assert 0 < n_joins <= 4, f"final pass join count: {n_joins}"
     assert "partial_count" in plan  # degree agg map-side combines
+
+
+def test_q124_ppr_iteration_plan_bounded(spark):
+    """q124 personalized PageRank: same lineage-cut discipline as q117 —
+    the final plan hangs off the checkpointed round-7 vector, join depth
+    bounded at one round's, the seed-restart scalar joins as a 1-row
+    broadcast (never a data-proportional cartesian)."""
+    from oco3_data_transformer_spark.catalog import REGISTRY
+
+    df = REGISTRY["q124_seed_expansion_ppr"].fn(spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    n_joins = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert 0 < n_joins <= 8, f"unrolled join chain too deep: {n_joins}"
+    assert plan.count("HashAggregate") >= 2
