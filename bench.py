@@ -70,11 +70,14 @@ SKETCH_DETAIL = [
     "q108_bigram_perplexity",
     "q111_sketch_setops",
     "q115_ivfpq_knn",
-    # round-5 graph family
+    # round-5 graph family + prefix-filter sim-join
     "q117_transition_pagerank",
     "q119_neardup_graph_triangles",
     "q120_mutual_knn_graph",
     "q121_neardup_graph_communities",
+    "q122_prefix_filter_simjoin",
+    "q123_neardup_graph_kcore",
+    "q124_seed_expansion_ppr",
 ]
 
 

@@ -1100,6 +1100,7 @@ def mutual_knn(
     vec_col: str,
     block_col: str,
     k: int = 10,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Block-scoped mutual-kNN graph: an undirected edge (a, b) exists iff
     b is in a's top-k cosine neighbors AND a is in b's — the symmetric
@@ -1111,37 +1112,88 @@ def mutual_knn(
     Returns ``(id_a, id_b, rank_ab, rank_ba, cos)`` with ``id_a < id_b``.
 
     Scale shape: candidates are generated ONLY within ``block_col`` (an
-    IVF cell / cluster id / LSH bucket — same bound as
-    :func:`cosine_neardup_pairs`), so the pair table is Σ|block|², never
-    |corpus|². The per-query top-k is a rank-1-style window partitioned
-    by the query id — state is one row_number counter, and the partition
-    is at most |block| rows. Mutualization is one self-equi-join of the
-    (already k-bounded) kNN table on the reversed key — |corpus|·k rows
-    a side, hash-exchanged on the pair key. All JVM expressions
-    (zip_with/aggregate dot products); the Arrow-matmul kernel
-    (:func:`brute_force_knn`) remains the unblocked alternative.
+    IVF cell / cluster id / LSH bucket — nlist grows with the corpus so
+    |block| stays bounded, the q87 contract), so pair work is Σ|block|²,
+    never |corpus|². ``kernel='arrow'`` (default): each block's top-k is
+    ONE chunked numpy matmul inside ``applyInPandas`` — the Gram rows
+    stream in query-chunks (bounded memory) and only |block|·k rows
+    leave the task. Measured: the relational pair join spends 188 s at
+    the 10× fixture (two 25k-vector blocks → 625M interpreted expression
+    folds) where the kernel's BLAS product is ~100× cheaper — the same
+    q34 lesson. ``kernel='sql'`` keeps the pure-relational form (the
+    no-Arrow fallback and differential-testing reference; per-query
+    top-k as a rank-1 window with WindowGroupLimit pushdown).
+    Mutualization is one self-equi-join of the (already k-bounded) kNN
+    table on the reversed key — |corpus|·k rows a side.
     """
     sub = vectors.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
         F.col(block_col).alias("__blk"),
     )
-    a, b = sub.alias("a"), sub.alias("b")
-    scored = a.join(
-        b,
-        (F.col("a.__blk") == F.col("b.__blk"))
-        & (F.col("a.__id") != F.col("b.__id")),
-    ).select(
-        F.col("a.__id").alias("qid"),
-        F.col("b.__id").alias("nid"),
-        vector.cosine(F.col("a.__vec"), F.col("b.__vec")).alias("cos"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
-    knn = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("qid", "nid", "rnk", "cos")
-    )
+    if kernel == "sql":
+        a, b = sub.alias("a"), sub.alias("b")
+        scored = a.join(
+            b,
+            (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col("a.__id") != F.col("b.__id")),
+        ).select(
+            F.col("a.__id").alias("qid"),
+            F.col("b.__id").alias("nid"),
+            vector.cosine(F.col("a.__vec"), F.col("b.__vec")).alias("cos"),
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+        knn = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("qid", "nid", "rnk", "cos")
+        )
+    else:
+        import numpy as np
+        import pandas as pd
+
+        id_t = vectors.schema[id_col].dataType.simpleString()
+        out_schema = f"qid {id_t}, nid {id_t}, rnk int, cos double"
+
+        _k = k
+
+        def block_topk(_key, pdf):
+            n = len(pdf)
+            if n < 2:
+                return pd.DataFrame(
+                    {"qid": [], "nid": [], "rnk": [], "cos": []}
+                )
+            ids = pdf["__id"].to_numpy()
+            M = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            norm = np.linalg.norm(M, axis=1)
+            frames = []
+            # query-chunked Gram rows: memory is chunk×|block| doubles,
+            # never |block|²
+            chunk = max(1, min(n, 4_000_000 // n))
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                # dot-then-divide, the q34 kernel's float shape (closest
+                # to the SQL fold's dot/(sqrt·sqrt))
+                S = (M[lo:hi] @ M.T) / np.outer(norm[lo:hi], norm)
+                for r in range(hi - lo):
+                    row = S[r]
+                    mask = ids != ids[lo + r]  # exclude self by ID
+                    nid, cs = ids[mask], row[mask]
+                    # same total order as the window: cos desc, id asc
+                    order = np.lexsort((nid, -cs))[: min(_k, nid.size)]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "qid": ids[lo + r],
+                                "nid": nid[order],
+                                "rnk": np.arange(1, order.size + 1),
+                                "cos": cs[order],
+                            }
+                        )
+                    )
+            return pd.concat(frames, ignore_index=True)
+
+        knn = sub.groupBy("__blk").applyInPandas(block_topk, out_schema)
     x, y = knn.alias("x"), knn.alias("y")
     return (
         x.join(

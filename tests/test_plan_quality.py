@@ -576,22 +576,45 @@ def test_triangle_counts_no_cartesian_and_window_free(spark):
     assert "Window" not in plan  # rank is degree ORDERING, not a window
 
 
-def test_mutual_knn_window_is_block_partitioned(spark):
-    """q120: the per-query top-k window must be partitioned (qid), never a
-    global single-partition window, and candidate generation must be an
-    equi-join on the block key, not a cartesian product."""
+def test_mutual_knn_arrow_kernel_plan(spark):
+    """q120 (default arrow kernel): the per-block top-k is ONE grouped
+    Arrow kernel — no within-block pair join exists anywhere in the plan
+    (the relational form's 625M interpreted folds cost 188 s at the 10×
+    fixture), and mutualization is a k-bounded equi-join, never a
+    cartesian."""
     plan = plan_of(spark, "q120_mutual_knn_graph")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the rank window is partitioned by the query id (a global window
-    # would print an empty partition spec: "...], [], [...")
+    assert "FlatMapGroupsInPandas" in plan  # the block-matmul kernel
+    # exactly one self-join of the kNN table (mutualize); a second join
+    # would mean the pair join crept back
+    n_joins = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert n_joins <= 2  # formatted mode: 1 join x (tree + detail)
+
+
+def test_mutual_knn_sql_kernel_window_is_block_partitioned(spark):
+    """kernel='sql' fallback: the per-query top-k window must be
+    partitioned (qid), never a global single-partition window, with
+    WindowGroupLimit pushdown, and candidate generation an equi-join on
+    the block key, not a cartesian product."""
+    from oco3_data_transformer_spark.operators import similarity as sim_ops
+    from oco3_data_transformer_spark.sources.registry import load
+    from pyspark.sql import functions as F
+
+    emb = load(spark, SF, "embeddings").filter(F.col("label").isin(0, 1))
+    df = sim_ops.mutual_knn(emb, "vec_id", "embedding", "label", k=5, kernel="sql")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     import re
 
     spec = re.search(r"row_number\(\) windowspecdefinition\(\w*qid", plan)
     assert spec, "rank window not partitioned by qid"
-    # Spark's rank-limit pushdown must fire: the k-filter runs BELOW the
-    # window (partial per sorted run + final), so no task ever ranks a
-    # full block — the property that keeps the top-k bounded at scale
     assert plan.count("WindowGroupLimit") >= 2
 
 

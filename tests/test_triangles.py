@@ -171,3 +171,52 @@ def test_mutual_knn_edges_are_mutual_and_block_scoped(spark):
         assert r["id_a"] < r["id_b"]
         assert 1 <= r["rank_ab"] <= k and 1 <= r["rank_ba"] <= k
         assert r["id_a"] % 2 == r["id_b"] % 2
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_mutual_knn_arrow_equals_sql_kernel(spark, seed):
+    # the chunked-matmul kernel and the relational window form must agree
+    # pair-for-pair and rank-for-rank (the q34 differential pattern)
+    rng = np.random.default_rng(seed)
+    n, k = 35, 4
+    df = spark.createDataFrame(
+        [
+            (i, [float(x) for x in rng.normal(size=6)], int(i % 2))
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+
+    def key(rows):
+        return {
+            (r["id_a"], r["id_b"]): (
+                r["rank_ab"],
+                r["rank_ba"],
+                round(r["cos"], 9),
+            )
+            for r in rows
+        }
+
+    arrow = key(
+        mutual_knn(df, "vec_id", "embedding", "label", k=k, kernel="arrow").collect()
+    )
+    sql = key(
+        mutual_knn(df, "vec_id", "embedding", "label", k=k, kernel="sql").collect()
+    )
+    assert arrow == sql
+
+
+def test_mutual_knn_tiny_blocks_and_self_exclusion(spark):
+    # 1-vector block emits nothing; duplicate vectors tie-break by id
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.0], 0),
+            (3, [0.9, 0.1], 0),
+            (9, [5.0, 5.0], 7),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    rows = mutual_knn(df, "vec_id", "embedding", "label", k=2).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (1, 2) in pairs and all(9 not in p for p in pairs)
