@@ -297,8 +297,14 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {vector.cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_NEARDUP_T}
     """,
-    doc="Embedding-cosine near-dup with block key (label ≈ IVF cell) so the "
-    "self-join never goes quadratic over the whole corpus.",
+    doc="Embedding-cosine near-dup with block key (label ≈ IVF cell) so "
+    "pair work never goes quadratic over the whole corpus; each block's "
+    "above-threshold pairs come from one query-chunked numpy Gram product "
+    "in applyInPandas (the q120 kernel lesson — a fixed block count makes "
+    "the relational pair join corpus-quadratic in fold work), zero-norm "
+    "vectors dropped as undefined on both engines (try_divide / mask). "
+    "kernel='sql' keeps the fold-order relational form, "
+    "differential-tested.",
 )
 def q35(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")

@@ -150,10 +150,70 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
     With ``block_col`` (e.g. an LSH bucket or IVF cell) the self-join is
-    blocked — the scale path; without it, exact all-pairs (test scale)."""
+    blocked — the scale path; without it, exact all-pairs (test scale).
+
+    ``kernel='arrow'`` (default, blocked path only): each block's pair
+    search is one query-chunked numpy Gram product in ``applyInPandas``
+    emitting only the above-threshold pairs — the same BLAS-vs-
+    interpreted-folds win as :func:`mutual_knn` (a fixed block count
+    makes the relational pair join corpus-quadratic in FOLD work even
+    though the plan shape is bounded). ``kernel='sql'`` (and the
+    unblocked path) keeps the fold-order relational form, bit-aligned
+    with the DuckDB oracle and used as the differential reference."""
+    if block_col and kernel == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        id_t = df.schema[id_col].dataType.simpleString()
+        out_schema = f"id_a {id_t}, id_b {id_t}, cos double"
+        thr = float(threshold)
+
+        def block_pairs(_key, pdf):
+            n = len(pdf)
+            if n < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+            ids = pdf["__id"].to_numpy()
+            order = np.argsort(ids, kind="mergesort")
+            ids = ids[order]
+            M = np.stack(pdf["__vec"].to_numpy())[order].astype(np.float64)
+            norm = np.linalg.norm(M, axis=1)
+            # zero-norm guard: cosine is undefined there — the relational
+            # form yields NULL and the filter drops it; mask to match
+            ok = norm > 0.0
+            safe = np.where(ok, norm, 1.0)
+            frames = []
+            chunk = max(1, min(n, 4_000_000 // n))
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                S = (M[lo:hi] @ M.T) / np.outer(safe[lo:hi], safe)
+                for r in range(hi - lo):
+                    i = lo + r
+                    cs = S[r, i + 1 :]  # ids sorted: emit id_a < id_b once
+                    hit = np.nonzero((cs >= thr) & ok[i + 1 :] & ok[i])[0]
+                    if hit.size:
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "id_a": ids[i],
+                                    "id_b": ids[i + 1 + hit],
+                                    "cos": cs[hit],
+                                }
+                            )
+                        )
+            if not frames:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+            return pd.concat(frames, ignore_index=True)
+
+        sub = df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__vec"),
+            F.col(block_col).alias("__blk"),
+        )
+        return sub.groupBy("__blk").applyInPandas(block_pairs, out_schema)
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
@@ -166,8 +226,12 @@ def cosine_neardup_pairs(
         a.join(b, cond)
         .withColumn(
             "cos",
-            vector.dot(F.col("a.vec"), F.col("b.vec"))
-            / (F.col("a.nrm") * F.col("b.nrm")),
+            # try_divide: a zero-norm vector has undefined cosine -> NULL,
+            # which the threshold filter drops (ANSI mode would raise)
+            F.try_divide(
+                vector.dot(F.col("a.vec"), F.col("b.vec")),
+                F.col("a.nrm") * F.col("b.nrm"),
+            ),
         )
         .filter(F.col("cos") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos")

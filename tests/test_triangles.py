@@ -220,3 +220,39 @@ def test_mutual_knn_tiny_blocks_and_self_exclusion(spark):
     rows = mutual_knn(df, "vec_id", "embedding", "label", k=2).collect()
     pairs = {(r["id_a"], r["id_b"]) for r in rows}
     assert (1, 2) in pairs and all(9 not in p for p in pairs)
+
+
+# ---------------------------------------------------------------------------
+# cosine_neardup_pairs kernels (q35's operator)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed,thr", [(0, 0.2), (1, 0.6)])
+def test_cosine_neardup_arrow_equals_sql_kernel(spark, seed, thr):
+    from oco3_data_transformer_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 40
+    rows = [
+        (i, [float(x) for x in rng.normal(size=6)], int(i % 3))
+        for i in range(n)
+    ]
+    # exact duplicates land cos=1.0 pairs; a zero vector must emit nothing
+    rows.append((n, rows[0][1], rows[0][2]))
+    rows.append((n + 1, [0.0] * 6, 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+    def key(out):
+        return {
+            (r["id_a"], r["id_b"]): round(r["cos"], 9) for r in out.collect()
+        }
+
+    arrow = key(cosine_neardup_pairs(df, thr, block_col="label"))
+    sql = key(cosine_neardup_pairs(df, thr, block_col="label", kernel="sql"))
+    assert arrow == sql
+    assert (0, n) in arrow  # the exact-dup pair survives any threshold <= 1
+    assert all(n + 1 not in p for p in arrow)  # zero vector never pairs
