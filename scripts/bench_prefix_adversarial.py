@@ -34,14 +34,19 @@ HOT = "common boilerplate header shared"
 
 
 def corpus(mult: int) -> list[tuple[int, str]]:
+    """CANONICAL corpus (post-exact-dedup, the documented operating point
+    for every near-dup operator — dedup.py module docstring): a near-dup
+    chain + unique filler, with 30% of docs carrying one shared hot token
+    run. The hot shingles pair docs that are NOT near-dups (Jaccard ~0.1
+    << threshold), so their k²/2 co-occurrence expansion is pure wasted
+    candidate work — the regime prefix filtering exists for. Replica
+    token namespaces are disjoint; the hot run is GLOBAL, so its document
+    count (and the quadratic expansion) grows with mult."""
     rng = random.Random(SEED)
     docs = []
     for rep in range(mult):
         words = [f"r{rep}w{i}" for i in range(5000)]  # disjoint per replica
         base = rep * 100_000
-        dup_text = "identical duplicated body " + " ".join(rng.choices(words, k=40))
-        for i in range(1000):
-            docs.append((base + i, dup_text))
         stream = rng.choices(words, k=4 * 500 + 40)
         for i in range(500):
             docs.append((base + 10_000 + i, " ".join(stream[4 * i : 4 * i + 40])))
