@@ -1512,3 +1512,91 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
     return ppr.select(
         F.col("node").alias("doc_id"), F.round("ppr", 6).alias("ppr")
     )
+
+
+# ---------------------------------------------------------------------------
+# q125 — semantic cluster profile: mutual-kNN graph -> connected components
+# -> per-cluster profile (the graph family composed end-to-end)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q125_semantic_cluster_profile",
+    f"""
+    WITH scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               {vector.cosine_sql('a.embedding', 'b.embedding')} AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id),
+    ranked AS (
+        SELECT qid, nid, cos, row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+        FROM scored),
+    knn AS (SELECT * FROM ranked WHERE rnk <= {MUTUAL_K}),
+    mutual AS (
+        SELECT x.qid AS id_a, x.nid AS id_b, x.cos
+        FROM knn x JOIN knn y
+          ON x.qid = y.nid AND x.nid = y.qid AND x.qid < x.nid),
+    medges AS (SELECT id_a AS src, id_b AS dst FROM mutual
+               UNION SELECT id_b, id_a FROM mutual),
+    cc AS (
+        WITH RECURSIVE walk(node, lbl) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT e.src, w.lbl FROM walk w JOIN medges e ON w.node = e.dst)
+        SELECT node AS id, min(lbl) AS canonical_id FROM walk GROUP BY node),
+    sizes AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS n_vectors
+              FROM cc GROUP BY canonical_id),
+    eprof AS (
+        SELECT c.canonical_id, CAST(count(*) AS BIGINT) AS n_edges,
+               min(m.cos) AS min_cos, max(m.cos) AS max_cos
+        FROM mutual m JOIN cc c ON m.id_a = c.id
+        GROUP BY c.canonical_id)
+    SELECT s.canonical_id, s.n_vectors,
+           coalesce(e.n_edges, 0) AS n_edges,
+           round(e.min_cos, 6) AS min_cos, round(e.max_cos, 6) AS max_cos
+    FROM sizes s LEFT JOIN eprof e USING (canonical_id)
+    """,
+    doc="The graph family composed end-to-end as ONE declarative plan: "
+    f"mutual-kNN graph (k={MUTUAL_K}, every label block) -> connected "
+    "components -> per-cluster profile (size, mutual-edge count, min/max "
+    "edge cosine) — the semantic-clustering pass that sits between "
+    "embedding generation and cluster-level curation decisions "
+    "(SemDeDup-style pruning, cluster-balanced sampling). min/max are "
+    "order-insensitive aggregates, so the profile is engine-portable "
+    "with no float-summation caveat; singleton clusters surface with "
+    "n_edges=0 and NULL cosines. Scale shape: the kNN stage is the q120 "
+    "block-matmul kernel (only |block|·k rows leave each task), "
+    "mutualization and the profile are k-bounded equi-joins, and the "
+    "component step is alternating large-star/small-star (O(log n) "
+    "rounds, no hub neighbor lists). Oracle: the identical kNN/CC "
+    "pipeline with a recursive min-label CTE.",
+)
+def q125(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    edges = sim_ops.mutual_knn(emb, "vec_id", "embedding", "label", k=MUTUAL_K)
+    comp = dedup_ops.canonicalize_pairs_star(
+        emb.select(F.col("vec_id").alias("id")),
+        edges.select("id_a", "id_b"),
+    )
+    sizes = comp.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    eprof = (
+        edges.join(
+            comp.select(F.col("id").alias("id_a"), "canonical_id"), "id_a"
+        )
+        .groupBy("canonical_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.min("cos").alias("min_cos"),
+            F.max("cos").alias("max_cos"),
+        )
+    )
+    return sizes.join(eprof, "canonical_id", "left").select(
+        "canonical_id",
+        "n_vectors",
+        F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+        F.round("min_cos", 6).alias("min_cos"),
+        F.round("max_cos", 6).alias("max_cos"),
+    )

@@ -1165,6 +1165,7 @@ def mutual_knn(
     block_col: str,
     k: int = 10,
     kernel: str = "arrow",
+    query_splits: int | str = "auto",
 ) -> DataFrame:
     """Block-scoped mutual-kNN graph: an undirected edge (a, b) exists iff
     b is in a's top-k cosine neighbors AND a is in b's — the symmetric
@@ -1189,6 +1190,17 @@ def mutual_knn(
     top-k as a rank-1 window with WindowGroupLimit pushdown).
     Mutualization is one self-equi-join of the (already k-bounded) kNN
     table on the reversed key — |corpus|·k rows a side.
+
+    ``query_splits``: parallelism floor for the arrow kernel when the
+    block COUNT is below the cluster width (measured: the 2-block 100×
+    fixture ran its 4-TFLOP Gram stage as 2 tasks, 30 cores idle). Each
+    block's QUERY rows are hash-split into S sub-groups and its corpus
+    rows replicated to all S — every query still scores against the
+    full block, so results are bit-identical; the price is an S× vector
+    shuffle (vectors are d doubles — cheap) for an S× compute fan-out.
+    ``"auto"`` probes the block count (one control-plane aggregate) and
+    sets S = ceil(parallelism / n_blocks), skipping both the probe and
+    the salt column entirely when blocks already cover the cluster.
     """
     sub = vectors.select(
         F.col(id_col).alias("__id"),
@@ -1221,43 +1233,95 @@ def mutual_knn(
 
         _k = k
 
-        def block_topk(_key, pdf):
-            n = len(pdf)
-            if n < 2:
-                return pd.DataFrame(
-                    {"qid": [], "nid": [], "rnk": [], "cos": []}
-                )
-            ids = pdf["__id"].to_numpy()
-            M = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
-            norm = np.linalg.norm(M, axis=1)
+        def _topk_frames(q_ids, Q, q_norm, c_ids, C, c_norm):
             frames = []
-            # query-chunked Gram rows: memory is chunk×|block| doubles,
-            # never |block|²
-            chunk = max(1, min(n, 4_000_000 // n))
-            for lo in range(0, n, chunk):
-                hi = min(lo + chunk, n)
+            n = len(c_ids)
+            chunk = max(1, min(len(q_ids), 4_000_000 // max(n, 1)))
+            for lo in range(0, len(q_ids), chunk):
+                hi = min(lo + chunk, len(q_ids))
                 # dot-then-divide, the q34 kernel's float shape (closest
-                # to the SQL fold's dot/(sqrt·sqrt))
-                S = (M[lo:hi] @ M.T) / np.outer(norm[lo:hi], norm)
+                # to the SQL fold's dot/(sqrt·sqrt)); memory is
+                # chunk×|block| doubles, never |block|²
+                S = (Q[lo:hi] @ C.T) / np.outer(q_norm[lo:hi], c_norm)
                 for r in range(hi - lo):
                     row = S[r]
-                    mask = ids != ids[lo + r]  # exclude self by ID
-                    nid, cs = ids[mask], row[mask]
+                    mask = c_ids != q_ids[lo + r]  # exclude self by ID
+                    nid, cs = c_ids[mask], row[mask]
+                    if not nid.size:
+                        continue
                     # same total order as the window: cos desc, id asc
                     order = np.lexsort((nid, -cs))[: min(_k, nid.size)]
                     frames.append(
                         pd.DataFrame(
                             {
-                                "qid": ids[lo + r],
+                                "qid": q_ids[lo + r],
                                 "nid": nid[order],
                                 "rnk": np.arange(1, order.size + 1),
                                 "cos": cs[order],
                             }
                         )
                     )
+            return frames
+
+        _empty = {"qid": [], "nid": [], "rnk": [], "cos": []}
+
+        def block_topk(_key, pdf):
+            if len(pdf) < 2:
+                return pd.DataFrame(_empty)
+            ids = pdf["__id"].to_numpy()
+            M = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            norm = np.linalg.norm(M, axis=1)
+            frames = _topk_frames(ids, M, norm, ids, M, norm)
+            if not frames:
+                return pd.DataFrame(_empty)
             return pd.concat(frames, ignore_index=True)
 
-        knn = sub.groupBy("__blk").applyInPandas(block_topk, out_schema)
+        def split_topk(_key, pdf):
+            isq = pdf["__isq"].to_numpy()
+            if (~isq).sum() < 2 or not isq.any():
+                return pd.DataFrame(_empty)
+            c_pdf, q_pdf = pdf[~isq], pdf[isq]
+            c_ids = c_pdf["__id"].to_numpy()
+            C = np.stack(c_pdf["__vec"].to_numpy()).astype(np.float64)
+            c_norm = np.linalg.norm(C, axis=1)
+            q_ids = q_pdf["__id"].to_numpy()
+            Q = np.stack(q_pdf["__vec"].to_numpy()).astype(np.float64)
+            q_norm = np.linalg.norm(Q, axis=1)
+            frames = _topk_frames(q_ids, Q, q_norm, c_ids, C, c_norm)
+            if not frames:
+                return pd.DataFrame(_empty)
+            return pd.concat(frames, ignore_index=True)
+
+        splits = query_splits
+        if splits == "auto":
+            # control-plane probe: with fewer blocks than cores, the
+            # quadratic Gram stage would run that many tasks wide
+            n_blocks = sub.select("__blk").distinct().count()
+            par = sub.sparkSession.sparkContext.defaultParallelism
+            splits = max(1, -(-par // max(n_blocks, 1)))
+        splits = min(int(splits), 64)  # bound the corpus replication
+        if splits <= 1:
+            knn = sub.groupBy("__blk").applyInPandas(block_topk, out_schema)
+        else:
+            q_side = sub.select(
+                "*",
+                F.pmod(F.xxhash64("__id"), F.lit(splits))
+                .cast("int")
+                .alias("__salt"),
+                F.lit(True).alias("__isq"),
+            )
+            c_side = sub.select(
+                "*",
+                F.explode(
+                    F.array(*[F.lit(i) for i in range(splits)])
+                ).alias("__salt"),
+                F.lit(False).alias("__isq"),
+            )
+            knn = (
+                q_side.unionByName(c_side)
+                .groupBy("__blk", "__salt")
+                .applyInPandas(split_topk, out_schema)
+            )
     x, y = knn.alias("x"), knn.alias("y")
     return (
         x.join(

@@ -34,9 +34,15 @@ QUERIES = [
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        ROOT, ".bench_data", "sf1"
-    )
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    spark_only = "--spark-only" in sys.argv
+    skip = {
+        a.split("=", 1)[1]
+        for a in sys.argv[1:]
+        if a.startswith("--skip=")
+    }
+    queries = [q for q in QUERIES if q not in skip]
+    sf_dir = args[0] if args else os.path.join(ROOT, ".bench_data", "sf1")
     spark = get_spark("bench_graph")
     spark.sparkContext.setLogLevel("ERROR")
     from oco3_data_transformer_spark.session import tune_for_input
@@ -46,7 +52,7 @@ def main() -> int:
     out: dict = {"sf": sf_dir, "spark": {}, "spark_build": {}, "duckdb": {}}
 
     REGISTRY["q24_coverage_attrs"].fn(spark, sf_dir).collect()  # warmup
-    for name in QUERIES:
+    for name in queries:
         t0 = time.perf_counter()
         df = REGISTRY[name].fn(spark, sf_dir)
         out["spark_build"][name] = round(time.perf_counter() - t0, 2)
@@ -58,9 +64,13 @@ def main() -> int:
         out["spark"][name] = round(best, 2)
         print(f"# spark {name}: {best:.2f}s", file=sys.stderr, flush=True)
 
+    if spark_only:
+        out["spark_total"] = round(sum(out["spark"].values()), 2)
+        print(json.dumps(out))
+        return 0
     con = duck_connection(sf_dir)
     con.execute("SELECT 1").fetchall()
-    for name in QUERIES:
+    for name in queries:
         sql = REGISTRY[name].sql
         if sql is None:
             continue

@@ -256,3 +256,77 @@ def test_cosine_neardup_arrow_equals_sql_kernel(spark, seed, thr):
     assert arrow == sql
     assert (0, n) in arrow  # the exact-dup pair survives any threshold <= 1
     assert all(n + 1 not in p for p in arrow)  # zero vector never pairs
+
+
+# ---------------------------------------------------------------------------
+# q125 composition: mutual-kNN -> components -> profile
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_cluster_profile_hand_built(spark):
+    """Two tight clusters + one isolated vector inside one label block:
+    the composition must yield two multi-vector clusters keyed by their
+    min id and a singleton with n_edges=0 / NULL cosines."""
+    from oco3_data_transformer_spark.catalog import REGISTRY
+    from oco3_data_transformer_spark.operators.dedup import (
+        canonicalize_pairs_star,
+    )
+    from oco3_data_transformer_spark.operators.similarity import mutual_knn
+    from pyspark.sql import functions as F
+
+    def jitter(base, eps, i):
+        return [x + eps * (i + 1) for x in base]
+
+    rows = []
+    for i in range(4):  # cluster A: ids 0-3
+        rows.append((i, jitter([10.0, 0.0, 0.0], 0.01, i), 0))
+    for i in range(3):  # cluster B: ids 10-12, orthogonal direction
+        rows.append((10 + i, jitter([0.0, 10.0, 0.0], 0.01, i), 0))
+    rows.append((99, [0.0, 0.0, 42.0], 0))  # isolated: orthogonal to both
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    edges = mutual_knn(emb, "vec_id", "embedding", "label", k=2)
+    comp = canonicalize_pairs_star(
+        emb.select(F.col("vec_id").alias("id")), edges.select("id_a", "id_b")
+    )
+    got = {
+        r["canonical_id"]: r["n_vectors"]
+        for r in comp.groupBy("canonical_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .collect()
+    }
+    # k=2 keeps within-cluster neighbors mutual; cross-cluster cosines ~0
+    assert got[0] == 4 and got[10] == 3 and got[99] == 1
+
+
+@pytest.mark.parametrize("splits", [1, 3, 7])
+def test_mutual_knn_query_splits_identical(spark, splits):
+    # query-side splitting is a parallelism knob, never a semantics one:
+    # every split count yields the identical edge set (each query still
+    # scores against its FULL block)
+    rng = np.random.default_rng(11)
+    n, k = 40, 4
+    df = spark.createDataFrame(
+        [
+            (i, [float(x) for x in rng.normal(size=6)], int(i % 2))
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+
+    def key(rows):
+        return {
+            (r["id_a"], r["id_b"]): (r["rank_ab"], r["rank_ba"], round(r["cos"], 9))
+            for r in rows
+        }
+
+    want = key(
+        mutual_knn(df, "vec_id", "embedding", "label", k=k, kernel="sql").collect()
+    )
+    got = key(
+        mutual_knn(
+            df, "vec_id", "embedding", "label", k=k, query_splits=splits
+        ).collect()
+    )
+    assert got == want and want
