@@ -78,6 +78,7 @@ SKETCH_DETAIL = [
     "q122_prefix_filter_simjoin",
     "q123_neardup_graph_kcore",
     "q124_seed_expansion_ppr",
+    "q125_semantic_cluster_profile",
 ]
 
 
