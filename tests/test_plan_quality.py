@@ -730,3 +730,15 @@ def test_q124_ppr_iteration_plan_bounded(spark):
     )
     assert 0 < n_joins <= 8, f"unrolled join chain too deep: {n_joins}"
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q125_composition_plan(spark):
+    """q125 (kNN -> components -> profile composed in one plan): the kNN
+    stage must be the grouped Arrow kernel, components hang off the
+    star-loop's checkpointed result, and no cartesian appears anywhere —
+    the composition preserves each stage's pinned shape."""
+    plan = plan_of(spark, "q125_semantic_cluster_profile")
+    assert "FlatMapGroupsInPandas" in plan  # block-matmul kNN kernel
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" in plan  # star-CC result is lineage-cut
