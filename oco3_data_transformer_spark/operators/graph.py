@@ -76,17 +76,30 @@ def pagerank(
         e.select(F.col("__src").alias("node"))
         .unionByName(e.select(F.col("__dst").alias("node")))
         .distinct()
-        # referenced every iteration (left join) + by the initial vector:
-        # materialize once instead of re-running the union-distinct
+        # referenced every iteration (left join) + by the initial vector.
+        # checkpoint cuts the build lineage (keeps every printed plan one
+        # round deep); the repartition+persist ON TOP re-attaches the
+        # partitioning metadata a checkpoint's ExistingRDD loses, so the
+        # per-round nodes ⋈ contrib join aligns with the contribution
+        # aggregate's hash partitioning and neither side re-exchanges.
         .localCheckpoint(eager=False)
+        .repartition("node")
+        .persist()
     )
     n_nodes = nodes.count()  # control-plane scalar: sizes the teleport term
     out_w = e.groupBy("__src").agg(F.sum("__w").alias("__out_w"))
-    # normalized transition probability per edge; reused every iteration
+    # normalized transition probability per edge; reused every iteration.
+    # Checkpoint the build, then partition ONCE on the per-round join key
+    # and persist: InMemoryRelation keeps that partitioning, so the
+    # edge-sized side never crosses an exchange again — the GraphX
+    # partition-the-edges-once discipline (a bare checkpoint reports
+    # unknown partitioning and was re-shuffled EVERY round).
     probs = (
         e.join(out_w, "__src")
         .select("__src", "__dst", (F.col("__w") / F.col("__out_w")).alias("__p"))
         .localCheckpoint(eager=False)
+        .repartition("__src")
+        .persist()
     )
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
@@ -347,11 +360,19 @@ def label_propagation(
         F.col(a_col).alias("__a"), F.col(b_col).alias("__b"), w_expr.alias("__w")
     ).filter(F.col("__a") != F.col("__b"))
     # symmetrize: each undirected edge contributes to both endpoints' votes
-    e = half.unionByName(
-        half.select(
-            F.col("__b").alias("__a"), F.col("__a").alias("__b"), "__w"
+    # checkpoint, then partition once on the per-round join key (labels
+    # attach on __b) and persist: InMemoryRelation keeps the partitioning,
+    # so the edge-sized side never re-exchanges across rounds (pagerank)
+    e = (
+        half.unionByName(
+            half.select(
+                F.col("__b").alias("__a"), F.col("__a").alias("__b"), "__w"
+            )
         )
-    ).localCheckpoint(eager=False)  # referenced every round
+        .localCheckpoint(eager=False)
+        .repartition("__b")
+        .persist()
+    )  # referenced every round
     labels = (
         e.select(F.col("__a").alias("node"))
         .distinct()
@@ -464,12 +485,18 @@ def k_core(
     half = edges.select(
         F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
     ).filter(F.col("__a") != F.col("__b"))
+    # checkpoint, then partition once on __a (the degree groupBy key and
+    # the first alive filter's join key) and persist: the per-round joins
+    # broadcast the node-sized alive vector against the in-place edge
+    # table and the degree aggregate rides the same partitioning
     e = (
         half.unionByName(
             half.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
         )
         .distinct()
         .localCheckpoint(eager=False)
+        .repartition("__a")
+        .persist()
     )
     # round-0 degrees (every node alive) double as the k calibration input
     deg = e.groupBy(F.col("__a").alias("node")).agg(
@@ -587,7 +614,11 @@ def personalized_pagerank(
         .distinct()
         .join(seed_nodes.withColumn("__is_seed", F.lit(1)), "node", "left")
         .select("node", F.coalesce("__is_seed", F.lit(0)).alias("__is_seed"))
+        # checkpoint the build, re-attach node partitioning, persist
+        # (see pagerank's nodes comment)
         .localCheckpoint(eager=False)
+        .repartition("node")
+        .persist()
     )
     # |S ∩ graph|: teleport normalizes over seeds present in the graph
     n_seeds = nodes.agg(F.sum("__is_seed")).collect()[0][0]
@@ -595,10 +626,14 @@ def personalized_pagerank(
         raise ValueError("personalized_pagerank: no seed appears in the graph")
     t_expr = (F.col("__is_seed") / F.lit(float(n_seeds))).alias("__t")
     out_w = e.groupBy("__src").agg(F.sum("__w").alias("__out_w"))
+    # edge table checkpointed, then partitioned once on the per-round
+    # join key and persisted (see pagerank)
     probs = (
         e.join(out_w, "__src")
         .select("__src", "__dst", (F.col("__w") / F.col("__out_w")).alias("__p"))
         .localCheckpoint(eager=False)
+        .repartition("__src")
+        .persist()
     )
     ranks = nodes.select("node", t_expr.alias("pr"))
     for i in range(iters):

@@ -742,3 +742,64 @@ def test_q125_composition_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ExistingRDD" in plan  # star-CC result is lineage-cut
+
+
+def test_pagerank_edge_table_pre_partitioned_for_shuffle_joins(spark):
+    """The iterative operators persist their static edge tables
+    partitioned on the per-round join key. When the rank vector outgrows
+    broadcast (the 100 TB regime — forced here by disabling broadcast
+    joins), the shuffle join must exchange ONLY the rank side: the
+    persisted edge side reuses its InMemoryRelation partitioning."""
+    from oco3_data_transformer_spark.operators.graph import pagerank
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = spark.createDataFrame(
+            [(i, (i * 7) % 50, 1.0) for i in range(200)],
+            "s long, d long, w double",
+        )
+        pr = pagerank(edges, "s", "d", "w", iters=3)
+        plan = pr._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # final-round plan: exchanges may touch the node-sized vector and
+        # aggregates, but NO exchange may sit anywhere above an
+        # InMemoryTableScan (that would mean the persisted edge table is
+        # re-shuffled); the scan's whole subtree is checked, so a Project
+        # between them cannot hide the re-shuffle
+        assert "InMemoryTableScan" in plan
+        tree = plan.split("\n\n")[0]
+        lines = tree.splitlines()
+
+        def _depth(ln: str) -> int:
+            for marker in ("+- ", ":- "):
+                pos = ln.find(marker)
+                if pos >= 0:
+                    return pos
+            return 10_000
+
+        # for every cached scan, walk UP to its nearest join ancestor:
+        # the path must contain no Exchange (the persisted partitioning
+        # feeds the join directly; only the rank side may shuffle)
+        checked = 0
+        for i, ln in enumerate(lines):
+            if "InMemoryTableScan" not in ln:
+                continue
+            d = _depth(ln)
+            for j in range(i - 1, -1, -1):
+                pd = _depth(lines[j])
+                if pd >= d:
+                    continue  # sibling/inner detail, not an ancestor
+                d = pd
+                if "Join" in lines[j]:
+                    checked += 1
+                    break
+                assert "Exchange" not in lines[j], (
+                    "exchange between join and persisted edge table:\n" + tree
+                )
+        assert checked >= 2  # probs + nodes sides both verified
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
