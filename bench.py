@@ -60,17 +60,24 @@ HEADLINE = [
     "q41_grid_kernel",
 ]
 
-# Round-4 sketch/ANN/LM operators plus the round-5 graph family, timed at
-# both legs and recorded under "round4_detail" in BENCH_DETAIL.json
-# (VERDICT r04 item 4: their perf story belongs in a driver artifact).
-# Kept OUT of the headline total so the headline stays comparable across
-# rounds r01-r05.
+# Round-4 sketch/ANN/LM operators, timed at both legs and recorded under
+# "round4_detail" in BENCH_DETAIL.json (VERDICT r04 item 4: their perf
+# story belongs in a driver artifact). Kept OUT of the headline total so
+# the headline stays comparable across rounds r01-r05.
 SKETCH_DETAIL = [
     "q106_kmins_distinct",
     "q108_bigram_perplexity",
     "q111_sketch_setops",
     "q115_ivfpq_knn",
-    # round-5 graph family + prefix-filter sim-join
+]
+
+# Round-5 graph family + prefix-filter sim-join, recorded under its own
+# "round5_detail" block (VERDICT r05 item 3). These queries do most of
+# their work eagerly at DataFrame construction (per-round eager
+# localCheckpoints, persisted edge tables reused across reps), so for
+# them the honest Spark-vs-DuckDB comparison is build+exec — see
+# ratio_with_build in leg_summary.
+GRAPH_DETAIL = [
     "q117_transition_pagerank",
     "q119_neardup_graph_triangles",
     "q120_mutual_knn_graph",
@@ -207,11 +214,22 @@ def leg_summary(timings: dict, duck: dict, sf: str) -> dict:
     }
     if duck:
         spark_comparable = round(sum(mins[n] for n in duck), 3)
+        # Iterative/eager queries (graph family) do most of their work at
+        # DataFrame construction; exec-only mins understate their cost vs
+        # DuckDB's full per-rep runs. ratio_with_build charges build+exec
+        # so the artifact is honest on its own (ADVICE r05 bench.py:214).
+        spark_with_build = round(
+            sum(mins[n] + timings[n]["build"] for n in duck), 3
+        )
         duck_total = round(sum(v["min"] for v in duck.values()), 3)
         out["duckdb_queries"] = {n: v["min"] for n, v in duck.items()}
         out["duckdb_queries_median"] = {n: v["med"] for n, v in duck.items()}
         out["duckdb_total"] = duck_total
         out["ratio"] = round(spark_comparable / duck_total, 2) if duck_total else None
+        out["spark_total_with_build"] = spark_with_build
+        out["ratio_with_build"] = (
+            round(spark_with_build / duck_total, 2) if duck_total else None
+        )
     return out
 
 
@@ -241,6 +259,12 @@ def main() -> int:
             out["round4_detail"] = leg_summary(s4, d4, sf_dir)
         except Exception as exc:
             print(f"# round4 detail leg failed: {exc}", file=sys.stderr, flush=True)
+        try:
+            s5 = spark_leg(spark, sf_dir, reps=2, tag="sf0.1-r5", names=GRAPH_DETAIL)
+            d5 = duckdb_leg(sf_dir, reps=2, tag="sf0.1-r5", names=GRAPH_DETAIL)
+            out["round5_detail"] = leg_summary(s5, d5, sf_dir)
+        except Exception as exc:
+            print(f"# round5 detail leg failed: {exc}", file=sys.stderr, flush=True)
 
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         try:
@@ -258,6 +282,9 @@ def main() -> int:
                 s41 = spark_leg(spark, sf1_dir, reps=1, tag="sf1-r4", names=SKETCH_DETAIL)
                 d41 = duckdb_leg(sf1_dir, reps=1, tag="sf1-r4", names=SKETCH_DETAIL)
                 out["sf1"]["round4_detail"] = leg_summary(s41, d41, sf1_dir)
+                s51 = spark_leg(spark, sf1_dir, reps=1, tag="sf1-r5", names=GRAPH_DETAIL)
+                d51 = duckdb_leg(sf1_dir, reps=1, tag="sf1-r5", names=GRAPH_DETAIL)
+                out["sf1"]["round5_detail"] = leg_summary(s51, d51, sf1_dir)
         except Exception as exc:
             print(f"# sf1 leg failed: {exc}", file=sys.stderr, flush=True)
 

@@ -533,8 +533,8 @@ def k_core_sql(
 ) -> str:
     """ANSI-SQL (DuckDB) twin of :func:`k_core`: unrolls the identical
     peeling rounds as CTEs; ``k=None`` derives the same
-    floor-of-median-degree threshold as a scalar subquery. Caller selects
-    from ``kcore`` (columns ``node, deg``)."""
+    floor-of-lower-quartile-degree threshold as a scalar subquery. Caller
+    selects from ``kcore`` (columns ``node, deg``)."""
     k_expr = str(k) if k is not None else "(SELECT k FROM kparam)"
     parts = [
         f"kch AS (SELECT {a} AS na, {b} AS nb FROM {edges_cte}"

@@ -212,7 +212,7 @@ def cosine_neardup_pairs(
             F.col(id_col).alias("__id"),
             F.col(vec_col).alias("__vec"),
             F.col(block_col).alias("__blk"),
-        )
+        ).filter(F.col("__blk").isNotNull())  # equi-join NULL semantics: match sql kernel/oracle
         return sub.groupBy("__blk").applyInPandas(block_pairs, out_schema)
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
     if block_col:
@@ -1206,6 +1206,11 @@ def mutual_knn(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
         F.col(block_col).alias("__blk"),
+    ).filter(
+        # NULL block ids never match an equi-join; drop them up front so
+        # the arrow groupBy kernel shares the sql kernel's / oracle's
+        # NULL semantics instead of forming a spurious NULL-block group
+        F.col("__blk").isNotNull()
     )
     if kernel == "sql":
         a, b = sub.alias("a"), sub.alias("b")

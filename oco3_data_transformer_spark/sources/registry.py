@@ -49,6 +49,17 @@ NANO_TS_COLS = {"events": ["ts"]}
 _HANDLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
 
 
+def _evict_stale(live: SparkSession) -> None:
+    for k in [k for k, (sess, _) in _HANDLE_CACHE.items() if sess is not live]:
+        stale = _HANDLE_CACHE[k][0]
+        try:
+            stopped = stale._jsc is None or stale._jsc.sc().isStopped()
+        except Exception:
+            stopped = True
+        if stopped:
+            del _HANDLE_CACHE[k]
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(name)
@@ -56,6 +67,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     hit = _HANDLE_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
+    _evict_stale(spark)
     # Runtime-settable session conf: required so callers with a vanilla
     # SparkSession (no session.py builder) can still read TIMESTAMP(NANOS)
     # parquet columns. Without it the read throws PARQUET_TYPE_ILLEGAL.

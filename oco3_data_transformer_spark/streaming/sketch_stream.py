@@ -39,6 +39,14 @@ def _fs_for(spark: SparkSession, path: str):
     return jvm, jpath, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
 
 
+def _rename_or_raise(fs, src, dst) -> None:
+    # Hadoop FileSystem.rename signals failure by returning false, not by
+    # raising; a silently failed swap would leave the live path missing
+    # (or skip a recovery) without any error surfacing to the handler.
+    if not fs.rename(src, dst):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
 def _recover_live(spark: SparkSession, sketch_path: str) -> None:
     """Repair the live sketch table after a crash inside the rename pair.
 
@@ -72,10 +80,10 @@ def _recover_live(spark: SparkSession, sketch_path: str) -> None:
             if fs.exists(jvm.org.apache.hadoop.fs.Path(str(p) + "/_SUCCESS"))
         ]
         if complete:
-            fs.rename(complete[-1][1], jpath)
+            _rename_or_raise(fs, complete[-1][1], jpath)
             stagings = [(b, p) for b, p in stagings if (b, p) != complete[-1]]
         elif olds:
-            fs.rename(olds[-1][1], jpath)
+            _rename_or_raise(fs, olds[-1][1], jpath)
             olds = olds[:-1]
     # stale leftovers (crash after the swap, before the delete) would make
     # the next rename(live -> .old-N) fail or nest on some filesystems
@@ -97,8 +105,8 @@ def _staged_swap(spark: SparkSession, merged: DataFrame, sketch_path: str, batch
     if fs.exists(tmp_old):  # leftover from a replayed batch's earlier crash
         fs.delete(tmp_old, True)
     if fs.exists(jpath):
-        fs.rename(jpath, tmp_old)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), jpath)
+        _rename_or_raise(fs, jpath, tmp_old)
+    _rename_or_raise(fs, jvm.org.apache.hadoop.fs.Path(staging), jpath)
     fs.delete(tmp_old, True)
 
 
