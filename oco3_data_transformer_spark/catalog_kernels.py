@@ -93,6 +93,61 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_Q126_SQL = f"""
+    WITH lons AS ({_mesh_sql('lon_idx', GRID_RES, 0.0, 10.0)}),
+    lats AS ({_mesh_sql('lat_idx', GRID_RES, 0.0, 10.0)}),
+    regions AS (SELECT DISTINCT c_custkey % 5 AS region FROM customer)
+    SELECT CAST(r.region AS BIGINT) AS region, la.lat_idx, lo.lon_idx,
+           round(2.0 + 3.0 * CAST(lo.coord AS DOUBLE)
+                     - 0.5 * CAST(la.coord AS DOUBLE), 4) AS xco2_lin
+    FROM regions r CROSS JOIN lons lo CROSS JOIN lats la
+"""
+
+
+@register(
+    "q126_grid_linear_kernel",
+    _Q126_SQL,
+    doc="G1 'linear' gridding kernel (numpy Delaunay + barycentric, "
+    "operators/interp.py) run end-to-end through the grouped-map operator. "
+    "Values are affine in (lon, lat) and 4 corner points put every mesh "
+    "cell inside the hull, so the interpolant is exactly the plane at the "
+    "float32 mesh coords — SQL-predictable regardless of which (valid) "
+    "triangulation the kernel picks; non-affine behaviour is pinned by the "
+    "brute-force Delaunay differential in tests/test_delaunay.py. "
+    "ref processors/OCO3SamProcessor.py:161-182 (griddata method='linear').",
+)
+def q126(spark: SparkSession, sf: str) -> DataFrame:
+    cu = load(spark, sf, "customer")
+    pts = cu.select(
+        (F.col("c_custkey") % 5).alias("region"),
+        (F.col("c_custkey") % 97 / F.lit(9.7)).alias("longitude"),
+        (F.col("c_custkey") % 89 / F.lit(8.9)).alias("latitude"),
+    )
+    corners = spark.createDataFrame(
+        [(r, x, y) for r in range(5) for x in (-0.5, 10.5) for y in (-0.5, 10.5)],
+        "region long, longitude double, latitude double",
+    )
+    pts = (
+        pts.unionByName(corners)
+        .withColumn(
+            "xco2",
+            F.lit(2.0) + 3.0 * F.col("longitude") - 0.5 * F.col("latitude"),
+        )
+        .withColumn("min_lon", F.lit(0.0))
+        .withColumn("min_lat", F.lit(0.0))
+        .withColumn("max_lon", F.lit(10.0))
+        .withColumn("max_lat", F.lit(10.0))
+    )
+    out = grid_ops.grid_regions(
+        pts, ["region", "min_lon", "min_lat", "max_lon", "max_lat"], ["xco2"],
+        lon_res=GRID_RES, lat_res=GRID_RES, method="linear",
+        bbox_cols=("min_lon", "min_lat", "max_lon", "max_lat"),
+    )
+    return out.select(
+        "region", "lat_idx", "lon_idx", F.round("xco2", 4).alias("xco2_lin")
+    )
+
+
 @register(
     "q42_oco3_pipeline",
     None,

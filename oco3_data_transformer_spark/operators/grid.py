@@ -13,11 +13,11 @@ Spark-first design:
     cross-region communication at all.
   - 'nearest' is implemented exactly in numpy (argmin of squared Euclidean
     distance in lon/lat space, matching scipy's KD-tree result up to ties).
-  - 'linear'/'cubic' use scipy when importable; scipy is absent in this
-    environment, so they fall back to 'nearest' when ``allow_fallback`` else
-    raise NotImplementedError — the Spark-side plumbing (grouping, schema,
-    batch shape) is identical either way, which is the part that matters for
-    the engine.
+  - 'linear' runs a pure-numpy Delaunay + barycentric kernel
+    (operators/interp.py) that reproduces scipy.griddata(method='linear')
+    semantics — no scipy needed. 'cubic' (Clough-Tocher C1) still needs
+    scipy; absent here it falls back to 'linear' when ``allow_fallback``
+    else raises NotImplementedError.
   - the footprint mask (G6/J4) is a bbox range-join prefilter in pure
     DataFrame ops + an exact numpy refine (operators/geometry.py) in an
     Arrow-batched pandas UDF.
@@ -97,20 +97,24 @@ def grid_points(
     eff = method
     if method in ("linear", "cubic") and len(values) < MIN_POINTS_FOR_LINEAR:
         eff = "nearest"
-    if eff in ("linear", "cubic"):
+    if eff == "cubic":
         if HAVE_SCIPY:
             glon, glat = np.meshgrid(mesh_lon, mesh_lat)
             return _scipy_griddata(
                 np.column_stack([pts_lon, pts_lat]), values, (glon, glat),
-                method=eff, fill_value=np.nan,
+                method="cubic", fill_value=np.nan,
             )
         if not allow_fallback:
             raise NotImplementedError(
-                "linear/cubic griddata requires scipy (Qhull triangulation), "
-                "which is unavailable here; pass allow_fallback=True for "
-                "'nearest' semantics"
+                "cubic griddata is a Clough-Tocher C1 interpolant requiring "
+                "scipy, which is unavailable here; pass allow_fallback=True "
+                "for 'linear' semantics"
             )
-        eff = "nearest"
+        eff = "linear"
+    if eff == "linear":
+        from .interp import linear_griddata
+
+        return linear_griddata(pts_lon, pts_lat, values, mesh_lon, mesh_lat)
     return nearest_gridder(pts_lon, pts_lat, values, mesh_lon, mesh_lat)
 
 

@@ -1,0 +1,119 @@
+"""Differential + property tests for the numpy Delaunay/linear-interp kernel.
+
+The strongest triangulation-independent oracles (no scipy needed):
+- brute-force Delaunay: a triple is a Delaunay triangle iff its
+  circumcircle contains no other point (general position) — O(n^4) but
+  exact, and independent of the Bowyer-Watson code path;
+- affine reproduction: ANY valid triangulation's piecewise-linear
+  interpolant reproduces f(x, y) = a + bx + cy exactly inside the hull;
+- convexity: interpolated values lie within [min, max] of the data.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+
+from oco3_data_transformer_spark.operators import interp as I
+
+
+def brute_force_delaunay(pts: np.ndarray) -> set[tuple[int, int, int]]:
+    """All triples whose circumcircle is empty of other points (exact
+    Delaunay for general-position inputs). Reference implementation only."""
+    n = len(pts)
+    out = set()
+    for tri in itertools.combinations(range(n), 3):
+        a, b, c = pts[list(tri)]
+        M = np.array([a, b, c])
+        cc, r2 = I._circumcircles(M[None, 0], M[None, 1], M[None, 2])
+        if not np.isfinite(r2[0]):
+            continue  # degenerate triple
+        d2 = ((pts - cc[0]) ** 2).sum(1)
+        others = np.ones(n, dtype=bool)
+        others[list(tri)] = False
+        if (d2[others] > r2[0] * (1 - 1e-12)).all():
+            out.add(tuple(sorted(tri)))
+    return out
+
+
+@pytest.mark.parametrize("seed,n", [(0, 12), (1, 20), (2, 30), (3, 8)])
+def test_bowyer_watson_matches_brute_force(seed, n):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-5, 5, size=(n, 2))
+    got = {tuple(t) for t in I.delaunay(pts)}
+    want = brute_force_delaunay(pts)
+    assert got == want
+
+
+def test_empty_circumcircle_property_large():
+    # n too big for brute force: assert the defining property directly
+    rng = np.random.default_rng(42)
+    pts = rng.uniform(0, 100, size=(400, 2))
+    tris = I.delaunay(pts)
+    # Euler: a triangulation of n points with h hull points has
+    # 2n - h - 2 triangles; sanity-bound the count
+    assert len(tris) > 2 * 400 - 400 - 2 - 1  # h <= n
+    a, b, c = pts[tris[:, 0]], pts[tris[:, 1]], pts[tris[:, 2]]
+    cc, r2 = I._circumcircles(a, b, c)
+    # sample triangles exhaustively against all points (vectorized)
+    d2 = ((pts[None, :, :] - cc[:, None, :]) ** 2).sum(-1)  # (m, n)
+    inside = d2 < r2[:, None] * (1 - 1e-9)
+    inside[np.arange(len(tris))[:, None], tris] = False
+    assert not inside.any()
+
+
+def test_affine_reproduction_random_queries():
+    rng = np.random.default_rng(9)
+    pts = rng.uniform(-3, 3, size=(80, 2))
+    vals = 1.5 - 2.0 * pts[:, 0] + 4.0 * pts[:, 1]
+    qx = rng.uniform(-1, 1, 500)  # well inside the hull
+    qy = rng.uniform(-1, 1, 500)
+    got = I.linear_interpolate(pts, vals, qx, qy)
+    np.testing.assert_allclose(got, 1.5 - 2.0 * qx + 4.0 * qy, atol=1e-9)
+
+
+def test_interpolation_at_data_points_is_exact():
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(0, 10, size=(50, 2))
+    vals = rng.normal(size=50)
+    got = I.linear_interpolate(pts, vals, pts[:, 0], pts[:, 1])
+    np.testing.assert_allclose(got, vals, atol=1e-8)
+
+
+def test_convexity_bounds():
+    rng = np.random.default_rng(13)
+    pts = rng.uniform(0, 1, size=(60, 2))
+    vals = rng.uniform(10, 20, size=60)
+    q = rng.uniform(0.2, 0.8, size=(300, 2))
+    got = I.linear_interpolate(pts, vals, q[:, 0], q[:, 1])
+    ok = ~np.isnan(got)
+    assert ok.mean() > 0.95  # central queries: nearly all inside hull
+    assert (got[ok] >= vals.min() - 1e-9).all()
+    assert (got[ok] <= vals.max() + 1e-9).all()
+
+
+def test_collinear_returns_all_nan():
+    pts = np.column_stack([np.arange(6.0), 2.0 * np.arange(6.0)])
+    got = I.linear_interpolate(pts, np.arange(6.0), np.array([1.0]), np.array([2.0]))
+    assert np.isnan(got).all()
+    assert len(I.delaunay(pts)) == 0
+
+
+def test_duplicate_points_keep_first():
+    pts = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0], [0.0, 0.0]])
+    vals = np.array([5.0, 5.0, 5.0, 5.0, 99.0])  # duplicate carries junk
+    got = I.linear_interpolate(pts, vals, np.array([0.5]), np.array([0.5]))
+    np.testing.assert_allclose(got, [5.0])
+
+
+def test_single_triangle_barycentric():
+    pts = np.array([[0.0, 0.0], [2.0, 0.0], [0.0, 2.0]])
+    vals = np.array([0.0, 2.0, 4.0])
+    got = I.linear_interpolate(
+        pts, vals, np.array([0.5, 1.0, 5.0]), np.array([0.5, 0.0, 5.0])
+    )
+    # f(x,y) = x + 2y on this triangle
+    np.testing.assert_allclose(got[:2], [1.5, 1.0], atol=1e-12)
+    assert np.isnan(got[2])  # outside

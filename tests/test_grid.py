@@ -59,14 +59,46 @@ def test_linear_fallback_below_min_points():
     np.testing.assert_array_equal(got, expect)
 
 
-def test_linear_without_scipy_requires_fallback_flag():
-    plon = np.arange(5.0)
-    plat = np.arange(5.0)
+def test_cubic_without_scipy_requires_fallback_flag():
+    # 'linear' always executes (numpy Delaunay kernel); 'cubic' is the one
+    # method still gated on scipy (Clough-Tocher C1 interpolant)
+    plon = np.array([0.0, 2.0, 0.0, 2.0, 1.0])
+    plat = np.array([0.0, 0.0, 2.0, 2.0, 1.0])
     vals = np.arange(5.0)
-    mlon, mlat = G.make_mesh(0, 0, 4, 4, 3, 3)
+    mlon, mlat = G.make_mesh(0, 0, 2, 2, 3, 3)
     if not G.HAVE_SCIPY:
         with pytest.raises(NotImplementedError):
-            G.grid_points(plon, plat, vals, mlon, mlat, "linear", allow_fallback=False)
+            G.grid_points(plon, plat, vals, mlon, mlat, "cubic", allow_fallback=False)
+        # with fallback, cubic degrades to the linear kernel
+        got = G.grid_points(plon, plat, vals, mlon, mlat, "cubic")
+        want = G.grid_points(plon, plat, vals, mlon, mlat, "linear")
+        np.testing.assert_array_equal(got, want)
+
+
+def test_linear_executes_without_scipy():
+    # collinear-free 2-D cloud with affine values: the piecewise-linear
+    # interpolant must reproduce the plane exactly inside the hull
+    rng = np.random.default_rng(7)
+    plon = rng.uniform(0, 4, 40)
+    plat = rng.uniform(0, 4, 40)
+    vals = 2.0 + 3.0 * plon - 0.5 * plat
+    mlon, mlat = G.make_mesh(1, 1, 3, 3, 5, 5)  # interior mesh: inside hull
+    got = G.grid_points(plon, plat, vals, mlon, mlat, "linear", allow_fallback=False)
+    glon, glat = np.meshgrid(mlon.astype(np.float64), mlat.astype(np.float64))
+    np.testing.assert_allclose(got, 2.0 + 3.0 * glon - 0.5 * glat, atol=1e-9)
+
+
+def test_linear_nan_outside_hull():
+    # points confined to [0,1]^2; mesh extends to 3 -> outside cells NaN
+    plon = np.array([0.0, 1.0, 0.0, 1.0, 0.5])
+    plat = np.array([0.0, 0.0, 1.0, 1.0, 0.5])
+    vals = np.ones(5)
+    mlon, mlat = G.make_mesh(0, 0, 3, 3, 7, 7)
+    got = G.grid_points(plon, plat, vals, mlon, mlat, "linear")
+    glon, glat = np.meshgrid(mlon.astype(np.float64), mlat.astype(np.float64))
+    outside = (glon > 1.0 + 1e-9) | (glat > 1.0 + 1e-9)
+    assert np.isnan(got[outside]).all()
+    assert np.allclose(got[~outside], 1.0)
 
 
 def test_grid_regions_spark_operator(spark):
