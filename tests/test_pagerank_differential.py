@@ -33,7 +33,8 @@ def _reference(edges, iters, damping):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_pagerank_matches_numpy_power_iteration(spark, seed):
+@pytest.mark.parametrize("kernel", ["local", "distributed"])
+def test_pagerank_matches_numpy_power_iteration(spark, seed, kernel):
     rng = random.Random(seed)
     n_nodes = rng.randint(5, 12)
     names = [f"n{i}" for i in range(n_nodes)]
@@ -50,7 +51,10 @@ def test_pagerank_matches_numpy_power_iteration(spark, seed):
     edges = [e for e in edges if e[0] != drop] or [(names[0], names[1], 1.0)]
 
     df = spark.createDataFrame(edges, "src string, dst string, w double")
-    got = {r.node: r.pr for r in pagerank(df, "src", "dst", "w", iters=7).collect()}
+    got = {
+        r.node: r.pr
+        for r in pagerank(df, "src", "dst", "w", iters=7, kernel=kernel).collect()
+    }
     want = _reference(edges, iters=7, damping=0.85)
     assert set(got) == set(want)
     for node in want:

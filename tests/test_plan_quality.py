@@ -524,17 +524,46 @@ def test_ivfpq_routing_projection_and_code_probe(spark):
     assert plan.count("partial_min") == 2
 
 
-def test_pagerank_iteration_plan_and_lineage_cut(spark):
-    """q117 PageRank: the rank vector is localCheckpoint'ed every round, so
-    the FINAL plan contains exactly one iteration's shape hanging off an
-    RDD scan — join+groupBy with hash aggregates, no cartesian over data;
-    the only cross join is the 1-row conservation scalar, planned as a
-    broadcast nested loop. Pins the fix for the original 2^k subplan
-    duplication (each round references the previous vector; uncut lineage
-    doubled the plan per round — 30 joins at iters=10)."""
+def test_pagerank_q117_broadcast_regime_single_kernel(spark):
+    """q117 PageRank on the |event_types|² transition graph: the auto
+    probe must pick the LOCAL kernel — all rounds inside one mapInPandas
+    task, so the final plan has NO per-round join chain, no exchange
+    above the edge build, and no cartesian. (The 11.3 s iteration floor
+    was pure Py4J job-submission overhead on a broadcast-small graph.)"""
     from oco3_data_transformer_spark.catalog import REGISTRY
 
     df = REGISTRY["q117_transition_pagerank"].fn(spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "MapInPandas" in plan  # all rounds in one task
+    assert "Coalesce" in plan  # no shuffle into the kernel
+    n_joins = sum(plan.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 0, f"local-kernel plan must be join-free: {n_joins}"
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iteration_plan_and_lineage_cut(spark):
+    """Distributed-regime PageRank: the rank vector is localCheckpoint'ed
+    every round, so the FINAL plan contains exactly one iteration's shape
+    hanging off an RDD scan — join+groupBy with hash aggregates, no
+    cartesian over data; the only cross join is the 1-row conservation
+    scalar, planned as a broadcast nested loop. Pins the fix for the
+    original 2^k subplan duplication (each round references the previous
+    vector; uncut lineage doubled the plan per round — 30 joins at
+    iters=10)."""
+    from oco3_data_transformer_spark.operators import graph as graph_ops
+    from oco3_data_transformer_spark.operators import timeseries as ts_ops
+    from oco3_data_transformer_spark.sources.registry import load
+
+    ev = load(spark, SF, "events")
+    edges = ts_ops.transition_matrix(
+        ev, "user_id", "ts", "event_id", "event_type"
+    ).select("from_state", "to_state", "n_transitions")
+    df = graph_ops.pagerank(
+        edges, "from_state", "to_state", "n_transitions", iters=10,
+        kernel="distributed",
+    )
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -710,10 +739,12 @@ def test_q123_kcore_final_plan_bounded(spark):
 
 
 def test_q124_ppr_iteration_plan_bounded(spark):
-    """q124 personalized PageRank: same lineage-cut discipline as q117 —
-    the final plan hangs off the checkpointed round-7 vector, join depth
-    bounded at one round's, the seed-restart scalar joins as a 1-row
-    broadcast (never a data-proportional cartesian)."""
+    """q124 personalized PageRank: at fixture scale the wedge edge table
+    is broadcast-small, so the auto gate must run every restart-walk round
+    in ONE mapInPandas task — joins in the final plan are the (bounded)
+    edge-build's only, never a per-round chain, and no cartesian
+    anywhere. (The distributed regime's per-round lineage-cut plan is
+    pinned by test_pagerank_iteration_plan_and_lineage_cut.)"""
     from oco3_data_transformer_spark.catalog import REGISTRY
 
     df = REGISTRY["q124_seed_expansion_ppr"].fn(spark, SF)
@@ -722,13 +753,20 @@ def test_q124_ppr_iteration_plan_bounded(spark):
             "formatted"
         )
     )
-    assert "ExistingRDD" in plan
+    assert "MapInPandas" in plan  # all rounds in one task
     assert "CartesianProduct" not in plan
+    # the executed path is MapInPandas → Coalesce → InMemoryTableScan
+    # (cached probe'd edge table); everything below InMemoryRelation in
+    # the printout is the cached BUILD plan, not per-round work — so the
+    # executed slice above the cache scan must be join-free
+    executed = plan.split("InMemoryRelation")[0]
+    assert "Coalesce" in executed
+    assert "InMemoryTableScan" in executed
     n_joins = sum(
-        plan.count(j)
+        executed.count(j)
         for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
     )
-    assert 0 < n_joins <= 8, f"unrolled join chain too deep: {n_joins}"
+    assert n_joins == 0, f"per-round join chain leaked above the cache: {n_joins}"
     assert plan.count("HashAggregate") >= 2
 
 
@@ -759,7 +797,7 @@ def test_pagerank_edge_table_pre_partitioned_for_shuffle_joins(spark):
             [(i, (i * 7) % 50, 1.0) for i in range(200)],
             "s long, d long, w double",
         )
-        pr = pagerank(edges, "s", "d", "w", iters=3)
+        pr = pagerank(edges, "s", "d", "w", iters=3, kernel="distributed")
         plan = pr._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
