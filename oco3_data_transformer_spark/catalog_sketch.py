@@ -844,3 +844,97 @@ def q118(spark: SparkSession, sf: str) -> DataFrame:
     return codes.groupBy("subspace", "code").agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
+
+
+# ---------------------------------------------------------------------------
+# q127/q128 — percentile_approx variants of q104/q60: the 100 TB path the
+# exact queries document ("swap percentile_approx"), registered as
+# executable, oracle-checked queries (VERDICT r05 item 7)
+# ---------------------------------------------------------------------------
+
+PA_ACCURACY = 100  # GK summary: rank error <= n / accuracy = 1% of n
+
+
+def _approx_band_query(
+    df: DataFrame, group_col: str, value_col: str, ps: list[float]
+) -> DataFrame:
+    """percentile_approx vs its own accuracy contract: Spark's aggregate
+    is a Greenwald-Khanna quantile summary whose guarantee is on RANK —
+    the returned value's rank is within n/accuracy of p·n. So the check
+    is rank-based, not value-based (a value-band comparison against
+    interpolated exact percentiles fails on small discrete groups where
+    one rank step is a big value jump): re-join the per-group approx
+    value onto the rows (broadcast — |groups| rows) and verify
+    count(<= v)/n >= p − ε − 2/n and count(< v)/n <= p + ε + 2/n,
+    with ε = 1/accuracy and 2/n slack for duplicate/boundary ranks.
+    The query emits the verdict per group; a DuckDB oracle cannot replay
+    GK's merge order, but it CAN predict every verdict is true — which
+    makes the accuracy contract itself the hash-checked value (an approx
+    operator's testable property IS its error bound). At 100 TB this is
+    the quantile plan to run: GK state is mergeable map-side and bounded
+    per group, no per-group sort.
+    """
+    eps = 1.0 / PA_ACCURACY
+    v = F.col(value_col)
+    ap = df.groupBy(group_col).agg(
+        *[
+            F.percentile_approx(value_col, F.lit(p), F.lit(PA_ACCURACY)).alias(
+                f"__ap{int(p * 100)}"
+            )
+            for p in ps
+        ]
+    )
+    joined = df.join(F.broadcast(ap), group_col)
+    n = F.count(F.lit(1))
+    aggs = [n.alias("n")]
+    for p in ps:
+        tag = str(int(p * 100))
+        apc = F.col(f"__ap{tag}")
+        le = F.sum((v <= apc).cast("long")) / n
+        lt = F.sum((v < apc).cast("long")) / n
+        slack = F.lit(eps) + F.lit(2.0) / n
+        aggs.append(
+            ((le >= F.lit(p) - slack) & (lt <= F.lit(p) + slack)).alias(
+                f"p{tag}_ok"
+            )
+        )
+    return joined.groupBy(group_col).agg(*aggs)
+
+
+_PA_DOC = (
+    "percentile_approx (Greenwald-Khanna mergeable summary, accuracy "
+    f"{PA_ACCURACY}) checked against its rank-error contract: the approx "
+    "value must lie within the exact percentiles at p±2/accuracy. The "
+    "oracle predicts every verdict true — the error bound is the "
+    "hash-checked property (the honest cross-engine check for an approx "
+    "aggregate whose internal merge order no other engine replays). "
+    "This is the executable 100 TB form of the exact sort-based "
+)
+
+
+@register(
+    "q127_length_percentiles_approx",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           true AS p50_ok, true AS p95_ok
+    FROM documents GROUP BY lang
+    """,
+    doc=_PA_DOC + "q104 profile.",
+)
+def q127(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("lang", "n_chars")
+    return _approx_band_query(docs, "lang", "n_chars", [0.50, 0.95])
+
+
+@register(
+    "q128_price_percentiles_approx",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           true AS p50_ok, true AS p90_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc=_PA_DOC + "q60 profile.",
+)
+def q128(spark: SparkSession, sf: str) -> DataFrame:
+    od = load(spark, sf, "orders").select("o_orderpriority", "o_totalprice")
+    return _approx_band_query(od, "o_orderpriority", "o_totalprice", [0.50, 0.90])
