@@ -38,6 +38,36 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 
 
+class StorageConflictError(RuntimeError):
+    """Another writer committed between this operation's read and its
+    write (an optimistic-concurrency conflict — Delta's
+    Concurrent*Exception family). The caller must re-run the WHOLE
+    read-compute-write cycle, not just the write: the conflicting commit
+    may contain rows the recompute has to observe (a blind write retry
+    would silently drop them). sinks/store.py's mutators do exactly that
+    (bounded retries); convergence is guaranteed because the format
+    serializes commits, so each retry observes a strictly newer table
+    version."""
+
+
+def _delta_conflict_types() -> tuple:
+    """Delta's retryable optimistic-concurrency exception classes
+    (public API: delta.exceptions). Resolved lazily so the adapter module
+    imports without the package."""
+    from delta import exceptions as dex
+
+    names = (
+        "ConcurrentWriteException",
+        "ConcurrentAppendException",
+        "ConcurrentDeleteReadException",
+        "ConcurrentDeleteDeleteException",
+        "ConcurrentTransactionException",
+        "MetadataChangedException",
+        "ProtocolChangedException",
+    )
+    return tuple(getattr(dex, n) for n in names if hasattr(dex, n))
+
+
 class StorageAdapter:
     """Interface: the five primitives the store needs from a table format."""
 
@@ -146,13 +176,21 @@ class DeltaStorageAdapter(StorageAdapter):
         return spark.read.format("delta").load(path)
 
     def append(self, df, path, partition_cols):
-        df.write.format("delta").mode("append").partitionBy(*partition_cols).save(path)
+        try:
+            df.write.format("delta").mode("append").partitionBy(
+                *partition_cols
+            ).save(path)
+        except _delta_conflict_types() as e:
+            raise StorageConflictError(str(e)) from e
 
     def overwrite_partitions(self, df, path, partition_cols):
-        (
-            df.write.format("delta")
-            .mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*partition_cols)
-            .save(path)
-        )
+        try:
+            (
+                df.write.format("delta")
+                .mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*partition_cols)
+                .save(path)
+            )
+        except _delta_conflict_types() as e:
+            raise StorageConflictError(str(e)) from e

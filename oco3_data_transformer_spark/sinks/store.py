@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import scalar as scalar_fns
-from .adapter import ParquetStorageAdapter, StorageAdapter
+from .adapter import ParquetStorageAdapter, StorageAdapter, StorageConflictError
 
 # The identity of one stored raster cell (ref ZarrWriter dedups on `time`
 # alone because one store holds one mission×target×qf; the unified table
@@ -56,6 +56,24 @@ def _adapter(adapter: StorageAdapter | None) -> StorageAdapter:
 
 def _with_day(df: DataFrame) -> DataFrame:
     return df.withColumn("day", F.to_date("time"))
+
+
+# Optimistic-concurrency retries for ACID adapters: a StorageConflictError
+# means another writer committed between this cycle's read and its write,
+# so the WHOLE read-compute-write cycle re-runs (re-reading picks up the
+# conflicting commit's rows — a write-only retry would drop them). Bounded:
+# the format serializes commits, so each retry observes a strictly newer
+# version and livelock needs CONFLICT_RETRIES concurrent committers in a row.
+CONFLICT_RETRIES = 3
+
+
+def _retry_conflicts(cycle):
+    for attempt in range(CONFLICT_RETRIES + 1):
+        try:
+            return cycle()
+        except StorageConflictError:
+            if attempt == CONFLICT_RETRIES:
+                raise
 
 
 def store_exists(
@@ -84,21 +102,27 @@ def append(
     contract per format.
     """
     a = _adapter(adapter)
-    with a.write_lock(path):
-        new = _with_day(df.dropDuplicates(SLICE_KEY))
-        if a.exists(spark, path):
-            existing = a.read(spark, path)
-            # restrict the anti-join to the touched days via a broadcast
-            # semi-join on the distinct-day frame: dynamic partition pruning
-            # skips the untouched store partitions, and a backfill spanning
-            # thousands of days never materializes a thousands-literal IN list
-            days = F.broadcast(new.select("day").distinct())
-            existing = existing.join(days, on="day", how="left_semi").select(*SLICE_KEY)
-            new = new.join(existing, on=SLICE_KEY, how="left_anti")
-        n = new.count()
-        if n:
-            a.append(new, path, PARTITION_COLS)
-        return n
+
+    def cycle() -> int:
+        with a.write_lock(path):
+            new = _with_day(df.dropDuplicates(SLICE_KEY))
+            if a.exists(spark, path):
+                existing = a.read(spark, path)
+                # restrict the anti-join to the touched days via a broadcast
+                # semi-join on the distinct-day frame: dynamic partition pruning
+                # skips the untouched store partitions, and a backfill spanning
+                # thousands of days never materializes a thousands-literal IN list
+                days = F.broadcast(new.select("day").distinct())
+                existing = existing.join(days, on="day", how="left_semi").select(*SLICE_KEY)
+                deduped = new.join(existing, on=SLICE_KEY, how="left_anti")
+            else:
+                deduped = new
+            n = deduped.count()
+            if n:
+                a.append(deduped, path, PARTITION_COLS)
+            return n
+
+    return _retry_conflicts(cycle)
 
 
 def upsert(
@@ -114,11 +138,15 @@ def upsert(
     Returns the number of rows written (so repair-only cycles report their
     rewrite volume, not 0)."""
     a = _adapter(adapter)
-    with a.write_lock(path):
-        new = _with_day(df.dropDuplicates(SLICE_KEY))
-        n = new.count()
-        a.overwrite_partitions(new, path, PARTITION_COLS)
-        return n
+
+    def cycle() -> int:
+        with a.write_lock(path):
+            new = _with_day(df.dropDuplicates(SLICE_KEY))
+            n = new.count()
+            a.overwrite_partitions(new, path, PARTITION_COLS)
+            return n
+
+    return _retry_conflicts(cycle)
 
 
 def merge(
@@ -138,17 +166,21 @@ def merge(
     The merged rows are localCheckpoint-ed before the overwrite so the write
     does not lazily re-read the files it is replacing."""
     a = _adapter(adapter)
-    with a.write_lock(path):
-        new = _with_day(df.dropDuplicates(SLICE_KEY))
-        if a.exists(spark, path):
-            existing = a.read(spark, path)
-            touched = new.select(*PARTITION_COLS).distinct()
-            kept = (
-                existing.join(F.broadcast(touched), on=PARTITION_COLS, how="left_semi")
-                .join(new.select(*SLICE_KEY), on=SLICE_KEY, how="left_anti")
-            )
-            new = new.unionByName(kept).localCheckpoint(eager=True)
-        a.overwrite_partitions(new, path, PARTITION_COLS)
+
+    def cycle() -> None:
+        with a.write_lock(path):
+            new = _with_day(df.dropDuplicates(SLICE_KEY))
+            if a.exists(spark, path):
+                existing = a.read(spark, path)
+                touched = new.select(*PARTITION_COLS).distinct()
+                kept = (
+                    existing.join(F.broadcast(touched), on=PARTITION_COLS, how="left_semi")
+                    .join(new.select(*SLICE_KEY), on=SLICE_KEY, how="left_anti")
+                )
+                new = new.unionByName(kept).localCheckpoint(eager=True)
+            a.overwrite_partitions(new, path, PARTITION_COLS)
+
+    _retry_conflicts(cycle)
 
 
 def verify(
@@ -182,29 +214,33 @@ def repair(
     written; Parquet row order is not a contract, so pick by value), rewrite
     only the affected partitions."""
     a = _adapter(adapter)
-    with a.write_lock(path):
-        df = a.read(spark, path)
-        w = Window.partitionBy(*SLICE_KEY).orderBy(F.col("value").asc_nulls_last())
-        bad_days = (
-            df.groupBy(*PARTITION_COLS).agg(F.count(F.lit(1)).alias("n"))
-            .join(
-                df.dropDuplicates(SLICE_KEY).groupBy(*PARTITION_COLS)
-                .agg(F.count(F.lit(1)).alias("m")),
-                on=PARTITION_COLS,
+
+    def cycle() -> int:
+        with a.write_lock(path):
+            df = a.read(spark, path)
+            w = Window.partitionBy(*SLICE_KEY).orderBy(F.col("value").asc_nulls_last())
+            bad_days = (
+                df.groupBy(*PARTITION_COLS).agg(F.count(F.lit(1)).alias("n"))
+                .join(
+                    df.dropDuplicates(SLICE_KEY).groupBy(*PARTITION_COLS)
+                    .agg(F.count(F.lit(1)).alias("m")),
+                    on=PARTITION_COLS,
+                )
+                .filter(F.col("n") > F.col("m"))
+                .select(*PARTITION_COLS)
             )
-            .filter(F.col("n") > F.col("m"))
-            .select(*PARTITION_COLS)
-        )
-        fixed = (
-            df.join(F.broadcast(bad_days), on=PARTITION_COLS, how="left_semi")
-            .withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1)
-            .drop("__rk")
-        )
-        n = fixed.count()
-        if n:
-            a.overwrite_partitions(fixed, path, PARTITION_COLS)
-        return n
+            fixed = (
+                df.join(F.broadcast(bad_days), on=PARTITION_COLS, how="left_semi")
+                .withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") == 1)
+                .drop("__rk")
+            )
+            n = fixed.count()
+            if n:
+                a.overwrite_partitions(fixed, path, PARTITION_COLS)
+            return n
+
+    return _retry_conflicts(cycle)
 
 
 def compact(

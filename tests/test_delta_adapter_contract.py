@@ -22,11 +22,17 @@ from unittest.mock import MagicMock
 import pytest
 
 
+class FakeConcurrentAppendException(Exception):
+    """Stands in for delta.exceptions.ConcurrentAppendException."""
+
+
 @pytest.fixture()
 def fake_delta(monkeypatch):
-    """Inject a minimal ``delta``/``delta.tables`` package into sys.modules."""
+    """Inject a minimal ``delta``/``delta.tables``/``delta.exceptions``
+    package into sys.modules."""
     delta_mod = types.ModuleType("delta")
     tables_mod = types.ModuleType("delta.tables")
+    exc_mod = types.ModuleType("delta.exceptions")
 
     class FakeDeltaTable:
         is_delta_calls: list[tuple] = []
@@ -37,9 +43,12 @@ def fake_delta(monkeypatch):
             return path.endswith("/existing")
 
     tables_mod.DeltaTable = FakeDeltaTable
+    exc_mod.ConcurrentAppendException = FakeConcurrentAppendException
     delta_mod.tables = tables_mod
+    delta_mod.exceptions = exc_mod
     monkeypatch.setitem(sys.modules, "delta", delta_mod)
     monkeypatch.setitem(sys.modules, "delta.tables", tables_mod)
+    monkeypatch.setitem(sys.modules, "delta.exceptions", exc_mod)
     FakeDeltaTable.is_delta_calls.clear()
     return FakeDeltaTable
 
@@ -119,3 +128,40 @@ def test_overwrite_partitions_chain(fake_delta):
     pb = opt.return_value.partitionBy
     pb.assert_called_once_with("mission", "day")
     pb.return_value.save.assert_called_once_with("/store/t")
+
+
+def test_conflict_exceptions_translate_to_storage_conflict(fake_delta):
+    """Delta's optimistic-concurrency exceptions must surface as the
+    typed StorageConflictError so the store re-runs its WHOLE
+    read-compute-write cycle (a write-only retry would drop the
+    conflicting commit's rows)."""
+    from oco3_data_transformer_spark.sinks.adapter import StorageConflictError
+
+    a = _adapter(fake_delta)
+    df = MagicMock(name="df")
+    df.write.format.return_value.mode.return_value.partitionBy.return_value.save.side_effect = (
+        FakeConcurrentAppendException("txn 12 conflicts with 13")
+    )
+    with pytest.raises(StorageConflictError):
+        a.append(df, "/store/t", ["day"])
+
+    df2 = MagicMock(name="df2")
+    (
+        df2.write.format.return_value.mode.return_value.option.return_value
+        .partitionBy.return_value.save.side_effect
+    ) = FakeConcurrentAppendException("txn conflict")
+    with pytest.raises(StorageConflictError):
+        a.overwrite_partitions(df2, "/store/t", ["day"])
+
+
+def test_non_conflict_errors_propagate_unchanged(fake_delta):
+    """Only the Concurrent*/MetadataChanged family is retryable; any other
+    failure (analysis error, IO) must propagate as-is — retrying those
+    could mask real corruption."""
+    a = _adapter(fake_delta)
+    df = MagicMock(name="df")
+    df.write.format.return_value.mode.return_value.partitionBy.return_value.save.side_effect = (
+        RuntimeError("schema mismatch")
+    )
+    with pytest.raises(RuntimeError, match="schema mismatch"):
+        a.append(df, "/store/t", ["day"])

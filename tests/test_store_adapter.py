@@ -115,3 +115,89 @@ def test_delta_adapter_is_import_gated():
         pass
     with pytest.raises(NotImplementedError, match="delta-spark"):
         DeltaStorageAdapter()
+
+
+class ConflictingAdapter(RecordingAdapter):
+    """Simulates the Delta optimistic-concurrency protocol for ONE race:
+    writer B commits between writer A's read and A's write. The first
+    overwrite_partitions call (A's) raises StorageConflictError AFTER
+    letting the configured concurrent commit land — exactly what Delta's
+    commit-time conflict check does — so A's retry must re-read and
+    observe B's rows."""
+
+    supports_concurrent_writers = True  # ACID semantics under test
+
+    def __init__(self, concurrent_commit=None):
+        super().__init__()
+        self._concurrent_commit = concurrent_commit
+        self.conflicts_raised = 0
+
+    def write_lock(self, path):  # Delta: no in-process serialization
+        self.calls.append("write_lock")
+        from contextlib import nullcontext
+
+        return nullcontext()
+
+    def overwrite_partitions(self, df, path, partition_cols):
+        from oco3_data_transformer_spark.sinks.adapter import (
+            StorageConflictError,
+        )
+
+        if self._concurrent_commit is not None:
+            # the racing writer wins the commit; this writer's txn fails
+            commit, self._concurrent_commit = self._concurrent_commit, None
+            commit()
+            self.conflicts_raised += 1
+            raise StorageConflictError("concurrent append to touched partition")
+        self.calls.append("overwrite_partitions")
+        return self.inner.overwrite_partitions(df, path, partition_cols)
+
+
+def test_merge_conflict_retry_rereads_and_serializes(spark, tmp_path):
+    """Two concurrent merge() writers under an ACID adapter: writer B
+    commits between A's read and write; A's first commit attempt raises
+    the conflict, and A's retry must RE-READ (picking up B's rows) so the
+    final store equals the serialized B-then-A result. This is the
+    protocol-level contract the real Delta log enforces; a write-only
+    retry would lose B's rows entirely."""
+    path = str(tmp_path / "store")
+    a_rows = spark.createDataFrame(_rows(D1, [0, 1]), STORE_SLICE)
+    b_rows = spark.createDataFrame(_rows(D1, [5, 6]), STORE_SLICE)
+
+    plain = RecordingAdapter()
+    plain.supports_concurrent_writers = True
+
+    def writer_b_commit():
+        store.merge(spark, b_rows, path, adapter=plain)
+
+    racing = ConflictingAdapter(concurrent_commit=writer_b_commit)
+    store.merge(spark, a_rows, path, adapter=racing)
+
+    assert racing.conflicts_raised == 1
+    # A's cycle ran twice: read-free first pass (store absent), then after
+    # B's commit the retry re-read the store
+    assert racing.calls.count("exists") == 2
+    got = sorted(
+        (r.lat_idx, r.value)
+        for r in spark.read.parquet(path).collect()
+    )
+    assert got == [(0, 0.0), (1, 1.0), (5, 5.0), (6, 6.0)]
+
+
+def test_conflict_retries_bounded(spark, tmp_path):
+    """A persistent conflict storm must not livelock: after
+    CONFLICT_RETRIES re-runs the error propagates."""
+    from oco3_data_transformer_spark.sinks.adapter import StorageConflictError
+
+    path = str(tmp_path / "store")
+    rows = spark.createDataFrame(_rows(D1, [0]), STORE_SLICE)
+
+    class AlwaysConflict(ConflictingAdapter):
+        def overwrite_partitions(self, df, p, cols):
+            self.conflicts_raised += 1
+            raise StorageConflictError("storm")
+
+    a = AlwaysConflict()
+    with pytest.raises(StorageConflictError):
+        store.merge(spark, rows, path, adapter=a)
+    assert a.conflicts_raised == store.CONFLICT_RETRIES + 1
