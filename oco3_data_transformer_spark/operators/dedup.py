@@ -1176,11 +1176,22 @@ def prefix_filter_jaccard_pairs(
     # materialization keeps the df-join + rank window single-computed
     prefix = prefix.localCheckpoint(eager=False)
     a = prefix.select(
-        F.col("id").alias("id_a"), "h", F.col("__n_sh").alias("__n_a")
+        F.col("id").alias("id_a"), "h",
+        F.col("__n_sh").alias("__n_a"), F.col("__pos").alias("__i"),
     )
     b = prefix.select(
-        F.col("id").alias("id_b"), "h", F.col("__n_sh").alias("__n_b")
+        F.col("id").alias("id_b"), "h",
+        F.col("__n_sh").alias("__n_b"), F.col("__pos").alias("__j"),
     )
+    # PPJoin positional filter (Xiao et al. WWW'08) on top of the prefix
+    # bound: both shingle lists follow the SAME global order, so the
+    # FIRST common element of a pair sits at (min i, min j) across its
+    # prefix matches, every earlier element of either side is NOT shared,
+    # and the total overlap is bounded by 1 + min(n_a - i, n_b - j).
+    # jacc >= t  ⇔  overlap >= t/(1+t)·(n_a + n_b), so candidates whose
+    # positional bound can't reach that overlap die BEFORE the verify
+    # join — the dedup against multi-key prefix matches (the old
+    # .distinct()) falls out of the same groupBy for free.
     cand = (
         a.join(b, "h")
         .filter(
@@ -1189,8 +1200,22 @@ def prefix_filter_jaccard_pairs(
             & (F.col("__n_a") * F.lit(threshold) <= F.col("__n_b"))
             & (F.col("__n_b") * F.lit(threshold) <= F.col("__n_a"))
         )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min("__i").alias("__i"),
+            F.min("__j").alias("__j"),
+            F.first("__n_a").alias("__n_a"),
+            F.first("__n_b").alias("__n_b"),
+        )
+        .filter(
+            F.lit(1.0)
+            + F.least(F.col("__n_a") - F.col("__i"), F.col("__n_b") - F.col("__j"))
+            >= F.ceil(
+                F.lit(threshold) / (1.0 + threshold)
+                * (F.col("__n_a") + F.col("__n_b"))
+            )
+        )
         .select("id_a", "id_b")
-        .distinct()
     )
     # exact verify on candidates only: explode each candidate pair by
     # id_a's shingles, count matches against id_b's — shuffle volume is
