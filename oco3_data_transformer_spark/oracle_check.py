@@ -79,6 +79,49 @@ def compare_query(
     return res
 
 
+# Named query groups for --only (CI lanes): each round's NEW queries get a
+# group so a fresh operator can't land without a fast parity run covering
+# exactly its rows (VERDICT r05 item 8). Usage: --only @round6
+QUERY_GROUPS: dict[str, list[str]] = {
+    "round6": [
+        "q126_grid_linear_kernel",
+        "q127_length_percentiles_approx",
+        "q128_price_percentiles_approx",
+        # round-6 kernel/plan changes to pre-existing queries, re-gated here
+        "q117_transition_pagerank",
+        "q124_seed_expansion_ppr",
+        "q122_prefix_filter_simjoin",
+    ],
+    "graph": [
+        "q117_transition_pagerank",
+        "q119_neardup_graph_triangles",
+        "q120_mutual_knn_graph",
+        "q121_neardup_graph_lpa",
+        "q123_neardup_graph_kcore",
+        "q124_seed_expansion_ppr",
+        "q125_semantic_cluster_profile",
+    ],
+}
+
+
+def _resolve_only(only: str) -> list[str]:
+    """Expand ``--only`` entries: ``@group`` names splice their member
+    list; plain names pass through (dedup preserves order)."""
+    names: list[str] = []
+    for tok in only.split(","):
+        tok = tok.strip()
+        members = QUERY_GROUPS.get(tok[1:]) if tok.startswith("@") else None
+        if tok.startswith("@") and members is None:
+            raise SystemExit(
+                f"unknown query group {tok!r}; groups: "
+                f"{sorted(QUERY_GROUPS)}"
+            )
+        for n in members if members is not None else [tok]:
+            if n not in names:
+                names.append(n)
+    return names
+
+
 def main(
     sf_dir: str = "/root/testdata/sf0.01",
     only: str | None = None,
@@ -96,7 +139,7 @@ def main(
     spark = get_spark("oracle-check")
     con = duck_connection(sf_dir)
     failed, results = [], []
-    names = only.split(",") if only else list(REGISTRY)
+    names = _resolve_only(only) if only else list(REGISTRY)
     # Reject unknown names up front instead of recording them as failures:
     # a typo'd --only once serialized a misfired run (n_match 0,
     # failed=['none']) as if it were a real parity result (ADVICE r04).
@@ -144,7 +187,7 @@ def _cli() -> int:
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
-    p.add_argument("--only", default=None, help="comma-separated query names")
+    p.add_argument("--only", default=None, help="comma-separated query names; @group expands a QUERY_GROUPS lane (e.g. @round6)")
     p.add_argument("--out", default=None, help="artifact path (default: "
                    "CORRECTNESS_SELF.json for full-catalog runs, none otherwise)")
     a = p.parse_args()
