@@ -5,18 +5,32 @@ Closes the last semantic gap of the G1 gridding kernel: the reference runs
 processors/OCO3SamProcessor.py:161-182), which is Qhull Delaunay +
 barycentric interpolation, NaN outside the convex hull. scipy has no wheel
 reachable from this environment (install attempt documented in ROADMAP.md),
-so the same math is implemented here from the public textbook algorithms:
+so the same math is implemented here from the public textbook algorithms.
 
-- :func:`delaunay` — Bowyer-Watson incremental insertion (Bowyer 1981,
-  Watson 1981). Per inserted point the circumcircle test over all live
-  triangles is a single vectorized numpy expression, so the Python-level
-  work is O(n) iterations of C-speed array ops (O(n^2) worst case total —
-  fine for the per-(day, region) group sizes this kernel sees; groups are
-  the parallel unit, the triangulation never crosses groups).
-- :func:`linear_griddata` — barycentric point location over the mesh,
-  chunked so peak memory is bounded regardless of triangle count.
+Robustness design (each choice pinned by a regression in
+tests/test_delaunay.py — both alternatives were tried and failed):
 
-Semantics notes vs scipy (pinned by tests/test_delaunay.py):
+- **Symbolic infinite vertex, not a super-triangle** (the CGAL/Triangle
+  approach): the outside of the hull is covered by infinite faces, one
+  per hull edge, whose "in-circumcircle" test degenerates to an
+  orientation (edge-visibility) test. A finite super-triangle has no safe
+  size — too near and a hull face's huge circumcircle swallows the super
+  vertices (the face never forms: NaN band on the hull); too far and
+  mixed-triangle circumcircle arithmetic loses the float64 precision
+  needed to discriminate unit-square points (interior holes).
+- **Deterministic 1e-9 jitter in normalized space** (a lightweight
+  simulation-of-simplicity): real inputs are lattice-structured (the q126
+  CRT coordinates), so exactly-collinear chains and co-circular quads are
+  the NORM, and exact degeneracies create zero-area sliver triangles
+  whose infinite circumcircle poisons every later cavity. The jitter
+  breaks all ties consistently; triangulation AND barycentric evaluation
+  share the same jittered coordinates, so the interpolant is exact for
+  the jittered geometry (off the true one by O(1e-9·span·gradient) — far
+  below the catalog's rounding). Fully-collinear inputs are detected
+  BEFORE the jitter and return an all-NaN grid (Qhull raises there; the
+  pipeline wants the graceful answer).
+
+Semantics notes vs scipy:
 - On general-position inputs any Delaunay triangulation yields the same
   interpolant wherever the triangulation is unique; piecewise-linear
   interpolation reproduces affine functions exactly (the differential
@@ -24,11 +38,13 @@ Semantics notes vs scipy (pinned by tests/test_delaunay.py):
   reference triangulation).
 - Co-circular point sets have non-unique Delaunay diagonals; scipy/Qhull
   and this kernel may pick different (both valid) diagonals there.
-- Degenerate inputs (all points collinear): Qhull raises; this kernel
-  returns an all-NaN grid (no triangles → every cell outside the hull),
-  which is the graceful behaviour the pipeline wants.
 - Exact duplicate coordinates are collapsed keeping the first occurrence
   (Qhull merges them too).
+
+Complexity: per inserted point the circumcircle/visibility tests are one
+vectorized numpy pass over the live faces — O(n) iterations of C-speed
+array ops (O(n²) worst case; fine for per-(day, region) group sizes, and
+groups are the parallel unit — the triangulation never crosses groups).
 """
 
 from __future__ import annotations
@@ -36,13 +52,16 @@ from __future__ import annotations
 import numpy as np
 
 _EPS_CIRCUM = 1e-12  # relative slack on the in-circumcircle test
-_EPS_BARY = 1e-9  # slack on barycentric inside-test (points on edges)
+_EPS_ORIENT = 1e-12  # on-line band for visibility tests (normalized coords)
+_JITTER = 1e-9  # symbolic-style perturbation (normalized coords)
+_EPS_COLLINEAR = 1e-9  # pre-jitter degenerate-input gate (normalized)
+_EPS_INSIDE = 1e-6  # barycentric inside-slack (normalized; covers jitter)
 
 
 def _circumcircles(a: np.ndarray, b: np.ndarray, c: np.ndarray):
     """Circumcenter + squared radius for each triangle (vectorized).
-    Degenerate (collinear) triangles get an infinite circumcircle so any
-    later insertion clears them out of the mesh."""
+    Degenerate (collinear) triangles get an infinite circumcircle — the
+    jitter makes them unreachable in practice."""
     d = 2.0 * (
         a[:, 0] * (b[:, 1] - c[:, 1])
         + b[:, 0] * (c[:, 1] - a[:, 1])
@@ -71,47 +90,149 @@ def _circumcircles(a: np.ndarray, b: np.ndarray, c: np.ndarray):
     return cc, r2
 
 
-def delaunay(points: np.ndarray) -> np.ndarray:
-    """Delaunay triangulation of ``points`` (n, 2) → int array (m, 3) of
-    vertex indices. Empty result for n < 3 or fully degenerate input."""
-    pts = np.asarray(points, dtype=np.float64)
-    n = len(pts)
-    if n < 3:
-        return np.empty((0, 3), dtype=np.int64)
-    # normalize into the unit square for numeric stability
+def _prepare(pts: np.ndarray):
+    """Dedupe → normalize to the unit square → degenerate gate →
+    deterministic jitter. Returns ``(p, keep)`` where ``p`` is the
+    jittered normalized coordinate array and ``keep`` the original row
+    index of each kept point, plus ``(lo, span)`` to normalize queries —
+    or None when the input cannot support a triangulation."""
+    pts = np.asarray(pts, dtype=np.float64)
+    if len(pts) < 3:
+        return None
     lo = pts.min(axis=0)
     span = float(np.max(pts.max(axis=0) - lo))
     if span <= 0.0:
-        return np.empty((0, 3), dtype=np.int64)  # all points identical
-    p = (pts - lo) / span
-    # super-triangle comfortably containing the unit square
-    verts = np.vstack([p, [[-10.0, -10.0], [30.0, -10.0], [-10.0, 30.0]]])
-    tris = np.array([[n, n + 1, n + 2]], dtype=np.int64)
-    cc, r2 = _circumcircles(verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]])
-    for i in range(n):
-        q = verts[i]
-        d2 = ((cc - q) ** 2).sum(1)
-        bad = d2 <= r2 * (1.0 + _EPS_CIRCUM)
-        if not bad.any():
-            # numerically outside every circumcircle (can only happen on a
-            # duplicate/near-duplicate of an existing vertex) — skip it
-            continue
-        bad_tris = tris[bad]
-        edges = bad_tris[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2)
-        edges = np.sort(edges, axis=1)
+        return None  # all points identical
+    p_all = (pts - lo) / span
+    keep = np.sort(np.unique(p_all, axis=0, return_index=True)[1])
+    p = p_all[keep]
+    if len(p) < 3:
+        return None
+    # collinearity gate on the TRUE coords: A = lexicographic min,
+    # B = farthest from A; degenerate iff every point is within
+    # _EPS_COLLINEAR of line AB
+    ia = np.lexsort((p[:, 1], p[:, 0]))[0]
+    d2a = ((p - p[ia]) ** 2).sum(1)
+    ib = int(np.argmax(d2a))
+    ab = p[ib] - p[ia]
+    cross = np.abs(ab[0] * (p[:, 1] - p[ia, 1]) - ab[1] * (p[:, 0] - p[ia, 0]))
+    dist = cross / max(np.sqrt(d2a[ib]), 1e-300)
+    ic = int(np.argmax(dist))
+    if dist[ic] < _EPS_COLLINEAR:
+        return None  # all collinear
+    rng = np.random.default_rng(0x5EED)
+    p = p + rng.uniform(-_JITTER, _JITTER, p.shape)
+    return p, keep, lo, span, (ia, ib, ic)
+
+
+def _triangulate(p: np.ndarray, init: tuple[int, int, int]) -> np.ndarray:
+    """Bowyer-Watson over prepared (jittered, unit-square) points with a
+    symbolic infinite vertex. ``init`` is a well-conditioned starting
+    triple (the two hull extremes + the max-offset point).
+
+    The in-circle test is the classic TRANSLATED DETERMINANT predicate on
+    CCW-oriented triangles, NOT a distance-to-circumcenter comparison:
+    near-degenerate slivers (unavoidable on lattice inputs even after the
+    jitter) have circumcenters computed through catastrophic cancellation
+    (error ~1e-16/area), and one misclassified conflict leaves a
+    non-Delaunay hole that derails every later cavity (observed: a
+    k=37 lattice prefix exploding to 4x the hull area). The determinant's
+    error is ~1e-15 ABSOLUTE for unit-square inputs regardless of the
+    triangle's shape, which the 1e-9 jitter scale dominates safely."""
+    m = len(p)
+    INF = m
+
+    def orient(a, b, q):  # >0: q left of a→b
+        return (b[0] - a[0]) * (q[1] - a[1]) - (b[1] - a[1]) * (q[0] - a[0])
+
+    t0 = list(init)
+    if orient(p[t0[0]], p[t0[1]], p[t0[2]]) < 0:
+        t0 = [t0[0], t0[2], t0[1]]  # store CCW
+    order = t0 + [j for j in range(m) if j not in init]
+    tris = np.array([t0], dtype=np.int64)
+    csum = p[t0].sum(axis=0)
+    n_in = 3
+
+    def directed(u, v, cen):
+        # infinite face stored as (a, b) with the OUTSIDE half-plane
+        # "left of a→b"; the running centroid is strictly interior
+        # (convexity), so it must sit on the right
+        return (u, v) if orient(p[u], p[v], cen) < 0 else (v, u)
+
+    cen0 = csum / 3
+    inf_faces = np.array(
+        [
+            directed(a, b, cen0)
+            for a, b in ((t0[0], t0[1]), (t0[1], t0[2]), (t0[2], t0[0]))
+        ],
+        dtype=np.int64,
+    )
+
+    for i in order[3:]:
+        q = p[i]
+        # incircle determinant, translated by q (CCW rows → >0 = inside)
+        T = p[tris] - q  # (k, 3, 2)
+        lift = (T * T).sum(-1)  # (k, 3)
+        ax, ay = T[:, 0, 0], T[:, 0, 1]
+        bx, by = T[:, 1, 0], T[:, 1, 1]
+        cx, cy = T[:, 2, 0], T[:, 2, 1]
+        det = (
+            lift[:, 0] * (bx * cy - by * cx)
+            - lift[:, 1] * (ax * cy - ay * cx)
+            + lift[:, 2] * (ax * by - ay * bx)
+        )
+        bad_fin = det > 0.0
+        a, b = p[inf_faces[:, 0]], p[inf_faces[:, 1]]
+        ori = (b[:, 0] - a[:, 0]) * (q[1] - a[:, 1]) - (b[:, 1] - a[:, 1]) * (
+            q[0] - a[:, 0]
+        )
+        # visibility: for a convex hull the conflicting edge set is
+        # exactly the visible chain, so the cavity stays star-shaped
+        bad_inf = ori > -_EPS_ORIENT
+        if not (bad_fin.any() or bad_inf.any()):
+            continue  # cannot happen on unique jittered input
+        fin_edges = tris[bad_fin][:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2)
+        infs = inf_faces[bad_inf]
+        inf_edges = np.column_stack(
+            [infs.reshape(-1), np.full(2 * len(infs), INF, dtype=np.int64)]
+        )
+        edges = np.sort(np.vstack([fin_edges, infs, inf_edges]), axis=1)
         uniq, counts = np.unique(edges, axis=0, return_counts=True)
         boundary = uniq[counts == 1]
-        keep = ~bad
-        new = np.column_stack(
-            [np.full(len(boundary), i, dtype=np.int64), boundary]
+        csum = csum + q
+        n_in += 1
+        cen = csum / n_in
+        fin_b = boundary[boundary[:, 1] != INF]
+        new = np.column_stack([np.full(len(fin_b), i, dtype=np.int64), fin_b])
+        # orient new triangles CCW (the incircle sign depends on it)
+        U, V = p[new[:, 1]], p[new[:, 2]]
+        cr = (U[:, 0] - q[0]) * (V[:, 1] - q[1]) - (U[:, 1] - q[1]) * (
+            V[:, 0] - q[0]
         )
-        ncc, nr2 = _circumcircles(verts[new[:, 0]], verts[new[:, 1]], verts[new[:, 2]])
-        tris = np.vstack([tris[keep], new])
-        cc = np.vstack([cc[keep], ncc])
-        r2 = np.concatenate([r2[keep], nr2])
-    # drop triangles that use a super-triangle vertex
-    real = (tris < n).all(axis=1)
-    return np.sort(tris[real], axis=1)
+        flip = cr < 0
+        new[flip, 1], new[flip, 2] = new[flip, 2], new[flip, 1].copy()
+        tris = np.vstack([tris[~bad_fin], new])
+        new_inf = [
+            directed(i, int(u), cen) for u in boundary[boundary[:, 1] == INF][:, 0]
+        ]
+        inf_faces = (
+            np.vstack([inf_faces[~bad_inf], np.asarray(new_inf, dtype=np.int64)])
+            if new_inf
+            else inf_faces[~bad_inf]
+        )
+    return tris
+
+
+def delaunay(points: np.ndarray) -> np.ndarray:
+    """Delaunay triangulation of ``points`` (n, 2) → int array (m, 3) of
+    vertex indices into the ORIGINAL array. Empty result for n < 3 or
+    fully degenerate (collinear/identical) input; duplicate coordinates
+    collapse to the first occurrence."""
+    prep = _prepare(points)
+    if prep is None:
+        return np.empty((0, 3), dtype=np.int64)
+    p, keep, _, _, init = prep
+    return np.sort(keep[_triangulate(p, init)], axis=1)
 
 
 def linear_interpolate(
@@ -122,36 +243,40 @@ def linear_interpolate(
 ) -> np.ndarray:
     """Piecewise-linear (barycentric) interpolation of scattered ``pts``
     (n, 2) / ``values`` (n,) at query locations — NaN outside the convex
-    hull. Exact duplicate coordinates collapse to the first occurrence."""
-    pts = np.asarray(pts, dtype=np.float64)
+    hull. Triangulation and barycentric weights share the same jittered
+    normalized coordinates (see module docstring), so the evaluation is
+    self-consistent: no pinholes on internal edges."""
     values = np.asarray(values, dtype=np.float64)
-    _, first = np.unique(pts, axis=0, return_index=True)
-    if len(first) != len(pts):
-        keep = np.sort(first)
-        pts, values = pts[keep], values[keep]
+    qx = np.asarray(qx, dtype=np.float64)
+    qy = np.asarray(qy, dtype=np.float64)
     out = np.full(len(qx), np.nan)
-    tri = delaunay(pts)
+    prep = _prepare(pts)
+    if prep is None:
+        return out
+    p, keep, lo, span, init = prep
+    vals = values[keep]
+    tri = _triangulate(p, init)
     if len(tri) == 0:
         return out
-    a, b, c = pts[tri[:, 0]], pts[tri[:, 1]], pts[tri[:, 2]]
+    qxn = (qx - lo[0]) / span
+    qyn = (qy - lo[1]) / span
+    a, b, c = p[tri[:, 0]], p[tri[:, 1]], p[tri[:, 2]]
     det = (b[:, 1] - c[:, 1]) * (a[:, 0] - c[:, 0]) + (c[:, 0] - b[:, 0]) * (
         a[:, 1] - c[:, 1]
     )
     det = np.where(det == 0.0, np.nan, det)
-    va, vb, vc = values[tri[:, 0]], values[tri[:, 1]], values[tri[:, 2]]
-    scale = max(
-        1.0, float(np.max(np.abs(pts[:, 0]))), float(np.max(np.abs(pts[:, 1])))
-    )
-    eps = _EPS_BARY * scale
+    va, vb, vc = vals[tri[:, 0]], vals[tri[:, 1]], vals[tri[:, 2]]
     chunk = max(1, 4_000_000 // max(1, len(tri)))
-    for s in range(0, len(qx), chunk):
-        e = min(s + chunk, len(qx))
-        dx = qx[s:e, None] - c[None, :, 0]
-        dy = qy[s:e, None] - c[None, :, 1]
+    for s in range(0, len(qxn), chunk):
+        e = min(s + chunk, len(qxn))
+        dx = qxn[s:e, None] - c[None, :, 0]
+        dy = qyn[s:e, None] - c[None, :, 1]
         l1 = ((b[:, 1] - c[:, 1])[None, :] * dx + (c[:, 0] - b[:, 0])[None, :] * dy) / det
         l2 = ((c[:, 1] - a[:, 1])[None, :] * dx + (a[:, 0] - c[:, 0])[None, :] * dy) / det
         l3 = 1.0 - l1 - l2
-        inside = (l1 >= -eps) & (l2 >= -eps) & (l3 >= -eps)
+        inside = (
+            (l1 >= -_EPS_INSIDE) & (l2 >= -_EPS_INSIDE) & (l3 >= -_EPS_INSIDE)
+        )
         has = inside.any(axis=1)
         ti = inside.argmax(axis=1)
         rows = np.arange(e - s)
@@ -176,7 +301,9 @@ def linear_griddata(
         np.asarray(mesh_lat, dtype=np.float64),
     )
     flat = linear_interpolate(
-        np.column_stack([np.asarray(pts_lon, np.float64), np.asarray(pts_lat, np.float64)]),
+        np.column_stack(
+            [np.asarray(pts_lon, np.float64), np.asarray(pts_lat, np.float64)]
+        ),
         values,
         glon.ravel(),
         glat.ravel(),

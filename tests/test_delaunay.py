@@ -71,7 +71,8 @@ def test_affine_reproduction_random_queries():
     qx = rng.uniform(-1, 1, 500)  # well inside the hull
     qy = rng.uniform(-1, 1, 500)
     got = I.linear_interpolate(pts, vals, qx, qy)
-    np.testing.assert_allclose(got, 1.5 - 2.0 * qx + 4.0 * qy, atol=1e-9)
+    # atol bounds the deterministic-jitter error (~|grad f| * span * 1e-9)
+    np.testing.assert_allclose(got, 1.5 - 2.0 * qx + 4.0 * qy, atol=1e-6)
 
 
 def test_interpolation_at_data_points_is_exact():
@@ -79,7 +80,9 @@ def test_interpolation_at_data_points_is_exact():
     pts = rng.uniform(0, 10, size=(50, 2))
     vals = rng.normal(size=50)
     got = I.linear_interpolate(pts, vals, pts[:, 0], pts[:, 1])
-    np.testing.assert_allclose(got, vals, atol=1e-8)
+    # atol bounds the jitter error: the true location sits ~1e-8 off the
+    # jittered vertex, inside a neighboring facet's plane
+    np.testing.assert_allclose(got, vals, atol=1e-6)
 
 
 def test_convexity_bounds():
@@ -117,3 +120,39 @@ def test_single_triangle_barycentric():
     # f(x,y) = x + 2y on this triangle
     np.testing.assert_allclose(got[:2], [1.5, 1.0], atol=1e-12)
     assert np.isnan(got[2])  # outside
+
+
+def test_hull_edge_queries_not_nan():
+    """Regression: a too-near super-triangle made a hull face's huge
+    circumcircle reach the super vertices, the face never formed, and
+    queries ON the hull edge came back NaN. Queries exactly on every hull
+    edge must interpolate (planar cloud → exact plane values)."""
+    rng = np.random.default_rng(11)
+    x = np.concatenate([rng.uniform(0, 10, 40), [0, 10, 0, 10]])
+    y = np.concatenate([rng.uniform(0, 10, 40), [0, 0, 10, 10]])
+    pts = np.column_stack([x, y])
+    vals = 2.0 + 3.0 * x - y
+    t = np.linspace(0, 10, 21)
+    for qx, qy in [
+        (t, np.full_like(t, 10.0)),  # top edge (the observed failure)
+        (t, np.zeros_like(t)),
+        (np.zeros_like(t), t),
+        (np.full_like(t, 10.0), t),
+    ]:
+        got = I.linear_interpolate(pts, vals, qx, qy)
+        np.testing.assert_allclose(got, 2.0 + 3.0 * qx - qy, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [10, 20, 30])
+def test_bowyer_watson_matches_brute_force_with_exact_corners(seed):
+    """The failure regime: exact bbox corners + interior points (large
+    hull circumcircles). BW must still equal the brute-force empty-
+    circumcircle triangulation."""
+    rng = np.random.default_rng(seed)
+    pts = np.vstack(
+        [rng.uniform(0, 10, size=(20, 2)),
+         [[0, 0], [10, 0], [0, 10], [10, 10]]]
+    )
+    got = {tuple(t) for t in I.delaunay(pts)}
+    want = brute_force_delaunay(pts)
+    assert got == want
