@@ -106,11 +106,14 @@ def grid_points(
             )
         if not allow_fallback:
             raise NotImplementedError(
-                "cubic griddata is a Clough-Tocher C1 interpolant requiring "
-                "scipy, which is unavailable here; pass allow_fallback=True "
-                "for 'linear' semantics"
+                "exact scipy 'cubic' semantics (Clough-Tocher C1) need the "
+                "scipy wheel; pass allow_fallback=True for the numpy cubic "
+                "Bézier fallback (same Nielson gradients, C0 across edges "
+                "— operators/interp.cubic_griddata)"
             )
-        eff = "linear"
+        from .interp import cubic_griddata
+
+        return cubic_griddata(pts_lon, pts_lat, values, mesh_lon, mesh_lat)
     if eff == "linear":
         from .interp import linear_griddata
 

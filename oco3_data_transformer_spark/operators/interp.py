@@ -235,6 +235,43 @@ def delaunay(points: np.ndarray) -> np.ndarray:
     return np.sort(keep[_triangulate(p, init)], axis=1)
 
 
+def _locate(p: np.ndarray, tri: np.ndarray, qxn: np.ndarray, qyn: np.ndarray):
+    """Chunked brute-force point location: for each query return
+    (found, tri_index, l1, l2, l3) — the containing triangle (first hit,
+    with ``_EPS_INSIDE`` slack) and its barycentric coordinates."""
+    nq = len(qxn)
+    found = np.zeros(nq, dtype=bool)
+    ti_out = np.zeros(nq, dtype=np.int64)
+    l1o = np.empty(nq)
+    l2o = np.empty(nq)
+    l3o = np.empty(nq)
+    a, b, c = p[tri[:, 0]], p[tri[:, 1]], p[tri[:, 2]]
+    det = (b[:, 1] - c[:, 1]) * (a[:, 0] - c[:, 0]) + (c[:, 0] - b[:, 0]) * (
+        a[:, 1] - c[:, 1]
+    )
+    det = np.where(det == 0.0, np.nan, det)
+    chunk = max(1, 4_000_000 // max(1, len(tri)))
+    for s in range(0, nq, chunk):
+        e = min(s + chunk, nq)
+        dx = qxn[s:e, None] - c[None, :, 0]
+        dy = qyn[s:e, None] - c[None, :, 1]
+        l1 = ((b[:, 1] - c[:, 1])[None, :] * dx + (c[:, 0] - b[:, 0])[None, :] * dy) / det
+        l2 = ((c[:, 1] - a[:, 1])[None, :] * dx + (a[:, 0] - c[:, 0])[None, :] * dy) / det
+        l3 = 1.0 - l1 - l2
+        inside = (
+            (l1 >= -_EPS_INSIDE) & (l2 >= -_EPS_INSIDE) & (l3 >= -_EPS_INSIDE)
+        )
+        has = inside.any(axis=1)
+        ti = inside.argmax(axis=1)
+        rows = np.arange(e - s)
+        found[s:e] = has
+        ti_out[s:e] = ti
+        l1o[s:e] = l1[rows, ti]
+        l2o[s:e] = l2[rows, ti]
+        l3o[s:e] = l3[rows, ti]
+    return found, ti_out, l1o, l2o, l3o
+
+
 def linear_interpolate(
     pts: np.ndarray,
     values: np.ndarray,
@@ -260,31 +297,159 @@ def linear_interpolate(
         return out
     qxn = (qx - lo[0]) / span
     qyn = (qy - lo[1]) / span
-    a, b, c = p[tri[:, 0]], p[tri[:, 1]], p[tri[:, 2]]
-    det = (b[:, 1] - c[:, 1]) * (a[:, 0] - c[:, 0]) + (c[:, 0] - b[:, 0]) * (
-        a[:, 1] - c[:, 1]
-    )
-    det = np.where(det == 0.0, np.nan, det)
+    found, ti, l1, l2, l3 = _locate(p, tri, qxn, qyn)
     va, vb, vc = vals[tri[:, 0]], vals[tri[:, 1]], vals[tri[:, 2]]
-    chunk = max(1, 4_000_000 // max(1, len(tri)))
-    for s in range(0, len(qxn), chunk):
-        e = min(s + chunk, len(qxn))
-        dx = qxn[s:e, None] - c[None, :, 0]
-        dy = qyn[s:e, None] - c[None, :, 1]
-        l1 = ((b[:, 1] - c[:, 1])[None, :] * dx + (c[:, 0] - b[:, 0])[None, :] * dy) / det
-        l2 = ((c[:, 1] - a[:, 1])[None, :] * dx + (a[:, 0] - c[:, 0])[None, :] * dy) / det
-        l3 = 1.0 - l1 - l2
-        inside = (
-            (l1 >= -_EPS_INSIDE) & (l2 >= -_EPS_INSIDE) & (l3 >= -_EPS_INSIDE)
-        )
-        has = inside.any(axis=1)
-        ti = inside.argmax(axis=1)
-        rows = np.arange(e - s)
-        vals_q = (
-            l1[rows, ti] * va[ti] + l2[rows, ti] * vb[ti] + l3[rows, ti] * vc[ti]
-        )
-        out[s:e][has] = vals_q[has]
+    res = l1 * va[ti] + l2 * vb[ti] + l3 * vc[ti]
+    out[found] = res[found]
     return out
+
+
+def estimate_gradients(
+    p: np.ndarray,
+    tri: np.ndarray,
+    vals: np.ndarray,
+    maxiter: int = 400,
+    tol: float = 1e-8,
+) -> np.ndarray:
+    """Global gradient estimation (Nielson 1983, the method scipy's
+    CloughTocher2DInterpolator uses): pick per-vertex gradients minimizing
+    the summed bending energy of the cubic Hermite curves along every
+    triangulation edge, Σ_e (1/|e|³)∫ h_e''(t)² dt. The stationarity
+    conditions are a per-vertex 2x2 linear system coupled to the
+    neighbors' gradients; solved by vectorized Jacobi iteration (each
+    round is a handful of scatter-adds). Exact for affine fields (the
+    true constant gradient zeroes every edge residual)."""
+    n = len(p)
+    edges = np.unique(
+        np.sort(tri[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2), axis=1), axis=0
+    )
+    src = np.concatenate([edges[:, 0], edges[:, 1]])
+    dst = np.concatenate([edges[:, 1], edges[:, 0]])
+    evec = p[dst] - p[src]
+    L2 = (evec * evec).sum(1)
+    w = 1.0 / np.maximum(L2, 1e-300) ** 1.5
+    dv = vals[dst] - vals[src]
+    # per-vertex 2x2 normal matrix A_i = Σ_j 8 w e eᵀ (constant)
+    A = np.zeros((n, 2, 2))
+    outer = 8.0 * w[:, None, None] * evec[:, :, None] * evec[:, None, :]
+    np.add.at(A, src, outer)
+    detA = A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0]
+    detA = np.where(detA == 0.0, np.nan, detA)
+    inv = np.empty_like(A)
+    inv[:, 0, 0] = A[:, 1, 1] / detA
+    inv[:, 1, 1] = A[:, 0, 0] / detA
+    inv[:, 0, 1] = -A[:, 0, 1] / detA
+    inv[:, 1, 0] = -A[:, 1, 0] / detA
+    g = np.zeros((n, 2))
+    for _ in range(maxiter):
+        gj_dot_e = (g[dst] * evec).sum(1)
+        coef = w * (12.0 * dv - 4.0 * gj_dot_e)
+        b = np.zeros((n, 2))
+        np.add.at(b, src, coef[:, None] * evec)
+        g_new = np.einsum("nij,nj->ni", inv, b)
+        g_new = np.nan_to_num(g_new)
+        if np.max(np.abs(g_new - g)) < tol * (1.0 + np.max(np.abs(g_new))):
+            g = g_new
+            break
+        g = g_new
+    return g
+
+
+def cubic_interpolate(
+    pts: np.ndarray,
+    values: np.ndarray,
+    qx: np.ndarray,
+    qy: np.ndarray,
+    gradients: np.ndarray | None = None,
+) -> np.ndarray:
+    """Piecewise-CUBIC interpolation of scattered data: per-triangle
+    cubic Bernstein-Bézier patch from vertex values + (Nielson-estimated
+    or supplied) gradients, with the quadratic-precision interior
+    ordinate b111 = ΣbEdge/4 − ΣbCorner/6. NaN outside the convex hull.
+
+    Semantics vs scipy's Clough-Tocher: both are cubic patches on the
+    same Delaunay structure with Nielson global gradients, reproduce
+    quadratics given exact gradients, and interpolate values+gradients at
+    the vertices; CT's centroid split makes it C1 across edges while this
+    patch is C0 across edges (C1 at vertices) — the documented delta of
+    the no-scipy fallback (the scipy path stays preferred when
+    importable, operators/grid.py)."""
+    values = np.asarray(values, dtype=np.float64)
+    qx = np.asarray(qx, dtype=np.float64)
+    qy = np.asarray(qy, dtype=np.float64)
+    out = np.full(len(qx), np.nan)
+    prep = _prepare(pts)
+    if prep is None:
+        return out
+    p, keep, lo, span, init = prep
+    vals = values[keep]
+    tri = _triangulate(p, init)
+    if len(tri) == 0:
+        return out
+    if gradients is None:
+        g = estimate_gradients(p, tri, vals)
+    else:
+        # supplied gradients are w.r.t. ORIGINAL coords; normalized space
+        # scales both axes by 1/span, so g_norm = g * span
+        g = np.asarray(gradients, dtype=np.float64)[keep] * span
+    qxn = (qx - lo[0]) / span
+    qyn = (qy - lo[1]) / span
+    found, ti, l1, l2, l3 = _locate(p, tri, qxn, qyn)
+    i1, i2, i3 = tri[:, 0], tri[:, 1], tri[:, 2]
+    f1, f2, f3 = vals[i1], vals[i2], vals[i3]
+    P1, P2, P3 = p[i1], p[i2], p[i3]
+    g1, g2, g3 = g[i1], g[i2], g[i3]
+    b300, b030, b003 = f1, f2, f3
+    b210 = f1 + ((P2 - P1) * g1).sum(1) / 3.0
+    b201 = f1 + ((P3 - P1) * g1).sum(1) / 3.0
+    b120 = f2 + ((P1 - P2) * g2).sum(1) / 3.0
+    b021 = f2 + ((P3 - P2) * g2).sum(1) / 3.0
+    b102 = f3 + ((P1 - P3) * g3).sum(1) / 3.0
+    b012 = f3 + ((P2 - P3) * g3).sum(1) / 3.0
+    b111 = (b210 + b201 + b120 + b021 + b102 + b012) / 4.0 - (
+        b300 + b030 + b003
+    ) / 6.0
+    t = ti
+    u, v, w3 = l1, l2, l3
+    res = (
+        b300[t] * u**3
+        + b030[t] * v**3
+        + b003[t] * w3**3
+        + 3.0 * b210[t] * u**2 * v
+        + 3.0 * b201[t] * u**2 * w3
+        + 3.0 * b120[t] * u * v**2
+        + 3.0 * b021[t] * v**2 * w3
+        + 3.0 * b102[t] * u * w3**2
+        + 3.0 * b012[t] * v * w3**2
+        + 6.0 * b111[t] * u * v * w3
+    )
+    out[found] = res[found]
+    return out
+
+
+def cubic_griddata(
+    pts_lon: np.ndarray,
+    pts_lat: np.ndarray,
+    values: np.ndarray,
+    mesh_lon: np.ndarray,
+    mesh_lat: np.ndarray,
+) -> np.ndarray:
+    """griddata(method='cubic')-shaped fallback over a rectangular mesh
+    (see :func:`cubic_interpolate` for the semantics delta vs scipy's
+    Clough-Tocher): (n_lat, n_lon), NaN outside the convex hull."""
+    glon, glat = np.meshgrid(
+        np.asarray(mesh_lon, dtype=np.float64),
+        np.asarray(mesh_lat, dtype=np.float64),
+    )
+    flat = cubic_interpolate(
+        np.column_stack(
+            [np.asarray(pts_lon, np.float64), np.asarray(pts_lat, np.float64)]
+        ),
+        values,
+        glon.ravel(),
+        glat.ravel(),
+    )
+    return flat.reshape(glat.shape)
 
 
 def linear_griddata(

@@ -156,3 +156,105 @@ def test_bowyer_watson_matches_brute_force_with_exact_corners(seed):
     got = {tuple(t) for t in I.delaunay(pts)}
     want = brute_force_delaunay(pts)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# cubic (Bézier patch + Nielson gradients)
+# ---------------------------------------------------------------------------
+
+
+def test_nielson_gradients_exact_for_affine():
+    rng = np.random.default_rng(21)
+    pts = rng.uniform(0, 1, size=(40, 2))
+    tri = I._triangulate(*_prep(pts))
+    vals = 0.5 + 2.0 * pts[:, 0] - 3.0 * pts[:, 1]
+    # gradients estimated in the same normalized space the tri lives in
+    g = I.estimate_gradients(_prep(pts)[0], tri, vals[_keep(pts)])
+    np.testing.assert_allclose(g[:, 0], 2.0 * _span(pts), atol=1e-5)
+    np.testing.assert_allclose(g[:, 1], -3.0 * _span(pts), atol=1e-5)
+
+
+def _prep(pts):
+    p, keep, lo, span, init = I._prepare(pts)
+    return p, init
+
+
+def _keep(pts):
+    return I._prepare(pts)[1]
+
+
+def _span(pts):
+    return I._prepare(pts)[3]
+
+
+def test_cubic_reproduces_affine():
+    rng = np.random.default_rng(22)
+    pts = rng.uniform(-2, 4, size=(60, 2))
+    vals = 1.0 - 2.5 * pts[:, 0] + 0.75 * pts[:, 1]
+    q = rng.uniform(-0.5, 2.5, size=(300, 2))
+    got = I.cubic_interpolate(pts, vals, q[:, 0], q[:, 1])
+    np.testing.assert_allclose(
+        got, 1.0 - 2.5 * q[:, 0] + 0.75 * q[:, 1], atol=1e-4
+    )
+
+
+def test_cubic_reproduces_quadratic_with_exact_gradients():
+    """The quadratic-precision b111 choice: with EXACT gradients supplied,
+    the patch reproduces any quadratic exactly (the classic BB-cubic
+    property; holds regardless of the triangulation)."""
+    rng = np.random.default_rng(23)
+    pts = rng.uniform(0, 2, size=(50, 2))
+    x, y = pts[:, 0], pts[:, 1]
+    vals = 1.0 + x - 2 * y + 0.5 * x * x + x * y - 1.5 * y * y
+    grads = np.column_stack([1.0 + x + y, -2.0 + x - 3.0 * y])
+    q = rng.uniform(0.5, 1.5, size=(200, 2))
+    got = I.cubic_interpolate(pts, vals, q[:, 0], q[:, 1], gradients=grads)
+    qx, qy = q[:, 0], q[:, 1]
+    want = 1.0 + qx - 2 * qy + 0.5 * qx * qx + qx * qy - 1.5 * qy * qy
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_cubic_interpolates_vertex_values():
+    rng = np.random.default_rng(24)
+    pts = rng.uniform(0, 5, size=(40, 2))
+    vals = rng.normal(size=40)
+    got = I.cubic_interpolate(pts, vals, pts[:, 0], pts[:, 1])
+    np.testing.assert_allclose(got, vals, atol=1e-5)
+
+
+def test_cubic_continuous_across_edges():
+    """C0 across shared edges: evaluating at points ON internal edges must
+    agree with the limit from either side (sample pairs straddling the
+    edge by +-1e-7 and compare)."""
+    rng = np.random.default_rng(25)
+    pts = rng.uniform(0, 1, size=(30, 2))
+    vals = rng.normal(size=30)
+    prep = I._prepare(pts)
+    p, keep, lo, span, init = prep
+    tri = I._triangulate(p, init)
+    # midpoints of internal edges (original coords), offset along normals
+    edges = np.unique(
+        np.sort(tri[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2), axis=1), axis=0
+    )
+    a = p[edges[:, 0]] * span + lo
+    b = p[edges[:, 1]] * span + lo
+    mid = (a + b) / 2
+    nrm = np.column_stack([-(b - a)[:, 1], (b - a)[:, 0]])
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    eps = 1e-7
+    up = mid + eps * nrm
+    dn = mid - eps * nrm
+    vu = I.cubic_interpolate(pts, vals, up[:, 0], up[:, 1])
+    vd = I.cubic_interpolate(pts, vals, dn[:, 0], dn[:, 1])
+    ok = ~np.isnan(vu) & ~np.isnan(vd)
+    assert ok.sum() > len(edges) / 2
+    np.testing.assert_allclose(vu[ok], vd[ok], atol=1e-4)
+
+
+def test_cubic_nan_outside_hull():
+    pts = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0], [0.4, 0.6]])
+    got = I.cubic_interpolate(
+        pts, np.ones(5), np.array([0.5, 5.0]), np.array([0.5, 5.0])
+    )
+    assert got[0] == pytest.approx(1.0, abs=1e-6)
+    assert np.isnan(got[1])

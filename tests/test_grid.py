@@ -59,20 +59,21 @@ def test_linear_fallback_below_min_points():
     np.testing.assert_array_equal(got, expect)
 
 
-def test_cubic_without_scipy_requires_fallback_flag():
-    # 'linear' always executes (numpy Delaunay kernel); 'cubic' is the one
-    # method still gated on scipy (Clough-Tocher C1 interpolant)
+def test_cubic_without_scipy_runs_bezier_fallback():
+    # 'linear' and 'cubic' both execute without scipy; allow_fallback=False
+    # on cubic still raises (exact Clough-Tocher C1 semantics need scipy),
+    # while the default runs the numpy cubic Bézier kernel — which must
+    # reproduce an affine field exactly, like every method
     plon = np.array([0.0, 2.0, 0.0, 2.0, 1.0])
     plat = np.array([0.0, 0.0, 2.0, 2.0, 1.0])
-    vals = np.arange(5.0)
+    vals = 1.0 + 2.0 * plon - 3.0 * plat
     mlon, mlat = G.make_mesh(0, 0, 2, 2, 3, 3)
     if not G.HAVE_SCIPY:
         with pytest.raises(NotImplementedError):
             G.grid_points(plon, plat, vals, mlon, mlat, "cubic", allow_fallback=False)
-        # with fallback, cubic degrades to the linear kernel
         got = G.grid_points(plon, plat, vals, mlon, mlat, "cubic")
-        want = G.grid_points(plon, plat, vals, mlon, mlat, "linear")
-        np.testing.assert_array_equal(got, want)
+        glon, glat = np.meshgrid(mlon.astype(np.float64), mlat.astype(np.float64))
+        np.testing.assert_allclose(got, 1.0 + 2.0 * glon - 3.0 * glat, atol=1e-6)
 
 
 def test_linear_executes_without_scipy():
