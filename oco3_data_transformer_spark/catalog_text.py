@@ -907,3 +907,76 @@ def q122(spark: SparkSession, sf: str) -> DataFrame:
         load(spark, sf, "documents"), "doc_id", "text", NGRAM_N, PREFIX_JACC_T
     )
     return pairs.select("id_a", "id_b", F.round("jacc", 4).alias("jacc"))
+
+
+# ---------------------------------------------------------------------------
+# q129 — exact repeated-substring span profile (sliding-window dedup,
+# Lee et al. 2021 style; operators/dedup.repeated_window_spans)
+# ---------------------------------------------------------------------------
+
+RWS_W = 8
+RWS_MIN = 2
+
+
+@register(
+    "q129_repeated_window_spans",
+    f"""
+    WITH toked AS (SELECT doc_id, {text.tokens_sql('text')} AS t FROM documents),
+    wins AS (
+        SELECT doc_id, u.s - 1 AS pos,
+               array_to_string(t[u.s : u.s + {RWS_W} - 1], ' ') AS w
+        FROM toked, unnest(generate_series(1, len(t) - {RWS_W} + 1)) u(s)
+        WHERE len(t) >= {RWS_W}),
+    cnts AS (SELECT w, count(*) AS c FROM wins GROUP BY w),
+    hits AS (SELECT doc_id, pos FROM wins JOIN cnts USING (w)
+             WHERE c >= {RWS_MIN}),
+    brks AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         <= {RWS_W} THEN 0 ELSE 1 END AS brk
+        FROM hits),
+    sp AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        FROM brks),
+    spl AS (
+        SELECT doc_id, span_id, min(pos) AS p0, max(pos) AS p1,
+               count(*) AS nw
+        FROM sp GROUP BY 1, 2),
+    per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(p1 - p0 + {RWS_W}) AS BIGINT) AS covered_tokens,
+               CAST(sum(nw) AS BIGINT) AS n_dup_windows
+        FROM spl GROUP BY 1),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+            FROM wins GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(t.n_windows, 0) AS n_windows,
+           coalesce(p.n_dup_windows, 0) AS n_dup_windows,
+           coalesce(p.n_spans, 0) AS n_spans,
+           coalesce(p.covered_tokens, 0) AS covered_tokens
+    FROM documents d
+    LEFT JOIN tot t USING (doc_id)
+    LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc=f"Exact repeated-substring span profile (Lee et al. 2021 sliding-"
+    f"window form): every {RWS_W}-token window occurring >= {RWS_MIN} times "
+    "anywhere in the corpus is marked, overlapping/adjacent marks merge "
+    "into maximal duplicated spans per document (the islands pattern over "
+    "hit positions), and the per-doc output counts windows/spans/covered "
+    "tokens — the mass a span-excision pass would remove. Unlike q76's "
+    "non-overlapping C4 segments, windows slide by 1 token, catching "
+    "duplicates at ANY alignment (the suffix-array use case). Window "
+    "table is linear in corpus tokens, keyed by xxhash64 (the oracle "
+    "groups the window strings — identical aggregates absent 64-bit "
+    "collisions); only repeated hashes join back; zero Python UDFs.",
+)
+def q129(spark: SparkSession, sf: str) -> DataFrame:
+    out = dedup_ops.repeated_window_spans(
+        load(spark, sf, "documents"), "doc_id", "text",
+        window=RWS_W, min_count=RWS_MIN,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "n_windows", "n_dup_windows",
+        "n_spans", "covered_tokens",
+    )

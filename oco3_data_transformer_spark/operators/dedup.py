@@ -1228,3 +1228,97 @@ def prefix_filter_jaccard_pairs(
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     return _jaccard_filter(inter, sizes, threshold)
+
+
+def repeated_window_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact repeated-substring span profile (the sliding-window form of
+    Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+    Better": mark every ``window``-token span whose text occurs >=
+    ``min_count`` times ANYWHERE in the corpus, then merge overlapping/
+    adjacent marks into maximal duplicated spans per document).
+
+    Returns one row per document: ``(id, n_windows, n_dup_windows,
+    n_spans, covered_tokens)`` — ``covered_tokens`` is the total token
+    length of the merged duplicated spans (the mass a span-excision pass
+    would remove), zero for documents without duplicated windows.
+
+    Differs from :func:`segment_dedup` (C4-style): segments there are
+    NON-overlapping fixed blocks keyed per distinct-document count;
+    here windows slide by 1 token (catching duplicates at any alignment,
+    the suffix-array use case) and global occurrence count is the
+    duplication criterion.
+
+    Scale shape: the window table is Σ doc_len rows (linear, the same
+    size class as the shingle table) keyed by an 8-byte xxhash64 — the
+    occurrence count map-side combines, only hashes of REPEATED windows
+    (rare by construction) join back (AQE-broadcast when small), and the
+    span merge is one per-document window function over hit positions
+    (|hits| rows, never |windows|). Everything is built-in expressions —
+    no Python UDFs. At 100 TB raise ``window``/use a stride and pre-hash
+    to 8 bytes exactly as here; the plan shape is unchanged.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("id"), text.tokens(F.col(text_col)).alias("__t")
+    )
+    n = F.size("__t")
+    wins_arr = F.when(
+        n >= window,
+        F.transform(
+            F.sequence(F.lit(0), n - window),
+            lambda i: F.array_join(F.slice("__t", i + 1, window), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = (
+        toks.select("id", F.posexplode(wins_arr).alias("pos", "__w"))
+        .select("id", "pos", F.xxhash64("__w").alias("__h"))
+    )
+    counts = wins.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+    dup = counts.filter(F.col("__c") >= min_count).select("__h")
+    hits = wins.join(dup, "__h").select("id", "pos")
+    w_doc = W.partitionBy("id").orderBy("pos")
+    spans = (
+        hits.withColumn(
+            "__brk",
+            F.when(
+                F.col("pos") - F.lag("pos").over(w_doc) <= window, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "__span",
+            F.sum("__brk").over(
+                w_doc.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("id", "__span")
+        .agg(
+            F.min("pos").alias("__p0"),
+            F.max("pos").alias("__p1"),
+            F.count(F.lit(1)).alias("__nw"),
+        )
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("__p1") - F.col("__p0") + window).alias("covered_tokens"),
+        F.sum("__nw").alias("n_dup_windows"),
+    )
+    totals = wins.groupBy("id").agg(F.count(F.lit(1)).alias("n_windows"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+        )
+    )

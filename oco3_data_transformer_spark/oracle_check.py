@@ -85,6 +85,7 @@ def compare_query(
 QUERY_GROUPS: dict[str, list[str]] = {
     "round6": [
         "q126_grid_linear_kernel",
+        "q129_repeated_window_spans",
         "q127_length_percentiles_approx",
         "q128_price_percentiles_approx",
         # round-6 kernel/plan changes to pre-existing queries, re-gated here
