@@ -88,6 +88,15 @@ GRAPH_DETAIL = [
     "q125_semantic_cluster_profile",
 ]
 
+# Round-6 additions whose oracle does EQUIVALENT work (a fair ratio).
+# q126-q128 are deliberately excluded: their oracles predict the output
+# without replicating the kernel's computation (affine-mesh prediction /
+# the GK accuracy-contract verdict), so a Spark-vs-DuckDB ratio there
+# would compare real work against a constant-time answer.
+ROUND6_DETAIL = [
+    "q129_repeated_window_spans",
+]
+
 
 def _settle(max_wait: int = 120, threshold: float = 4.0) -> None:
     """Microbenchmark hygiene: measured totals inflate ~30% when the 1-min
@@ -265,6 +274,12 @@ def main() -> int:
             out["round5_detail"] = leg_summary(s5, d5, sf_dir)
         except Exception as exc:
             print(f"# round5 detail leg failed: {exc}", file=sys.stderr, flush=True)
+        try:
+            s6 = spark_leg(spark, sf_dir, reps=2, tag="sf0.1-r6", names=ROUND6_DETAIL)
+            d6 = duckdb_leg(sf_dir, reps=2, tag="sf0.1-r6", names=ROUND6_DETAIL)
+            out["round6_detail"] = leg_summary(s6, d6, sf_dir)
+        except Exception as exc:
+            print(f"# round6 detail leg failed: {exc}", file=sys.stderr, flush=True)
 
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         try:
@@ -285,6 +300,9 @@ def main() -> int:
                 s51 = spark_leg(spark, sf1_dir, reps=1, tag="sf1-r5", names=GRAPH_DETAIL)
                 d51 = duckdb_leg(sf1_dir, reps=1, tag="sf1-r5", names=GRAPH_DETAIL)
                 out["sf1"]["round5_detail"] = leg_summary(s51, d51, sf1_dir)
+                s61 = spark_leg(spark, sf1_dir, reps=1, tag="sf1-r6", names=ROUND6_DETAIL)
+                d61 = duckdb_leg(sf1_dir, reps=1, tag="sf1-r6", names=ROUND6_DETAIL)
+                out["sf1"]["round6_detail"] = leg_summary(s61, d61, sf1_dir)
         except Exception as exc:
             print(f"# sf1 leg failed: {exc}", file=sys.stderr, flush=True)
 
