@@ -841,3 +841,26 @@ def test_pagerank_edge_table_pre_partitioned_for_shuffle_joins(spark):
         assert checked >= 2  # probs + nodes sides both verified
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q129_window_spans_plan_hash_only_and_partial_agg(spark):
+    """q129 repeated-substring spans: the window STRING must never cross
+    an exchange (it is hashed to 8 bytes in-task before any shuffle), the
+    occurrence count must map-side combine (partial_count), and no
+    Python UDF may appear anywhere."""
+    from oco3_data_transformer_spark.catalog import REGISTRY
+
+    df = REGISTRY["q129_repeated_window_spans"].fn(spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan  # occurrence count combines map-side
+    # every Exchange's output schema must be hash/pos/id-typed — the
+    # window text column (__w) is projected away pre-shuffle
+    for seg in plan.split("Exchange")[1:]:
+        first_line = seg.splitlines()[0]
+        assert "__w" not in first_line, f"window string crossed a shuffle: {first_line}"
+    assert "CartesianProduct" not in plan
