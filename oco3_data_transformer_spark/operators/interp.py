@@ -236,25 +236,45 @@ def delaunay(points: np.ndarray) -> np.ndarray:
 
 
 def _locate(p: np.ndarray, tri: np.ndarray, qxn: np.ndarray, qyn: np.ndarray):
-    """Chunked brute-force point location: for each query return
-    (found, tri_index, l1, l2, l3) — the containing triangle (first hit,
-    with ``_EPS_INSIDE`` slack) and its barycentric coordinates."""
+    """Chunked point location: for each query return (found, tri_index,
+    l1, l2, l3) — the containing triangle (first hit, with
+    ``_EPS_INSIDE`` slack) and its barycentric coordinates.
+
+    Mesh queries arrive row-major, so each chunk spans a narrow lat/lon
+    band — a per-chunk triangle BOUNDING-BOX prefilter cuts the
+    candidate set to the band's triangles (a large mesh over a large
+    triangulation otherwise costs |cells|·|tris| barycentric evals; with
+    the prefilter it is ~|cells|·|band|, the walk-free analog of a
+    spatial index)."""
     nq = len(qxn)
     found = np.zeros(nq, dtype=bool)
     ti_out = np.zeros(nq, dtype=np.int64)
     l1o = np.empty(nq)
     l2o = np.empty(nq)
     l3o = np.empty(nq)
-    a, b, c = p[tri[:, 0]], p[tri[:, 1]], p[tri[:, 2]]
-    det = (b[:, 1] - c[:, 1]) * (a[:, 0] - c[:, 0]) + (c[:, 0] - b[:, 0]) * (
-        a[:, 1] - c[:, 1]
+    A, B, C = p[tri[:, 0]], p[tri[:, 1]], p[tri[:, 2]]
+    det_all = (B[:, 1] - C[:, 1]) * (A[:, 0] - C[:, 0]) + (C[:, 0] - B[:, 0]) * (
+        A[:, 1] - C[:, 1]
     )
-    det = np.where(det == 0.0, np.nan, det)
-    chunk = max(1, 4_000_000 // max(1, len(tri)))
+    det_all = np.where(det_all == 0.0, np.nan, det_all)
+    txs = np.stack([A[:, 0], B[:, 0], C[:, 0]])
+    tys = np.stack([A[:, 1], B[:, 1], C[:, 1]])
+    tminx, tmaxx = txs.min(0) - _EPS_INSIDE, txs.max(0) + _EPS_INSIDE
+    tminy, tmaxy = tys.min(0) - _EPS_INSIDE, tys.max(0) + _EPS_INSIDE
+    chunk = max(16, 4_000_000 // max(1, len(tri)))
     for s in range(0, nq, chunk):
         e = min(s + chunk, nq)
-        dx = qxn[s:e, None] - c[None, :, 0]
-        dy = qyn[s:e, None] - c[None, :, 1]
+        cqx, cqy = qxn[s:e], qyn[s:e]
+        cand = np.nonzero(
+            (tminx <= cqx.max()) & (tmaxx >= cqx.min())
+            & (tminy <= cqy.max()) & (tmaxy >= cqy.min())
+        )[0]
+        if len(cand) == 0:
+            continue
+        a, b, c = A[cand], B[cand], C[cand]
+        det = det_all[cand]
+        dx = cqx[:, None] - c[None, :, 0]
+        dy = cqy[:, None] - c[None, :, 1]
         l1 = ((b[:, 1] - c[:, 1])[None, :] * dx + (c[:, 0] - b[:, 0])[None, :] * dy) / det
         l2 = ((c[:, 1] - a[:, 1])[None, :] * dx + (a[:, 0] - c[:, 0])[None, :] * dy) / det
         l3 = 1.0 - l1 - l2
@@ -265,7 +285,7 @@ def _locate(p: np.ndarray, tri: np.ndarray, qxn: np.ndarray, qyn: np.ndarray):
         ti = inside.argmax(axis=1)
         rows = np.arange(e - s)
         found[s:e] = has
-        ti_out[s:e] = ti
+        ti_out[s:e] = cand[ti]
         l1o[s:e] = l1[rows, ti]
         l2o[s:e] = l2[rows, ti]
         l3o[s:e] = l3[rows, ti]
