@@ -175,9 +175,52 @@ def grid_regions(
         }
         for k in region_keys:
             out[k] = np.repeat(pdf[k].iloc[0], lat_res * lon_res)
-        for c in value_cols:
-            vals = pdf[c].to_numpy(dtype=np.float64)
-            out[c] = grid_points(plon, plat, vals, mesh_lon, mesh_lat, method).ravel()
+        if method in ("linear", "cubic") and not HAVE_SCIPY and len(value_cols) > 1:
+            # multi-variable fast path: columns sharing a finite-mask share
+            # ONE triangulation + mesh point-location (the pipeline grids
+            # 2-3 science variables per region; re-triangulating per
+            # column doubles the kernel cost for nothing)
+            from .interp import TriangulatedField
+
+            vals_by_col = {
+                c: pdf[c].to_numpy(dtype=np.float64) for c in value_cols
+            }
+            masks: dict[bytes, list[str]] = {}
+            for c, v in vals_by_col.items():
+                masks.setdefault((~np.isnan(v)).tobytes(), []).append(c)
+            glon, glat = np.meshgrid(
+                mesh_lon.astype(np.float64), mesh_lat.astype(np.float64)
+            )
+            for mkey, cols in masks.items():
+                good = np.frombuffer(mkey, dtype=bool)
+                n_good = int(good.sum())
+                if n_good == 0 or (
+                    method == "linear" and n_good < MIN_POINTS_FOR_LINEAR
+                ) or (method == "cubic" and n_good < MIN_POINTS_FOR_LINEAR):
+                    for c in cols:  # per-column fallback semantics
+                        out[c] = grid_points(
+                            plon, plat, vals_by_col[c], mesh_lon, mesh_lat,
+                            method,
+                        ).ravel()
+                    continue
+                tf = TriangulatedField(plon[good], plat[good])
+                if not tf.ok:  # degenerate cloud → grid_points semantics
+                    for c in cols:
+                        out[c] = grid_points(
+                            plon, plat, vals_by_col[c], mesh_lon, mesh_lat,
+                            method,
+                        ).ravel()
+                    continue
+                tf.locate(glon.ravel(), glat.ravel())
+                fn = tf.linear if method == "linear" else tf.cubic
+                for c in cols:
+                    out[c] = fn(vals_by_col[c][good])
+        else:
+            for c in value_cols:
+                vals = pdf[c].to_numpy(dtype=np.float64)
+                out[c] = grid_points(
+                    plon, plat, vals, mesh_lon, mesh_lat, method
+                ).ravel()
         return pd.DataFrame(out)[[f.name for f in out_schema.fields]]
 
     return soundings.groupBy(*region_keys).applyInPandas(fit, out_schema)

@@ -494,3 +494,73 @@ def linear_griddata(
         glat.ravel(),
     )
     return flat.reshape(glat.shape)
+
+
+class TriangulatedField:
+    """Share ONE triangulation + mesh point-location across multiple value
+    columns over the same point cloud (the mission pipeline grids 2-3
+    science variables per region — re-triangulating per column doubles
+    the kernel cost for nothing). Columns must share the point set; the
+    per-column NaN masks are the caller's concern (grid_regions groups
+    columns by finite-mask)."""
+
+    def __init__(self, pts_x: np.ndarray, pts_y: np.ndarray):
+        pts = np.column_stack(
+            [np.asarray(pts_x, np.float64), np.asarray(pts_y, np.float64)]
+        )
+        self._prep = _prepare(pts)
+        self.ok = self._prep is not None
+        if self.ok:
+            p, keep, lo, span, init = self._prep
+            self.p, self.keep, self.lo, self.span = p, keep, lo, span
+            self.tri = _triangulate(p, init)
+            self.ok = len(self.tri) > 0
+        self._loc = None
+
+    def locate(self, qx: np.ndarray, qy: np.ndarray):
+        qxn = (np.asarray(qx, np.float64) - self.lo[0]) / self.span
+        qyn = (np.asarray(qy, np.float64) - self.lo[1]) / self.span
+        self._loc = _locate(self.p, self.tri, qxn, qyn)
+        return self._loc
+
+    def linear(self, values: np.ndarray) -> np.ndarray:
+        vals = np.asarray(values, np.float64)[self.keep]
+        found, ti, l1, l2, l3 = self._loc
+        va = vals[self.tri[:, 0]]
+        vb = vals[self.tri[:, 1]]
+        vc = vals[self.tri[:, 2]]
+        out = np.full(len(found), np.nan)
+        res = l1 * va[ti] + l2 * vb[ti] + l3 * vc[ti]
+        out[found] = res[found]
+        return out
+
+    def cubic(self, values: np.ndarray) -> np.ndarray:
+        vals = np.asarray(values, np.float64)[self.keep]
+        g = estimate_gradients(self.p, self.tri, vals)
+        found, ti, l1, l2, l3 = self._loc
+        tri = self.tri
+        p = self.p
+        i1, i2, i3 = tri[:, 0], tri[:, 1], tri[:, 2]
+        f1, f2, f3 = vals[i1], vals[i2], vals[i3]
+        P1, P2, P3 = p[i1], p[i2], p[i3]
+        g1, g2, g3 = g[i1], g[i2], g[i3]
+        b210 = f1 + ((P2 - P1) * g1).sum(1) / 3.0
+        b201 = f1 + ((P3 - P1) * g1).sum(1) / 3.0
+        b120 = f2 + ((P1 - P2) * g2).sum(1) / 3.0
+        b021 = f2 + ((P3 - P2) * g2).sum(1) / 3.0
+        b102 = f3 + ((P1 - P3) * g3).sum(1) / 3.0
+        b012 = f3 + ((P2 - P3) * g3).sum(1) / 3.0
+        b111 = (b210 + b201 + b120 + b021 + b102 + b012) / 4.0 - (
+            f1 + f2 + f3
+        ) / 6.0
+        u, v, w3 = l1, l2, l3
+        res = (
+            f1[ti] * u**3 + f2[ti] * v**3 + f3[ti] * w3**3
+            + 3.0 * b210[ti] * u**2 * v + 3.0 * b201[ti] * u**2 * w3
+            + 3.0 * b120[ti] * u * v**2 + 3.0 * b021[ti] * v**2 * w3
+            + 3.0 * b102[ti] * u * w3**2 + 3.0 * b012[ti] * v * w3**2
+            + 6.0 * b111[ti] * u * v * w3
+        )
+        out = np.full(len(found), np.nan)
+        out[found] = res[found]
+        return out

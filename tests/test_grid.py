@@ -144,3 +144,34 @@ def test_first_wins_rasterize(spark):
     out = G.first_wins_rasterize(df, ["px", "py"], "region_idx", ["target_id"])
     got = {(r.px, r.py): r.target_id for r in out.collect()}
     assert got == {(1, 1): "early", (2, 1): "only"}
+
+
+def test_grid_regions_multivar_shared_triangulation_matches_per_column(spark):
+    """The multi-variable linear fast path (one triangulation per finite-
+    mask group) must be bit-identical to gridding each column alone."""
+    import pandas as pd
+    rng = np.random.default_rng(31)
+    n = 60
+    rows = []
+    for i in range(n):
+        rows.append((
+            "r1",
+            float(rng.uniform(0, 10)), float(rng.uniform(0, 10)),
+            float(rng.normal()),            # v1: no NaNs
+            float("nan") if i % 7 == 0 else float(rng.normal()),  # v2
+        ))
+    df = spark.createDataFrame(
+        rows, "region string, longitude double, latitude double, v1 double, v2 double"
+    )
+    both = G.grid_regions(
+        df, ["region"], ["v1", "v2"], lon_res=6, lat_res=6, method="linear"
+    ).toPandas().sort_values(["lat_idx", "lon_idx"]).reset_index(drop=True)
+    singles = {}
+    for c in ("v1", "v2"):
+        singles[c] = G.grid_regions(
+            df, ["region"], [c], lon_res=6, lat_res=6, method="linear"
+        ).toPandas().sort_values(["lat_idx", "lon_idx"]).reset_index(drop=True)
+    for c in ("v1", "v2"):
+        np.testing.assert_array_equal(
+            both[c].to_numpy(), singles[c][c].to_numpy()
+        )
