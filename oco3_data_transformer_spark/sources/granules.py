@@ -62,18 +62,31 @@ def decode_npz(payload: bytes, variables: list[str] | None) -> pd.DataFrame:
 def decode_netcdf(
     payload: bytes, variables: list[str] | None, group: str | None = None
 ) -> pd.DataFrame:
-    """NetCDF4/HDF5 granule decode via xarray+h5netcdf
-    (ref readers/GranuleReader.py:45-155: open → project variables →
-    mask_and_scale fill→NaN). The import is gated — this container lacks
-    h5netcdf — but the body is complete and golden-tested the moment the
-    environment provides it (tests/test_ready_goldens.py); the Spark-side
-    reader harness is decoder-agnostic and fully exercised via decode_npz."""
+    """NetCDF granule decode (ref readers/GranuleReader.py:45-155: open →
+    project variables → mask_and_scale fill→NaN). NetCDF4/HDF5 files go
+    through xarray+h5netcdf (import-gated; golden-tested the moment the
+    environment provides it — tests/test_ready_goldens.py); NetCDF
+    *classic* (CDF-1, magic ``CDF\\x01``) files decode wheel-free through
+    the pure-numpy reader in sinks/containers.py, closing the loop with
+    the classic writer the export sink uses in this environment."""
+    if payload[:4] == b"CDF\x01":
+        from ..sinks.containers import read_netcdf3
+
+        data = read_netcdf3(payload)
+        cols = {}
+        for n, v in data.items():
+            if n == "_dims" or (variables is not None and n not in variables):
+                continue
+            v = v.astype(np.float64)  # native-endian for Arrow
+            cols[n] = v if v.ndim == 1 else list(v)
+        return pd.DataFrame(cols)
     try:  # pragma: no cover - optional dependency
         import xarray as xr  # type: ignore
     except ImportError as e:
         raise NotImplementedError(
-            "NetCDF decoding requires xarray+h5netcdf; the Spark-side reader "
-            "is decoder-agnostic — decode_npz covers the harness"
+            "NetCDF4/HDF5 decoding requires xarray+h5netcdf (classic CDF-1 "
+            "files decode wheel-free); the Spark-side reader is "
+            "decoder-agnostic — decode_npz covers the harness"
         ) from e
     ds = xr.open_dataset(  # pragma: no cover - exercised when lib present
         io.BytesIO(payload), engine="h5netcdf", mask_and_scale=True, group=group

@@ -171,3 +171,20 @@ def test_export_slices_geotiff_and_netcdf_payloads(spark):
         assert len(out) == 1
         payload = out[0]["payload"]
         assert bytes(payload[:4]) == magic
+
+
+def test_classic_netcdf_roundtrip_through_granule_decoder():
+    """S1 loop closed wheel-free: a NetCDF classic file written by the
+    export container writer decodes through sources/granules.decode_netcdf
+    (variable projection included) without xarray/h5netcdf."""
+    import numpy as np
+
+    from oco3_data_transformer_spark.sinks.containers import write_netcdf3
+    from oco3_data_transformer_spark.sources.granules import decode_netcdf
+
+    arr = np.arange(12, dtype=np.float64).reshape(3, 4)
+    payload = write_netcdf3(arr, "xco2", (0.0, 0.0, 4.0, 3.0))
+    pdf = decode_netcdf(payload, variables=["xco2", "lat"])
+    assert set(pdf.columns) == {"xco2", "lat"}
+    np.testing.assert_array_equal(np.stack(pdf["xco2"].to_numpy()), arr)
+    assert len(pdf["lat"]) == 3 and pdf["lat"].iloc[0] > pdf["lat"].iloc[1]
