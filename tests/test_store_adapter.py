@@ -201,3 +201,43 @@ def test_conflict_retries_bounded(spark, tmp_path):
     with pytest.raises(StorageConflictError):
         store.merge(spark, rows, path, adapter=a)
     assert a.conflicts_raised == store.CONFLICT_RETRIES + 1
+
+
+def test_append_conflict_retry_is_idempotent(spark, tmp_path):
+    """append() under an ACID adapter: writer B appends the same day
+    between A's duplicate-check and A's commit; A's conflict retry
+    re-runs the WHOLE cycle, so the re-read duplicate check drops B's
+    now-present keys and the store holds each slice exactly once."""
+    from oco3_data_transformer_spark.sinks.adapter import StorageConflictError
+
+    path = str(tmp_path / "store")
+    a_rows = spark.createDataFrame(_rows(D1, [0, 1]), STORE_SLICE)
+    b_rows = spark.createDataFrame(_rows(D1, [1, 2]), STORE_SLICE)  # overlaps
+
+    plain = RecordingAdapter()
+    plain.supports_concurrent_writers = True
+
+    class AppendConflict(RecordingAdapter):
+        supports_concurrent_writers = True
+
+        def __init__(self):
+            super().__init__()
+            self.raised = False
+
+        def write_lock(self, p):
+            from contextlib import nullcontext
+
+            return nullcontext()
+
+        def append(self, df, p, cols):
+            if not self.raised:
+                self.raised = True
+                store.append(spark, b_rows, path, adapter=plain)  # B commits
+                raise StorageConflictError("conflicting append")
+            self.calls.append("append")
+            return self.inner.append(df, p, cols)
+
+    n = store.append(spark, a_rows, path, adapter=AppendConflict())
+    assert n == 1  # retry re-read: only lat 0 was still missing
+    got = sorted(r.lat_idx for r in spark.read.parquet(path).collect())
+    assert got == [0, 1, 2]  # each slice exactly once
