@@ -15,7 +15,6 @@ import struct
 import zlib
 
 import numpy as np
-import pytest
 
 from oco3_data_transformer_spark.sinks import containers as C
 

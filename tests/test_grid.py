@@ -149,7 +149,6 @@ def test_first_wins_rasterize(spark):
 def test_grid_regions_multivar_shared_triangulation_matches_per_column(spark):
     """The multi-variable linear fast path (one triangulation per finite-
     mask group) must be bit-identical to gridding each column alone."""
-    import pandas as pd
     rng = np.random.default_rng(31)
     n = 60
     rows = []

@@ -3,7 +3,6 @@ detection with known-structure fixtures."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
 
 from oco3_data_transformer_spark.operators.dedup import repeated_window_spans
 
