@@ -258,3 +258,71 @@ def test_cubic_nan_outside_hull():
     )
     assert got[0] == pytest.approx(1.0, abs=1e-6)
     assert np.isnan(got[1])
+
+
+# ---------------------------------------------------------------------------
+# hypothesis fuzz: triangulation-structure invariants on arbitrary clouds
+# (lattice coordinates included — the degenerate regime that broke two
+# earlier kernel designs)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _hull_area(P):
+    P = P[np.lexsort((P[:, 1], P[:, 0]))]
+
+    def half(Q):
+        h = []
+        for q in Q:
+            while len(h) >= 2 and np.cross(h[-1] - h[-2], q - h[-2]) <= 0:
+                h.pop()
+            h.append(q)
+        return h
+
+    H = np.array(half(P)[:-1] + half(P[::-1])[:-1])
+    x, y = H[:, 0], H[:, 1]
+    return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=3,
+        max_size=40,
+    ),
+    st.randoms(use_true_random=False),
+)
+def test_triangulation_tiles_the_hull(int_pts, rnd):
+    """For ANY point set — lattice duplicates, collinear chains, whatever —
+    the triangulation must exactly tile the convex hull (Σ areas == hull
+    area within jitter tolerance) with no overlaps, and interpolation of
+    an affine field must reproduce it at interior lattice queries."""
+    pts = np.array(int_pts, dtype=np.float64)
+    # mix in a few non-lattice points so not everything is degenerate
+    for _ in range(3):
+        pts = np.vstack([pts, [rnd.uniform(0, 12), rnd.uniform(0, 12)]])
+    uniq = np.unique(pts, axis=0)
+    tris = I.delaunay(pts)
+    if len(tris) == 0:
+        # legal only for degenerate input (all collinear within gate)
+        assert len(uniq) < 3 or _hull_area(uniq) < 1e-6 * 144
+        return
+    a, b, c = pts[tris[:, 0]], pts[tris[:, 1]], pts[tris[:, 2]]
+    areas = 0.5 * np.abs(
+        (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+        - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+    )
+    assert abs(areas.sum() - _hull_area(uniq)) < 1e-5 * max(1.0, _hull_area(uniq))
+    # affine reproduction at random interior queries
+    vals = 1.0 + 2.0 * pts[:, 0] - 3.0 * pts[:, 1]
+    lo, hi = uniq.min(0), uniq.max(0)
+    qx = np.array([rnd.uniform(lo[0], hi[0]) for _ in range(20)])
+    qy = np.array([rnd.uniform(lo[1], hi[1]) for _ in range(20)])
+    got = I.linear_interpolate(pts, vals, qx, qy)
+    ok = ~np.isnan(got)
+    np.testing.assert_allclose(
+        got[ok], (1.0 + 2.0 * qx - 3.0 * qy)[ok], atol=1e-5
+    )
