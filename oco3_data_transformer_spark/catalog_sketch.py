@@ -856,7 +856,8 @@ PA_ACCURACY = 100  # GK summary: rank error <= n / accuracy = 1% of n
 
 
 def _approx_band_query(
-    df: DataFrame, group_col: str, value_col: str, ps: list[float]
+    df: DataFrame, group_col: str, value_col: str, ps: list[float],
+    approx_fn=None,
 ) -> DataFrame:
     """percentile_approx vs its own accuracy contract: Spark's aggregate
     is a Greenwald-Khanna quantile summary whose guarantee is on RANK —
@@ -876,13 +877,11 @@ def _approx_band_query(
     """
     eps = 1.0 / PA_ACCURACY
     v = F.col(value_col)
+    if approx_fn is None:  # the real operator; tests inject a broken one
+        def approx_fn(col, p):
+            return F.percentile_approx(col, F.lit(p), F.lit(PA_ACCURACY))
     ap = df.groupBy(group_col).agg(
-        *[
-            F.percentile_approx(value_col, F.lit(p), F.lit(PA_ACCURACY)).alias(
-                f"__ap{int(p * 100)}"
-            )
-            for p in ps
-        ]
+        *[approx_fn(value_col, p).alias(f"__ap{int(p * 100)}") for p in ps]
     )
     joined = df.join(F.broadcast(ap), group_col)
     n = F.count(F.lit(1))
