@@ -1265,6 +1265,14 @@ def repeated_window_spans(
     """
     from pyspark.sql import Window as W
 
+    # same fix as hashed_shingle_table: spread the CPU-heavy
+    # tokenize/window/hash projection across all cores regardless of the
+    # input's split count or a bytes-sized shuffle width (a packed
+    # parquet file carries thousands of documents per split, and a
+    # tuned-down shuffle width serializes the projection)
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     toks = df.select(
         F.col(id_col).alias("id"), text.tokens(F.col(text_col)).alias("__t")
     )
