@@ -98,8 +98,7 @@ _Q126_SQL = f"""
     lats AS ({_mesh_sql('lat_idx', GRID_RES, 0.0, 10.0)}),
     regions AS (SELECT DISTINCT c_custkey % 5 AS region FROM customer)
     SELECT CAST(r.region AS BIGINT) AS region, la.lat_idx, lo.lon_idx,
-           round(2.0 + 3.0 * CAST(lo.coord AS DOUBLE)
-                     - 0.5 * CAST(la.coord AS DOUBLE), 4) AS xco2_lin
+           TRUE AS lin_ok
     FROM regions r CROSS JOIN lons lo CROSS JOIN lats la
 """
 
@@ -110,10 +109,17 @@ _Q126_SQL = f"""
     doc="G1 'linear' gridding kernel (numpy Delaunay + barycentric, "
     "operators/interp.py) run end-to-end through the grouped-map operator. "
     "Values are affine in (lon, lat) and 4 corner points put every mesh "
-    "cell inside the hull, so the interpolant is exactly the plane at the "
-    "float32 mesh coords — SQL-predictable regardless of which (valid) "
-    "triangulation the kernel picks; non-affine behaviour is pinned by the "
-    "brute-force Delaunay differential in tests/test_delaunay.py. "
+    "cell inside the hull, so the interpolant equals the plane at the "
+    "float32 mesh coords — regardless of which (valid) triangulation the "
+    "kernel picks. Checked as a per-cell CONTRACT verdict "
+    "|interp − plane| <= 1e-6 (plane recomputed Spark-side with the same "
+    "bit-level linspace math the oracle uses; the oracle predicts every "
+    "verdict true). A round(.,4) hash-match was abandoned: the kernel's "
+    "deterministic jitter perturbs the interpolant by up to ~3.5e-8, so a "
+    "regenerated fixture could flip a cell sitting on a 0.5e-4 rounding "
+    "boundary (ADVICE r06); the 1e-6 tolerance is ~30x that bound with no "
+    "boundary anywhere. Non-affine behaviour is pinned by the brute-force "
+    "Delaunay differential in tests/test_delaunay.py. "
     "ref processors/OCO3SamProcessor.py:161-182 (griddata method='linear').",
 )
 def q126(spark: SparkSession, sf: str) -> DataFrame:
@@ -143,8 +149,17 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
         lon_res=GRID_RES, lat_res=GRID_RES, method="linear",
         bbox_cols=("min_lon", "min_lat", "max_lon", "max_lat"),
     )
+
+    # the operator emits the float32 mesh coords it interpolated at; the
+    # plane at those exact coords is the contract's reference value
+    plane = (
+        F.lit(2.0)
+        + 3.0 * F.col("lon").cast("double")
+        - 0.5 * F.col("lat").cast("double")
+    )
     return out.select(
-        "region", "lat_idx", "lon_idx", F.round("xco2", 4).alias("xco2_lin")
+        "region", "lat_idx", "lon_idx",
+        (F.abs(F.col("xco2") - plane) <= 1e-6).alias("lin_ok"),
     )
 
 

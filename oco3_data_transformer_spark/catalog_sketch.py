@@ -883,7 +883,16 @@ def _approx_band_query(
     ap = df.groupBy(group_col).agg(
         *[approx_fn(value_col, p).alias(f"__ap{int(p * 100)}") for p in ps]
     )
-    joined = df.join(F.broadcast(ap), group_col)
+    # null-safe join key: a plain equi-join would drop a NULL group, while
+    # the DuckDB oracle's GROUP BY retains it — the same NULL-key
+    # divergence fixed in similarity.py's block kernels (ADVICE r06).
+    # The approx side's key is renamed first: ap derives from df, so
+    # df[group_col]/ap[group_col] resolve to the SAME attribute and Spark
+    # would build a trivially-true self-join predicate.
+    ap = ap.withColumnRenamed(group_col, "__g")
+    joined = df.join(
+        F.broadcast(ap), F.col(group_col).eqNullSafe(F.col("__g"))
+    ).drop("__g")
     n = F.count(F.lit(1))
     aggs = [n.alias("n")]
     for p in ps:

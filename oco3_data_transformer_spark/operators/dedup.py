@@ -1287,6 +1287,12 @@ def repeated_window_spans(
     wins = (
         toks.select("id", F.posexplode(wins_arr).alias("pos", "__w"))
         .select("id", "pos", F.xxhash64("__w").alias("__h"))
+        # three consumers (counts, the hits join, totals) hang off this
+        # CPU-heavy tokenize+window+hash pass; checkpoint so the corpus is
+        # tokenized once, not re-derived per consumer — the same
+        # multi-consumer re-scan discipline prefix_filter_jaccard_pairs
+        # documents above. Lazy: materialized by the first job that needs it.
+        .localCheckpoint(eager=False)
     )
     counts = wins.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
     dup = counts.filter(F.col("__c") >= min_count).select("__h")

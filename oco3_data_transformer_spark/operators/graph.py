@@ -133,7 +133,18 @@ def pagerank(
     )
     if kernel == "auto":
         e = e.persist()  # probe + both downstream consumers reuse one scan
-        kernel = "local" if e.count() <= local_edge_limit else "distributed"
+        if e.count() <= local_edge_limit:
+            # the single-task kernel consumes e exactly once; materialize
+            # its (|nodes|-row) result eagerly so the probe cache can be
+            # dropped NOW instead of leaking one cached edge table per call
+            # in long-lived sessions (bench reps / catalog runner).
+            try:
+                return _pagerank_local(e, iters, damping).localCheckpoint(
+                    eager=True
+                )
+            finally:
+                e.unpersist(blocking=False)
+        kernel = "distributed"
     if kernel == "local":
         return _pagerank_local(e, iters, damping)
     nodes = (
@@ -677,6 +688,31 @@ def _ppr_local(
     return e.coalesce(1).mapInPandas(kern, out_schema)
 
 
+def _local_ppr_gated(
+    e: DataFrame, seed_nodes: DataFrame, iters: int, damping: float
+) -> DataFrame:
+    """Local-kernel front door: collect ONLY the seeds that appear in the
+    graph (semi-join against the node set), so the driver-side list — and
+    the closure it rides — is bounded by the regime-gated node count, not
+    by the size of the seeds input (a huge seed frame over a tiny graph
+    must not build a huge literal predicate or blow driver memory).
+    Teleport normalization over |S ∩ graph| is unchanged: the numpy kernel
+    already normalizes over present seeds."""
+    graph_nodes = (
+        e.select(F.col("__src").alias("node"))
+        .unionByName(e.select(F.col("__dst").alias("node")))
+        .distinct()
+    )
+    seed_list = [
+        r.node for r in seed_nodes.join(graph_nodes, "node", "left_semi").collect()
+    ]
+    # eager membership check (same call-time ValueError contract as the
+    # distributed path's n_seeds aggregate)
+    if not seed_list:
+        raise ValueError("personalized_pagerank: no seed appears in the graph")
+    return _ppr_local(e, seed_list, iters, damping)
+
+
 def personalized_pagerank(
     edges: DataFrame,
     src_col: str,
@@ -723,23 +759,17 @@ def personalized_pagerank(
     seed_nodes = seeds.select(F.col("node")).distinct()
     if kernel == "auto":
         e = e.persist()
-        kernel = "local" if e.count() <= local_edge_limit else "distributed"
+        if e.count() <= local_edge_limit:
+            try:
+                out = _local_ppr_gated(e, seed_nodes, iters, damping)
+                # eager checkpoint so the probe cache can be dropped now
+                # (same leak fix as pagerank's auto gate above)
+                return out.localCheckpoint(eager=True)
+            finally:
+                e.unpersist(blocking=False)
+        kernel = "distributed"
     if kernel == "local":
-        seed_list = [r.node for r in seed_nodes.collect()]
-        # eager membership check (same call-time ValueError contract as
-        # the distributed path's n_seeds aggregate)
-        present = (
-            e.filter(
-                F.col("__src").isin(seed_list) | F.col("__dst").isin(seed_list)
-            )
-            .limit(1)
-            .count()
-        )
-        if not present:
-            raise ValueError(
-                "personalized_pagerank: no seed appears in the graph"
-            )
-        return _ppr_local(e, seed_list, iters, damping)
+        return _local_ppr_gated(e, seed_nodes, iters, damping)
     nodes = (
         e.select(F.col("__src").alias("node"))
         .unionByName(e.select(F.col("__dst").alias("node")))

@@ -97,7 +97,7 @@ QUERY_GROUPS: dict[str, list[str]] = {
         "q117_transition_pagerank",
         "q119_neardup_graph_triangles",
         "q120_mutual_knn_graph",
-        "q121_neardup_graph_lpa",
+        "q121_neardup_graph_communities",
         "q123_neardup_graph_kcore",
         "q124_seed_expansion_ppr",
         "q125_semantic_cluster_profile",

@@ -218,7 +218,6 @@ def repair(
     def cycle() -> int:
         with a.write_lock(path):
             df = a.read(spark, path)
-            w = Window.partitionBy(*SLICE_KEY).orderBy(F.col("value").asc_nulls_last())
             bad_days = (
                 df.groupBy(*PARTITION_COLS).agg(F.count(F.lit(1)).alias("n"))
                 .join(
@@ -229,11 +228,24 @@ def repair(
                 .filter(F.col("n") > F.col("m"))
                 .select(*PARTITION_COLS)
             )
+            # keep-first as a min_by hash aggregate instead of a sort-based
+            # row_number: map-side partial combine, no per-partition sort, and
+            # the shuffle carries one row per slice key instead of every
+            # duplicate (same swap as catalog q25, VERDICT r06 item 1).
+            # Ordering key: value asc with NULLs last — encode as
+            # (value IS NULL, value) so struct comparison matches
+            # asc_nulls_last semantics.
+            rest = [c for c in df.columns if c not in SLICE_KEY]
+            first = F.min_by(
+                F.struct(*rest),
+                F.struct(F.col("value").isNull().alias("__vnull"), F.col("value")),
+            ).alias("__first")
             fixed = (
                 df.join(F.broadcast(bad_days), on=PARTITION_COLS, how="left_semi")
-                .withColumn("__rk", F.row_number().over(w))
-                .filter(F.col("__rk") == 1)
-                .drop("__rk")
+                .groupBy(*SLICE_KEY)
+                .agg(first)
+                .select(*SLICE_KEY, *[F.col(f"__first.{c}").alias(c) for c in rest])
+                .select(*df.columns)
             )
             n = fixed.count()
             if n:

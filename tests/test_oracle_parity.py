@@ -24,6 +24,19 @@ def test_query_matches_oracle(spark, duck, name):
     assert res["match"], res.get("why")
 
 
+def test_query_groups_are_registry_members():
+    """Every QUERY_GROUPS member must be a REGISTRY key: a renamed query
+    silently breaks the documented ``--only @group`` CI lanes (the @graph
+    lane shipped broken for a round because q121's registry key changed —
+    VERDICT r06), and _resolve_only's unknown-name guard then rejects the
+    whole lane before running anything."""
+    from oco3_data_transformer_spark.oracle_check import QUERY_GROUPS
+
+    for group, members in QUERY_GROUPS.items():
+        missing = [m for m in members if m not in REGISTRY]
+        assert not missing, f"@{group} names unknown queries: {missing}"
+
+
 def test_harness_detects_mismatches(spark, duck):
     """Negative control: the comparison harness must actually FAIL on value,
     rowcount, and column differences — otherwise 58 green rows prove

@@ -48,6 +48,22 @@ def test_partial_aggregation_map_side(spark):
     assert plan.count("HashAggregate") >= 2  # partial (map-side) + final
 
 
+def test_keep_first_is_partial_aggregate_not_window(spark):
+    """q25 keep-first must be a min_by AGGREGATE with map-side partial
+    combine (the shuffle carries |users| rows, not |events|) — NOT the
+    row_number/WindowGroupLimit plan it replaced, which stayed 5× off the
+    oracle at the 10× fixture (VERDICT r06 item 1). Spark executes struct-
+    buffered min_by as SortAggregate (struct buffers are not UnsafeRow-
+    mutable, so HashAggregate is unavailable — hash-able reformulations
+    were measured strictly worse, see PERF.md q25 note); the properties
+    that matter are the partial combine and the absence of a window."""
+    plan = plan_of(spark, "q25_dedup_keep_first")
+    assert "partial_min_by" in plan  # map-side combine before the exchange
+    assert "Window" not in plan
+    # exactly one exchange, and it ships the combined |users|-row side
+    assert plan.count("hashpartitioning(") == 1
+
+
 def executed_plan_of(spark, name: str) -> str:
     df = REGISTRY[name].fn(spark, SF)
     df.collect()  # finalize THIS QueryExecution's adaptive plan
