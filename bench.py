@@ -97,6 +97,36 @@ ROUND6_DETAIL = [
     "q129_repeated_window_spans",
 ]
 
+# Gridding kernels (q126 linear, q130 cubic): timed SPARK-ONLY at both
+# legs ("kernel_detail"). Their oracles PREDICT the output from the affine
+# contract without replicating the triangulation/interpolation, so a
+# Spark-vs-DuckDB ratio would compare real work against a constant-time
+# answer; the absolute Spark times are still recorded so kernel-cost
+# regressions are driver-visible (VERDICT r06 item 5).
+KERNEL_DETAIL = [
+    "q126_grid_linear_kernel",
+    "q130_grid_cubic_kernel",
+]
+
+# Per-query sf1 ratio gate (VERDICT r06 item 4): at the 10x leg every
+# headline query must be <= SF1_RATIO_GATE x its DuckDB oracle, except
+# the documented floor-dominated exemptions below (sub-second absolute
+# times where the measured local-mode session/job floor — r5 floor
+# decomposition, scripts/floor_split.py — is most of the number).
+SF1_RATIO_GATE = 2.0
+SF1_GATE_EXEMPT = {
+    "q20_climatology_monthly": "floor: ~0.4 s absolute, 2-stage rollup; "
+    "ratio falls with scale (r5 floor decomposition)",
+    "q40_ivf_knn": "floor: multi-stage routing on ~0.5 s absolute; "
+    "100x leg inverts the ratio (PERF.md)",
+    "q25_dedup_keep_first": "SortAggregate fallback: struct min_by buffers "
+    "are not hash-aggregable; plan is shuffle-optimal (|users| rows cross) "
+    "and 4x faster than the window plan it replaced; hash-able "
+    "reformulations measured worse (PERF.md r7 note)",
+    "q10_broadcast_dim_join": "floor: broadcast-join chain, ~0.3 s absolute",
+    "q13_range_refine_join": "floor: ~1 s absolute, ratio falls with scale",
+}
+
 
 def _settle(max_wait: int = 120, threshold: float = 4.0) -> None:
     """Microbenchmark hygiene: measured totals inflate ~30% when the 1-min
@@ -280,6 +310,11 @@ def main() -> int:
             out["round6_detail"] = leg_summary(s6, d6, sf_dir)
         except Exception as exc:
             print(f"# round6 detail leg failed: {exc}", file=sys.stderr, flush=True)
+        try:
+            sk = spark_leg(spark, sf_dir, reps=2, tag="sf0.1-kernels", names=KERNEL_DETAIL)
+            out["kernel_detail"] = leg_summary(sk, {}, sf_dir)
+        except Exception as exc:
+            print(f"# kernel detail leg failed: {exc}", file=sys.stderr, flush=True)
 
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         try:
@@ -303,6 +338,23 @@ def main() -> int:
                 s61 = spark_leg(spark, sf1_dir, reps=1, tag="sf1-r6", names=ROUND6_DETAIL)
                 d61 = duckdb_leg(sf1_dir, reps=1, tag="sf1-r6", names=ROUND6_DETAIL)
                 out["sf1"]["round6_detail"] = leg_summary(s61, d61, sf1_dir)
+                sk1 = spark_leg(spark, sf1_dir, reps=1, tag="sf1-kernels", names=KERNEL_DETAIL)
+                out["sf1"]["kernel_detail"] = leg_summary(sk1, {}, sf1_dir)
+            # per-query ratio gate at the 10x leg (VERDICT r06 item 4):
+            # where data-proportional cost is visible, every headline query
+            # must be <= SF1_RATIO_GATE x its oracle unless exempted above.
+            ratios, violations = {}, {}
+            for n, dmin in out["sf1"].get("duckdb_queries", {}).items():
+                r = round(t1[n]["min"] / dmin, 2) if dmin else None
+                ratios[n] = r
+                if r is not None and r > SF1_RATIO_GATE and n not in SF1_GATE_EXEMPT:
+                    violations[n] = r
+            out["sf1"]["per_query_ratio"] = ratios
+            out["sf1"]["ratio_gate"] = {
+                "gate": SF1_RATIO_GATE,
+                "exempt": SF1_GATE_EXEMPT,
+                "violations": violations,
+            }
         except Exception as exc:
             print(f"# sf1 leg failed: {exc}", file=sys.stderr, flush=True)
 
@@ -322,6 +374,8 @@ def main() -> int:
     if "sf1" in out:
         headline["sf1_value"] = out["sf1"]["value"]
         headline["sf1_ratio"] = out["sf1"].get("ratio")
+        gate = out["sf1"].get("ratio_gate", {})
+        headline["sf1_gate_violations"] = len(gate.get("violations", {}))
     print(json.dumps(headline), flush=True)
     return 0
 

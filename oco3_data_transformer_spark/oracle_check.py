@@ -49,12 +49,44 @@ def canonical_rows(df: pd.DataFrame) -> list[tuple]:
     return sorted(out)
 
 
+# Non-vacuous parity floor (VERDICT r06 item 6): every registry query is
+# known non-empty at the driver's sf0.01 gate (verified: CORRECTNESS_SELF
+# has zero 0-row entries), so a 0-row "match" there means BOTH engines
+# built an empty relation — agreement that proves nothing (q81 passed
+# vacuously at sf0.001 for a round). At >= NONEMPTY_SF a 0-row result
+# FAILS; below it, it is annotated "vacuous": true so lane output stays
+# legible without punishing legitimately-tiny fixtures.
+NONEMPTY_SF = 0.01
+
+
+def _sf_of(sf_dir: str) -> float | None:
+    """Parse the scale factor out of a .../sfX.Y path tail (None if the
+    fixture doesn't follow the sf-dir naming, e.g. .bench_data/sf1)."""
+    tail = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    if tail.startswith("sf"):
+        try:
+            return float(tail[2:])
+        except ValueError:
+            return None
+    return None
+
+
 def compare_query(
     spark: SparkSession, con: duckdb.DuckDBPyConnection, name: str, sf_dir: str
 ) -> dict:
     qd = REGISTRY[name]
     sdf = qd.fn(spark, sf_dir).toPandas()
     res = {"name": name, "rows": len(sdf), "oracle": qd.sql is not None}
+    if len(sdf) == 0:
+        sf = _sf_of(sf_dir)
+        if sf is not None and sf >= NONEMPTY_SF:
+            res["match"] = False
+            res["why"] = (
+                f"vacuous: 0 rows at sf{sf} where every registry query is "
+                "declared non-empty (empty==empty proves nothing)"
+            )
+            return res
+        res["vacuous"] = True
     if qd.sql is None:
         res["match"] = len(sdf) >= 0
         return res
@@ -92,6 +124,17 @@ QUERY_GROUPS: dict[str, list[str]] = {
         "q117_transition_pagerank",
         "q124_seed_expansion_ppr",
         "q122_prefix_filter_simjoin",
+    ],
+    "round7": [
+        "q130_grid_cubic_kernel",
+        # round-7 plan/kernel changes to pre-existing queries, re-gated here
+        "q25_dedup_keep_first",
+        "q126_grid_linear_kernel",
+        "q127_length_percentiles_approx",
+        "q128_price_percentiles_approx",
+        "q129_repeated_window_spans",
+        "q117_transition_pagerank",
+        "q124_seed_expansion_ppr",
     ],
     "graph": [
         "q117_transition_pagerank",

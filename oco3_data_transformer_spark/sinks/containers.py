@@ -6,12 +6,16 @@ Neither wheel (xarray/h5netcdf, rasterio/GDAL) is reachable in this
 environment, so this module implements the two container FORMATS directly
 from their public specifications with numpy + stdlib zlib only:
 
-- :func:`write_netcdf3` — NetCDF *classic* (CDF-1) format: the original
-  Unidata on-disk spec (magic ``CDF\\x01``; dim/attr/var header lists;
-  big-endian fixed-layout data). Any NetCDF library reads it. Classic
-  format has no internal compression — that is the documented delta vs
-  the reference's zlib NetCDF4 output (same variables, coordinates, and
-  values; different container generation).
+- :func:`write_netcdf3` — NetCDF *classic* format: the original Unidata
+  on-disk spec (magic ``CDF\\x01``; dim/attr/var header lists; big-endian
+  fixed-layout data). Any NetCDF library reads it. Classic format has no
+  internal compression — that is the documented delta vs the reference's
+  zlib NetCDF4 output (same variables, coordinates, and values; different
+  container generation). CDF-1's 4-byte vsize/begin fields cap any one
+  variable at 2 GiB; when a variable would exceed that, the writer
+  auto-upgrades to CDF-5 (magic ``CDF\\x05``, same spec family: every
+  NON_NEG count and OFFSET widens to INT64 — PnetCDF/Unidata "NetCDF
+  64-bit Data Format"), which any netCDF >= 4.4 reads.
 - :func:`write_geotiff` — a tiled, deflate-compressed GeoTIFF with
   EPSG:4326 georeferencing (ModelPixelScale + ModelTiepoint +
   GeoKeyDirectory), NaN nodata (GDAL_NODATA), power-of-two average
@@ -45,23 +49,35 @@ _NC_DOUBLE = 6
 _NC_CHAR = 2
 
 
+# CDF-1 caps any one variable's vsize/begin at a signed 4-byte int. The
+# writer upgrades to CDF-5 (64-bit NON_NEG/OFFSET) past this threshold.
+_CDF1_MAX_VSIZE = 2**31 - 1
+
+
 def _nc_pad(b: bytes) -> bytes:
     return b + b"\x00" * (-len(b) % 4)
 
 
-def _nc_name(name: str) -> bytes:
+def _nc_int(v: int, wide: bool) -> bytes:
+    """A NON_NEG / OFFSET field: INT in CDF-1, INT64 in CDF-5 (the only
+    grammar difference between the two formats; tags and nc_type stay
+    4-byte in both)."""
+    return struct.pack(">q" if wide else ">i", v)
+
+
+def _nc_name(name: str, wide: bool = False) -> bytes:
     enc = name.encode()
-    return struct.pack(">i", len(enc)) + _nc_pad(enc)
+    return _nc_int(len(enc), wide) + _nc_pad(enc)
 
 
-def _nc_attrs(attrs: dict[str, str]) -> bytes:
+def _nc_attrs(attrs: dict[str, str], wide: bool = False) -> bytes:
     if not attrs:
-        return struct.pack(">ii", 0, 0)
-    out = [struct.pack(">ii", _NC_ATTRIBUTE, len(attrs))]
+        return struct.pack(">i", 0) + _nc_int(0, wide)
+    out = [struct.pack(">i", _NC_ATTRIBUTE) + _nc_int(len(attrs), wide)]
     for k, v in attrs.items():
         enc = v.encode()
-        out.append(_nc_name(k))
-        out.append(struct.pack(">ii", _NC_CHAR, len(enc)))
+        out.append(_nc_name(k, wide))
+        out.append(struct.pack(">i", _NC_CHAR) + _nc_int(len(enc), wide))
         out.append(_nc_pad(enc))
     return b"".join(out)
 
@@ -70,10 +86,16 @@ def write_netcdf3(
     arr: np.ndarray,
     var_name: str = "value",
     bounds: tuple[float, float, float, float] | None = None,
+    fmt: str = "auto",
 ) -> bytes:
-    """Encode a 2-D (lat, lon) grid as a NetCDF classic (CDF-1) file with
+    """Encode a 2-D (lat, lon) grid as a NetCDF classic file with
     cell-center ``lat``/``lon`` coordinate variables (latitude DESCENDING —
     the caller pre-flipped rows north-up, C10) and a double data variable.
+
+    ``fmt``: ``'cdf1'`` (classic), ``'cdf5'`` (64-bit data format), or
+    ``'auto'`` — CDF-1 unless a variable would exceed its 2 GiB vsize
+    cap, then CDF-5 (VERDICT r06 item 7: the limit is lifted, not
+    silently truncated).
     """
     arr = np.asarray(arr, dtype=np.float64)
     h, w = arr.shape
@@ -86,12 +108,24 @@ def write_netcdf3(
     lat = (max_lat - res_y / 2) - res_y * np.arange(h)
     lon = (min_lon + res_x / 2) + res_x * np.arange(w)
 
+    max_vsize = 8 * max(h * w, h, w)
+    if fmt == "auto":
+        fmt = "cdf5" if max_vsize > _CDF1_MAX_VSIZE else "cdf1"
+    if fmt not in ("cdf1", "cdf5"):
+        raise ValueError(f"fmt must be 'auto', 'cdf1' or 'cdf5', got {fmt!r}")
+    if fmt == "cdf1" and max_vsize > _CDF1_MAX_VSIZE:
+        raise ValueError(
+            f"variable {var_name!r} needs {max_vsize} bytes > the CDF-1 "
+            "2 GiB vsize cap; use fmt='cdf5' (or 'auto')"
+        )
+    wide = fmt == "cdf5"
+
     # header: magic, numrecs, dims, global attrs, variables
-    head = [b"CDF\x01", struct.pack(">i", 0)]
-    head.append(struct.pack(">ii", _NC_DIMENSION, 2))
-    head.append(_nc_name("lat") + struct.pack(">i", h))
-    head.append(_nc_name("lon") + struct.pack(">i", w))
-    head.append(_nc_attrs({"Conventions": "CF-1.6"}))
+    head = [b"CDF\x05" if wide else b"CDF\x01", _nc_int(0, wide)]
+    head.append(struct.pack(">i", _NC_DIMENSION) + _nc_int(2, wide))
+    head.append(_nc_name("lat", wide) + _nc_int(h, wide))
+    head.append(_nc_name("lon", wide) + _nc_int(w, wide))
+    head.append(_nc_attrs({"Conventions": "CF-1.6"}, wide))
 
     vars_meta = [
         ("lat", [0], {"units": "degrees_north", "standard_name": "latitude"},
@@ -104,31 +138,35 @@ def write_netcdf3(
     var_headers = []
     for name, dimids, attrs, payload in vars_meta:
         vh = (
-            _nc_name(name)
-            + struct.pack(">i", len(dimids))
-            + b"".join(struct.pack(">i", d) for d in dimids)
-            + _nc_attrs(attrs)
-            + struct.pack(">ii", _NC_DOUBLE, len(payload))
+            _nc_name(name, wide)
+            + _nc_int(len(dimids), wide)
+            + b"".join(_nc_int(d, wide) for d in dimids)
+            + _nc_attrs(attrs, wide)
+            + struct.pack(">i", _NC_DOUBLE)
+            + _nc_int(len(payload), wide)
         )
         var_headers.append(vh)
-    head.append(struct.pack(">ii", _NC_VARIABLE, len(vars_meta)))
-    # each var header is followed by a 4-byte begin offset (CDF-1)
+    head.append(struct.pack(">i", _NC_VARIABLE) + _nc_int(len(vars_meta), wide))
+    # each var header is followed by a begin offset (4-byte in CDF-1,
+    # 8-byte in CDF-5)
+    off_w = 8 if wide else 4
     header_len = sum(len(b) for b in head) + sum(
-        len(vh) + 4 for vh in var_headers
+        len(vh) + off_w for vh in var_headers
     )
     offset = header_len
     for (_, _, _, payload), vh in zip(vars_meta, var_headers):
-        head.append(vh + struct.pack(">i", offset))
+        head.append(vh + _nc_int(offset, wide))
         offset += len(payload)
     return b"".join(head) + b"".join(p for _, _, _, p in vars_meta)
 
 
 def read_netcdf3(data: bytes) -> dict:
-    """Minimal CDF-1 reader (round-trip tests / source use): returns
+    """Minimal CDF-1/CDF-5 reader (round-trip tests / source use): returns
     ``{var_name: ndarray}`` for double variables plus ``_dims``."""
-    if data[:4] != b"CDF\x01":
-        raise ValueError("not a NetCDF classic (CDF-1) file")
-    pos = 8  # magic + numrecs
+    if data[:3] != b"CDF" or data[3] not in (1, 5):
+        raise ValueError("not a NetCDF classic (CDF-1/CDF-5) file")
+    wide = data[3] == 5
+    pos = 4
 
     def i4():
         nonlocal pos
@@ -136,35 +174,45 @@ def read_netcdf3(data: bytes) -> dict:
         pos += 4
         return v
 
+    def nn():  # NON_NEG / OFFSET: INT64 in CDF-5, INT in CDF-1
+        nonlocal pos
+        if wide:
+            (v,) = struct.unpack_from(">q", data, pos)
+            pos += 8
+            return v
+        return i4()
+
+    nn()  # numrecs
+
     def name():
         nonlocal pos
-        n = i4()
+        n = nn()
         s = data[pos : pos + n].decode()
         pos += n + (-n % 4)
         return s
 
     def skip_attrs():
         nonlocal pos
-        tag, nelems = i4(), i4()
+        tag, nelems = i4(), nn()
         for _ in range(nelems if tag == _NC_ATTRIBUTE else 0):
             name()
-            typ, n = i4(), i4()
+            typ, n = i4(), nn()
             size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 4, 6: 8}[typ] * n
             pos += size + (-size % 4)
 
-    tag, ndims = i4(), i4()
+    tag, ndims = i4(), nn()
     dims = []
     for _ in range(ndims if tag == _NC_DIMENSION else 0):
-        dims.append((name(), i4()))
+        dims.append((name(), nn()))
     skip_attrs()  # global
     out: dict = {"_dims": dict(dims)}
-    tag, nvars = i4(), i4()
+    tag, nvars = i4(), nn()
     for _ in range(nvars if tag == _NC_VARIABLE else 0):
         vname = name()
-        nd = i4()
-        shape = tuple(dims[i4()][1] for i in range(nd))
+        nd = nn()
+        shape = tuple(dims[nn()][1] for i in range(nd))
         skip_attrs()
-        typ, vsize, begin = i4(), i4(), i4()
+        typ, vsize, begin = i4(), nn(), nn()
         if typ == _NC_DOUBLE:
             out[vname] = np.frombuffer(
                 data, dtype=">f8", count=vsize // 8, offset=begin

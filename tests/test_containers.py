@@ -15,6 +15,7 @@ import struct
 import zlib
 
 import numpy as np
+import pytest
 
 from oco3_data_transformer_spark.sinks import containers as C
 
@@ -59,6 +60,43 @@ def test_netcdf3_spec_golden_header_bytes():
     assert struct.unpack(">i", data[28:32]) == (3,)
     assert data[32:35] == b"lon"
     assert struct.unpack(">i", data[36:40]) == (3,)
+
+
+def test_netcdf5_roundtrip_and_golden_header():
+    """CDF-5 (64-bit data format): same values/coords round-trip, magic
+    CDF\\x05, 8-byte NON_NEG fields (numrecs, name lengths, dim sizes)."""
+    rng = np.random.default_rng(2)
+    arr = rng.normal(size=(4, 5))
+    arr[1, 2] = np.nan
+    data = C.write_netcdf3(arr, "xco2", BOUNDS, fmt="cdf5")
+    assert data[:4] == b"CDF\x05"
+    assert struct.unpack(">q", data[4:12]) == (0,)  # numrecs INT64
+    assert struct.unpack(">i", data[12:16]) == (0x0A,)  # NC_DIMENSION tag
+    assert struct.unpack(">q", data[16:24]) == (2,)  # nelems INT64
+    assert struct.unpack(">q", data[24:32]) == (3,)  # name len 'lat'
+    assert data[32:35] == b"lat"
+    assert struct.unpack(">q", data[36:44]) == (4,)  # dim length INT64
+    back = C.read_netcdf3(data)
+    np.testing.assert_array_equal(back["xco2"], arr)
+    assert back["_dims"] == {"lat": 4, "lon": 5}
+    assert (np.diff(back["lat"]) < 0).all()
+
+
+def test_netcdf_cdf1_two_gib_cap_enforced_and_lifted(monkeypatch):
+    """VERDICT r06 item 7: a variable over CDF-1's 2 GiB vsize cap must
+    raise under fmt='cdf1' (before any payload allocation — the input is
+    a zero-copy broadcast view) and auto-upgrade to CDF-5 under 'auto'
+    (threshold mocked down so the test doesn't materialize 2 GiB)."""
+    huge = np.broadcast_to(np.zeros(1), (1 << 16, 1 << 13))  # 4 GiB-shaped
+    with pytest.raises(ValueError, match="2 GiB"):
+        C.write_netcdf3(huge, "v", BOUNDS, fmt="cdf1")
+    monkeypatch.setattr(C, "_CDF1_MAX_VSIZE", 64)
+    small = np.zeros((3, 4))
+    data = C.write_netcdf3(small, "v", BOUNDS, fmt="auto")
+    assert data[:4] == b"CDF\x05"  # auto upgraded past the (mocked) cap
+    np.testing.assert_array_equal(C.read_netcdf3(data)["v"], small)
+    with pytest.raises(ValueError, match="vsize cap"):
+        C.write_netcdf3(small, "v", BOUNDS, fmt="cdf1")
 
 
 def test_netcdf3_data_is_big_endian_doubles_at_begin_offset():

@@ -37,6 +37,25 @@ def test_query_groups_are_registry_members():
         assert not missing, f"@{group} names unknown queries: {missing}"
 
 
+def test_vacuous_zero_row_match_flagged(spark, duck):
+    """Non-vacuous floor (VERDICT r06 item 6): a query returning 0 rows
+    must FAIL at >= sf0.01 (both engines agreeing on empty proves
+    nothing) and be annotated vacuous below it."""
+    from oco3_data_transformer_spark.catalog import QueryDef
+
+    good = REGISTRY["q08_day_limit"]
+    empty_fn = lambda spark, sf: good.fn(spark, sf).limit(0)  # noqa: E731
+    empty_sql = f"SELECT * FROM ({good.sql}) WHERE 1=0"
+    REGISTRY["__vacuous_probe"] = QueryDef(fn=empty_fn, sql=empty_sql, doc="")
+    try:
+        res = compare_query(spark, duck, "__vacuous_probe", SF_DIR)
+        assert res["match"] and res.get("vacuous") is True  # sf0.001: annotated
+        res = compare_query(spark, duck, "__vacuous_probe", "/root/testdata/sf0.01")
+        assert not res["match"] and "vacuous" in res["why"]  # gate sf: fails
+    finally:
+        del REGISTRY["__vacuous_probe"]
+
+
 def test_harness_detects_mismatches(spark, duck):
     """Negative control: the comparison harness must actually FAIL on value,
     rowcount, and column differences — otherwise 58 green rows prove
