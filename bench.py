@@ -125,6 +125,8 @@ SF1_GATE_EXEMPT = {
     "reformulations measured worse (PERF.md r7 note)",
     "q10_broadcast_dim_join": "floor: broadcast-join chain, ~0.3 s absolute",
     "q13_range_refine_join": "floor: ~1 s absolute, ratio falls with scale",
+    "q41_grid_kernel": "floor: grouped-map kernel, ~0.27 s absolute at sf1, "
+    "+0.06 s across a 10x data growth (r6 BENCH_DETAIL)",
 }
 
 

@@ -33,6 +33,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Bounded registry for this module's persisted intermediates (probe'd edge
+# tables, per-call node/prob caches). Each operator call creates fresh
+# DataFrames, so bare .persist() leaked one cached table per call in
+# long-lived sessions (bench reps, the catalog runner — ADVICE r06). A
+# FIFO cap keeps the caches that make repeated executions of the SAME
+# DataFrame fast (the bench pattern: build once, execute N times) while
+# evicting tables from calls old enough that nothing re-executes them;
+# an evicted cache is a recompute, never a correctness change.
+_PERSISTED_FIFO: list[DataFrame] = []
+_PERSISTED_CAP = 8
+
+
+def _persist_bounded(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED_FIFO.append(df)
+    while len(_PERSISTED_FIFO) > _PERSISTED_CAP:
+        _PERSISTED_FIFO.pop(0).unpersist(blocking=False)
+    return df
+
 
 def _pagerank_local(e: DataFrame, iters: int, damping: float) -> DataFrame:
     """Broadcast-regime kernel: ALL power-iteration rounds inside one
@@ -132,19 +151,11 @@ def pagerank(
         F.col(weight_col).cast("double").alias("__w"),
     )
     if kernel == "auto":
-        e = e.persist()  # probe + both downstream consumers reuse one scan
-        if e.count() <= local_edge_limit:
-            # the single-task kernel consumes e exactly once; materialize
-            # its (|nodes|-row) result eagerly so the probe cache can be
-            # dropped NOW instead of leaking one cached edge table per call
-            # in long-lived sessions (bench reps / catalog runner).
-            try:
-                return _pagerank_local(e, iters, damping).localCheckpoint(
-                    eager=True
-                )
-            finally:
-                e.unpersist(blocking=False)
-        kernel = "distributed"
+        # probe + downstream consumers reuse one scan; registered in the
+        # bounded FIFO so long-lived sessions don't accumulate one cached
+        # edge table per call (ADVICE r06)
+        e = _persist_bounded(e)
+        kernel = "local" if e.count() <= local_edge_limit else "distributed"
     if kernel == "local":
         return _pagerank_local(e, iters, damping)
     nodes = (
@@ -159,8 +170,8 @@ def pagerank(
         # aggregate's hash partitioning and neither side re-exchanges.
         .localCheckpoint(eager=False)
         .repartition("node")
-        .persist()
     )
+    nodes = _persist_bounded(nodes)
     n_nodes = nodes.count()  # control-plane scalar: sizes the teleport term
     out_w = e.groupBy("__src").agg(F.sum("__w").alias("__out_w"))
     # normalized transition probability per edge; reused every iteration.
@@ -174,8 +185,8 @@ def pagerank(
         .select("__src", "__dst", (F.col("__w") / F.col("__out_w")).alias("__p"))
         .localCheckpoint(eager=False)
         .repartition("__src")
-        .persist()
     )
+    probs = _persist_bounded(probs)
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
     for i in range(iters):
@@ -446,8 +457,8 @@ def label_propagation(
         )
         .localCheckpoint(eager=False)
         .repartition("__b")
-        .persist()
-    )  # referenced every round
+    )
+    e = _persist_bounded(e)  # referenced every round
     labels = (
         e.select(F.col("__a").alias("node"))
         .distinct()
@@ -571,8 +582,8 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=False)
         .repartition("__a")
-        .persist()
     )
+    e = _persist_bounded(e)
     # round-0 degrees (every node alive) double as the k calibration input
     deg = e.groupBy(F.col("__a").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -758,16 +769,9 @@ def personalized_pagerank(
     )
     seed_nodes = seeds.select(F.col("node")).distinct()
     if kernel == "auto":
-        e = e.persist()
-        if e.count() <= local_edge_limit:
-            try:
-                out = _local_ppr_gated(e, seed_nodes, iters, damping)
-                # eager checkpoint so the probe cache can be dropped now
-                # (same leak fix as pagerank's auto gate above)
-                return out.localCheckpoint(eager=True)
-            finally:
-                e.unpersist(blocking=False)
-        kernel = "distributed"
+        # bounded-FIFO persist: probe + downstream reuse, no per-call leak
+        e = _persist_bounded(e)
+        kernel = "local" if e.count() <= local_edge_limit else "distributed"
     if kernel == "local":
         return _local_ppr_gated(e, seed_nodes, iters, damping)
     nodes = (
@@ -780,8 +784,8 @@ def personalized_pagerank(
         # (see pagerank's nodes comment)
         .localCheckpoint(eager=False)
         .repartition("node")
-        .persist()
     )
+    nodes = _persist_bounded(nodes)
     # |S ∩ graph|: teleport normalizes over seeds present in the graph
     n_seeds = nodes.agg(F.sum("__is_seed")).collect()[0][0]
     if not n_seeds:
@@ -795,8 +799,8 @@ def personalized_pagerank(
         .select("__src", "__dst", (F.col("__w") / F.col("__out_w")).alias("__p"))
         .localCheckpoint(eager=False)
         .repartition("__src")
-        .persist()
     )
+    probs = _persist_bounded(probs)
     ranks = nodes.select("node", t_expr.alias("pr"))
     for i in range(iters):
         contrib = (

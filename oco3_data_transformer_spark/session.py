@@ -109,12 +109,21 @@ def tune_for_input(spark, paths: list[str] | str) -> dict[str, str]:
         applied = {
             "spark.sql.adaptive.enabled": "true",
             "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
+            "spark.sql.files.maxPartitionBytes": str(128 << 20),
         }
     else:
         parts = max(8, min(DEFAULT_SHUFFLE_PARTITIONS, total // _PARTITION_TARGET_BYTES))
         applied = {
             "spark.sql.adaptive.enabled": "false",
             "spark.sql.shuffle.partitions": str(int(parts)),
+            # Scan fan-out: at the default 128 MiB split size a toy table
+            # is 1-3 splits, so the MAP side (scan + partial agg + grouped-
+            # map kernels) runs on 1-3 of the 32 cores — the dual of the
+            # shuffle-width problem this helper already fixes. 4 MiB keeps
+            # small scans parallel (measured: sf1 floor-query set -22%,
+            # sf0.1 -14%, PERF.md r7); at >= 1 GiB the natural split count
+            # already saturates the cores and the default is restored.
+            "spark.sql.files.maxPartitionBytes": str(4 << 20),
         }
     for k, v in applied.items():
         spark.conf.set(k, v)

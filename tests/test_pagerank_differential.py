@@ -60,3 +60,22 @@ def test_pagerank_matches_numpy_power_iteration(spark, seed, kernel):
     for node in want:
         assert got[node] == pytest.approx(want[node], abs=1e-12)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_persist_fifo_bounds_cached_tables(spark):
+    """ADVICE r06: the auto regime gate persisted one edge table per call
+    and never unpersisted — a cache leak in long-lived sessions. The
+    bounded FIFO must (a) cap the registry and (b) actually unpersist
+    evicted entries (an evicted cache is a recompute, not an error)."""
+    from oco3_data_transformer_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0)], "a long, b long, w double"
+    )
+    G._PERSISTED_FIFO.clear()
+    for _ in range(G._PERSISTED_CAP + 4):
+        G.pagerank(edges, "a", "b", "w", iters=2).collect()
+    assert len(G._PERSISTED_FIFO) == G._PERSISTED_CAP
+    # drain: everything unpersists cleanly
+    while G._PERSISTED_FIFO:
+        G._PERSISTED_FIFO.pop().unpersist(blocking=False)

@@ -772,9 +772,10 @@ def test_q124_ppr_iteration_plan_bounded(spark):
     assert "MapInPandas" in plan  # all rounds in one task
     assert "CartesianProduct" not in plan
     # the executed path is MapInPandas → Coalesce → InMemoryTableScan
-    # (cached probe'd edge table); everything below InMemoryRelation in
-    # the printout is the cached BUILD plan, not per-round work — so the
-    # executed slice above the cache scan must be join-free
+    # (cached probe'd edge table — persisted via the bounded FIFO,
+    # ADVICE r06); everything below InMemoryRelation in the printout is
+    # the cached BUILD plan, not per-round work — so the executed slice
+    # above the cache scan must be join-free
     executed = plan.split("InMemoryRelation")[0]
     assert "Coalesce" in executed
     assert "InMemoryTableScan" in executed

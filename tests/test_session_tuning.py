@@ -19,10 +19,14 @@ def test_small_input_reduces_width_and_disables_aqe(spark, tmp_path):
     applied = tune_for_input(spark, [p])
     assert applied["spark.sql.adaptive.enabled"] == "false"
     assert 8 <= int(applied["spark.sql.shuffle.partitions"]) <= DEFAULT_SHUFFLE_PARTITIONS
+    # scan fan-out: small inputs also shrink the split size so the map
+    # side uses the cores (PERF.md r7)
+    assert int(applied["spark.sql.files.maxPartitionBytes"]) == 4 << 20
     assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
     # restore for other tests sharing the session
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
 
 
 def test_large_input_keeps_cluster_defaults(spark, tmp_path, monkeypatch):
@@ -33,6 +37,7 @@ def test_large_input_keeps_cluster_defaults(spark, tmp_path, monkeypatch):
     applied = tune_for_input(spark, [p])
     assert applied["spark.sql.adaptive.enabled"] == "true"
     assert int(applied["spark.sql.shuffle.partitions"]) == DEFAULT_SHUFFLE_PARTITIONS
+    assert int(applied["spark.sql.files.maxPartitionBytes"]) == 128 << 20
 
 
 def test_missing_paths_count_as_empty(spark, tmp_path):

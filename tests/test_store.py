@@ -96,6 +96,26 @@ def test_time_range_reads_prune_day_partitions(spark, tmp_path):
     assert df.count() == 1  # only day-2 files were read
 
 
+def test_join_driven_dynamic_partition_pruning(spark, tmp_path):
+    """The 100 TB star-join property: when the day predicate arrives via a
+    JOIN against a small dimension (not a literal filter), the store scan
+    must still prune partitions — Catalyst's dynamic partition pruning
+    injects the dim's day set as a runtime subquery partition filter.
+    Without DPP a days-dimension join scans every day of a 100 TB store."""
+    path = str(tmp_path / "store")
+    store.append(spark, _slices(spark, D1, [1, 2]), path)
+    store.append(spark, _slices(spark, D2, [3]), path)
+    fact = spark.read.parquet(path)
+    days = spark.createDataFrame(
+        [(D2.date(), "keep")], "day date, tag string"
+    ).filter(F.col("tag") == "keep")
+    joined = fact.join(days, "day")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "dynamicpruning" in pf[1][:400]
+    assert joined.count() == 1  # only day-2 files were read
+
+
 def test_write_read_attrs_roundtrip(spark, tmp_path):
     path = str(tmp_path / "store")
     store.append(spark, _slices(spark, D1, [1, 2]), path)
