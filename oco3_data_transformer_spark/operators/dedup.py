@@ -1287,12 +1287,18 @@ def repeated_window_spans(
     wins = (
         toks.select("id", F.posexplode(wins_arr).alias("pos", "__w"))
         .select("id", "pos", F.xxhash64("__w").alias("__h"))
-        # three consumers (counts, the hits join, totals) hang off this
-        # CPU-heavy tokenize+window+hash pass; checkpoint so the corpus is
-        # tokenized once, not re-derived per consumer — the same
-        # multi-consumer re-scan discipline prefix_filter_jaccard_pairs
-        # documents above. Lazy: materialized by the first job that needs it.
-        .localCheckpoint(eager=False)
+        # Three consumers (counts, the hits join, totals) hang off this
+        # tokenize+window+hash pass, so it is re-derived up to 3x. That is
+        # the CORRECT trade, measured both ways at the 100x fixture
+        # (PERF.md r7): a localCheckpoint here (the
+        # prefix_filter_jaccard_pairs discipline) must MATERIALIZE the
+        # full window table — Σ corpus tokens rows — and at 500k docs
+        # that IO turned a 0.6 s query into 42 s, while the re-derived
+        # projection streams straight into each consumer's map-side
+        # partial aggregate and never lands anywhere. Checkpointing wins
+        # only when the materialized set is SMALL relative to the
+        # recompute (the prefix-filter case); here it is the largest
+        # relation in the plan.
     )
     counts = wins.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
     dup = counts.filter(F.col("__c") >= min_count).select("__h")
