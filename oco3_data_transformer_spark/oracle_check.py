@@ -136,6 +136,34 @@ QUERY_GROUPS: dict[str, list[str]] = {
         "q117_transition_pagerank",
         "q124_seed_expansion_ppr",
     ],
+    # Correctness at the k=100 fixture (.bench_data/sf10): every family
+    # whose DuckDB oracle is non-quadratic and tractable there — the
+    # dedup-pair oracles (q31/q32/q33) are quadratic in DuckDB runtime and
+    # stay verified at the 10x fixture; the token/sketch aggregates
+    # (q106/q108/...) already cost ~45 s in DuckDB at 10x. Run:
+    #   python -m ...oracle_check .bench_data/sf10 --only @scale100 \
+    #          --out CORRECTNESS_SELF_SF10.json
+    "scale100": [
+        "q01_pricing_summary",
+        "q02_filter_pushdown_revenue",
+        "q10_broadcast_dim_join",
+        "q13_range_refine_join",
+        "q17_sessionize_islands",
+        "q18_sessionize_gap_merge",
+        "q20_climatology_monthly",
+        "q25_dedup_keep_first",
+        "q34_knn_bruteforce",
+        "q40_ivf_knn",
+        "q41_grid_kernel",
+        "q38_token_stats",
+        "q63_hash_split",
+        "q117_transition_pagerank",
+        "q126_grid_linear_kernel",
+        "q127_length_percentiles_approx",
+        "q128_price_percentiles_approx",
+        "q129_repeated_window_spans",
+        "q130_grid_cubic_kernel",
+    ],
     "graph": [
         "q117_transition_pagerank",
         "q119_neardup_graph_triangles",
