@@ -18,10 +18,11 @@ Spark-first design:
     ref readers/GranuleReader.py:115-117) — with a DataSource V2 this would
     be ``requiredSchema``; the pragmatic reader achieves the same pruning
     one layer up.
-  - h5netcdf/xarray are not in this container, so the NetCDF decoder raises
-    ``NotImplementedError`` at the format boundary; the 'npz' decoder (numpy
-    archives, one array per variable — structurally a NetCDF group) is fully
-    implemented and exercises every part of the harness.
+  - the NetCDF decoder is wheel-free end-to-end: classic CDF-1/CDF-5
+    through sinks/containers.py, NetCDF4/HDF5 through the pure-numpy
+    subset reader in sources/hdf5lite.py (xarray+h5netcdf still preferred
+    when importable); the 'npz' decoder (numpy archives, one array per
+    variable — structurally a NetCDF group) remains the harness workhorse.
 """
 
 from __future__ import annotations
@@ -63,13 +64,16 @@ def decode_netcdf(
     payload: bytes, variables: list[str] | None, group: str | None = None
 ) -> pd.DataFrame:
     """NetCDF granule decode (ref readers/GranuleReader.py:45-155: open →
-    project variables → mask_and_scale fill→NaN). NetCDF4/HDF5 files go
-    through xarray+h5netcdf (import-gated; golden-tested the moment the
-    environment provides it — tests/test_ready_goldens.py); NetCDF
-    *classic* (CDF-1, magic ``CDF\\x01``) files decode wheel-free through
-    the pure-numpy reader in sinks/containers.py, closing the loop with
-    the classic writer the export sink uses in this environment."""
-    if payload[:4] == b"CDF\x01":
+    project variables → mask_and_scale fill→NaN). NetCDF *classic*
+    (CDF-1/CDF-5, magic ``CDF\\x0{1,5}``) decodes wheel-free through the
+    pure-numpy reader in sinks/containers.py; NetCDF4/HDF5 files go
+    through xarray+h5netcdf when importable, else the pure-numpy HDF5
+    subset reader (sources/hdf5lite.py — superblock v0, old-style root
+    group, numeric datasets, contiguous or chunked+shuffle+deflate: the
+    standard netCDF4 on-disk shape), so S1 no longer has a wheel-gated
+    format branch. ``_FillValue`` attributes are normalized to NaN, the
+    reference's mask_and_scale behavior."""
+    if payload[:3] == b"CDF" and payload[3] in (1, 5):
         from ..sinks.containers import read_netcdf3
 
         data = read_netcdf3(payload)
@@ -82,12 +86,23 @@ def decode_netcdf(
         return pd.DataFrame(cols)
     try:  # pragma: no cover - optional dependency
         import xarray as xr  # type: ignore
-    except ImportError as e:
-        raise NotImplementedError(
-            "NetCDF4/HDF5 decoding requires xarray+h5netcdf (classic CDF-1 "
-            "files decode wheel-free); the Spark-side reader is "
-            "decoder-agnostic — decode_npz covers the harness"
-        ) from e
+    except ImportError:
+        from . import hdf5lite
+
+        arrays, attrs = hdf5lite.read_hdf5(payload, variables)
+        cols = {}
+        for n, arr in arrays.items():
+            if arr.dtype.kind == "f":
+                arr = arr.astype(np.float64, copy=True)
+                fv = attrs.get(n, {}).get("_FillValue")
+                fill = (
+                    float(np.asarray(fv).ravel()[0])
+                    if fv is not None
+                    else FILL_VALUE_DEFAULT
+                )
+                arr = np.where(arr == fill, np.nan, arr)
+            cols[n] = arr if arr.ndim == 1 else list(arr)
+        return pd.DataFrame(cols)
     ds = xr.open_dataset(  # pragma: no cover - exercised when lib present
         io.BytesIO(payload), engine="h5netcdf", mask_and_scale=True, group=group
     )

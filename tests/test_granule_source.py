@@ -61,8 +61,11 @@ def test_projection_pushdown_into_decoder(tmp_path):
     assert sorted(pdf.columns) == ["sounding_idx", "xco2"]  # secret_var untouched
 
 
-def test_netcdf_decoder_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_netcdf_decoder_rejects_garbage():
+    # decode_netcdf is no longer wheel-gated: CDF-1/CDF-5 via containers.py,
+    # HDF5 via the hdf5lite subset reader (tests/test_hdf5lite.py); an
+    # unrecognized payload fails loudly at the format boundary
+    with pytest.raises(ValueError, match="signature"):
         G.decode_netcdf(b"", None)
 
 

@@ -129,3 +129,36 @@ def test_netcdf_decode_golden(tmp_path):
     assert np.isnan(out["xco2"].iloc[1]) and out["xco2"].iloc[0] == 400.0
     # 2-D vertex corners arrive as per-row arrays
     assert list(out["vertex_latitude"].iloc[2]) == [8.0, 9.0, 10.0, 11.0]
+
+
+def test_hdf5lite_reads_real_h5netcdf_files(tmp_path):
+    """Differential activation golden: the pure-numpy HDF5 subset reader
+    (sources/hdf5lite.py) against a file written by the REAL library the
+    reference uses. Round-trip + spec goldens (tests/test_hdf5lite.py)
+    cover the codec wheel-free; this pins it to libhdf5's actual output
+    the moment the wheel appears."""
+    xr = pytest.importorskip("xarray")
+    pytest.importorskip("h5netcdf")
+    from oco3_data_transformer_spark.sources import hdf5lite as H
+
+    n = 7
+    vals = np.array([400.0, -999999.0, 402.0, 403.0, 404.0, 405.0, 406.0])
+    ds = xr.Dataset(
+        {
+            "xco2": ("sounding", vals),
+            "sounding_idx": ("sounding", np.arange(n, dtype=np.int64)),
+        }
+    )
+    f = tmp_path / "g.nc4"
+    # netCDF4 default settings (superblock v0, old-style group); also try
+    # the compressed shape (chunked + shuffle + deflate)
+    ds.to_netcdf(f, engine="h5netcdf")
+    arrays, _ = H.read_hdf5(f.read_bytes(), ["xco2", "sounding_idx"])
+    np.testing.assert_array_equal(arrays["xco2"], vals)
+    np.testing.assert_array_equal(arrays["sounding_idx"], np.arange(n))
+    ds.to_netcdf(
+        f, engine="h5netcdf",
+        encoding={"xco2": {"zlib": True, "shuffle": True, "chunksizes": (3,)}},
+    )
+    arrays, _ = H.read_hdf5(f.read_bytes(), ["xco2"])
+    np.testing.assert_array_equal(arrays["xco2"], vals)

@@ -83,6 +83,23 @@ def test_repair_removes_duplicates(spark, tmp_path):
     assert rep["duplicate_keys"] == 0 and rep["rows"] == 2
 
 
+def test_repair_keep_first_null_values_last(spark, tmp_path):
+    """The repair dedup keeps the MIN value with NULLs LAST (a NULL must
+    never win over a real measurement). The min_by rewrite encodes
+    asc_nulls_last as ordering key (value IS NULL, value) — this pins
+    that encoding against a duplicate set where one copy is NULL."""
+    path = str(tmp_path / "store")
+    good = _slices(spark, D1, [5.0])
+    nulled = good.withColumn("value", F.lit(None).cast("double"))
+    bad = good.unionAll(nulled).unionAll(_slices(spark, D1, [7.0]))
+    bad.withColumn("day", F.to_date("time")).write.partitionBy(
+        "mission", "qf", "day"
+    ).parquet(path)
+    store.repair(spark, path)
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 1 and rows[0].value == 5.0  # min real value, not NULL
+
+
 def test_time_range_reads_prune_day_partitions(spark, tmp_path):
     # the F8 scale claim: a day filter on the store must become a partition
     # filter on the (mission, qf, day) layout — asserted on the plan, not
