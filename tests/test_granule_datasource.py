@@ -65,6 +65,40 @@ def test_datasource_matches_mapinpandas_reader(spark, granule_dir):
     assert via_ds.count() == 17
 
 
+def test_datasource_reads_hdf5_granules(spark, tmp_path):
+    """granule_format=nc4 through the DataSource V2 path: the new
+    pure-numpy HDF5 reader composes with per-file partitioning and
+    decoder-level projection exactly like npz."""
+    from oco3_data_transformer_spark.sources import hdf5lite as H
+
+    spark.dataSource.register(GranuleDataSource)
+    rng = np.random.default_rng(5)
+    xco2 = rng.normal(400, 1, 12)
+    xco2[3] = -999999.0
+    blob = H.write_hdf5(
+        {"sounding_idx": np.arange(12, dtype=np.int64), "xco2": xco2},
+        {"xco2": {"_FillValue": -999999.0}},
+        chunk_rows=5, compress=True,
+    )
+    (tmp_path / "g1.nc4").write_bytes(blob)
+    schema = T.StructType(
+        [
+            T.StructField("granule", T.StringType()),
+            T.StructField("sounding_idx", T.LongType()),
+            T.StructField("xco2", T.DoubleType()),
+        ]
+    )
+    df = (
+        spark.read.format("granule")
+        .schema(schema)
+        .option("granule_format", "nc4")
+        .load(f"{tmp_path}/*.nc4")
+    )
+    rows = {r.sounding_idx: r.xco2 for r in df.collect()}
+    assert len(rows) == 12 and rows[3] is None  # fill -> NaN -> null
+    assert abs(rows[0] - xco2[0]) < 1e-9
+
+
 def test_schema_inference(spark, granule_dir):
     df = spark.read.format("granule").load(f"{granule_dir}/*.npz")
     got = {f.name: f.dataType for f in df.schema.fields}
