@@ -90,6 +90,21 @@ def decode_netcdf(
         from . import hdf5lite
 
         arrays, attrs = hdf5lite.read_hdf5(payload, variables)
+        if group is not None:  # netCDF variable-group selection (ref :115)
+            pre = group.strip("/") + "/"
+            arrays = {
+                k[len(pre):]: v for k, v in arrays.items() if k.startswith(pre)
+            }
+            attrs = {
+                k[len(pre):]: v for k, v in attrs.items() if k.startswith(pre)
+            }
+        else:  # flatten: leaf names, root-level winning on collision
+            arrays = {k.rsplit("/", 1)[-1]: v for k, v in sorted(
+                arrays.items(), key=lambda kv: kv[0].count("/"), reverse=True
+            )}
+            attrs = {k.rsplit("/", 1)[-1]: v for k, v in sorted(
+                attrs.items(), key=lambda kv: kv[0].count("/"), reverse=True
+            )}
         cols = {}
         for n, arr in arrays.items():
             if arr.dtype.kind == "f":

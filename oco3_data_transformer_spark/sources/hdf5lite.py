@@ -158,166 +158,208 @@ def _attribute_message(name: str, value: np.ndarray) -> bytes:
     return body + _pad8(nm) + _pad8(dt) + _pad8(sp) + value.tobytes()
 
 
+class _Blk:
+    """Planned file block: size known up front, address assigned later."""
+
+    def __init__(self, size: int):
+        self.size, self.addr = size, 0
+
+
+def _plan_dataset(
+    a: np.ndarray, chunk_rows: int | None, compress: bool
+) -> dict:
+    plan: dict = {"array": a}
+    if chunk_rows is None:
+        plan["data"] = [a.tobytes()]
+    else:
+        cshape = (min(chunk_rows, a.shape[0]),) + a.shape[1:]
+        plan["cshape"] = cshape
+        raws = []
+        for i in range(0, a.shape[0], cshape[0]):
+            chunk = np.zeros(cshape, a.dtype)
+            part = a[i : i + cshape[0]]
+            chunk[: part.shape[0]] = part
+            raw = chunk.tobytes()
+            if compress:
+                # pipeline order: shuffle then deflate (netCDF default)
+                raw = (
+                    np.frombuffer(raw, np.uint8)
+                    .reshape(-1, a.dtype.itemsize)
+                    .T.tobytes()
+                )
+                raw = zlib.compress(raw, 4)
+            raws.append(raw)
+        plan["data"] = raws
+        plan["starts"] = list(range(0, a.shape[0], cshape[0]))
+        # chunk btree: one leaf; each entry key = 8 + 8*(ndims+1)
+        nkeys = len(raws) + 1
+        plan["blk_btree"] = _Blk(
+            24 + nkeys * (8 + 8 * (a.ndim + 1)) + len(raws) * 8
+        )
+    plan["blk_data"] = [_Blk(len(d)) for d in plan["data"]]
+    return plan
+
+
+class _GroupPlan:
+    """One group's blocks: object header, v1 B-tree (single leaf), SNOD,
+    local heap; children are (name → _GroupPlan | dataset plan)."""
+
+    def __init__(self, tree: dict, chunk_rows, compress, attrs, path=""):
+        self.children: dict[str, object] = {}
+        for name in sorted(tree):
+            node = tree[name]
+            sub = f"{path}{name}/"
+            if isinstance(node, dict):
+                self.children[name] = _GroupPlan(
+                    node, chunk_rows, compress, attrs, sub
+                )
+            else:
+                p = _plan_dataset(node, chunk_rows, compress)
+                p["attrs"] = attrs.get(sub[:-1], {})
+                p["blk_oh"] = _Blk(
+                    len(_object_header(_ds_messages(p, p["attrs"], compress)))
+                )
+                self.children[name] = p
+        # local heap: offset 0 = reserved empty string, then child names
+        heap_data = bytearray(b"\x00" * 8)
+        self.name_off: dict[str, int] = {}
+        for n in self.children:
+            self.name_off[n] = len(heap_data)
+            heap_data += n.encode() + b"\x00"
+        self.heap_data = _pad8(bytes(heap_data))
+        self.blk_oh = _Blk(
+            len(_object_header([_message(_M_SYMBOL_TABLE, b"\x00" * 16)]))
+        )
+        self.blk_btree = _Blk(24 + 3 * 8)  # 1 leaf, 1 child SNOD
+        self.blk_snod = _Blk(8 + 40 * len(self.children))
+        self.blk_heap = _Blk(32)
+        self.blk_heap_seg = _Blk(len(self.heap_data))
+
+    def blocks(self) -> list[_Blk]:
+        out = [
+            self.blk_oh, self.blk_btree, self.blk_snod,
+            self.blk_heap, self.blk_heap_seg,
+        ]
+        for child in self.children.values():
+            if isinstance(child, _GroupPlan):
+                out.extend(child.blocks())
+            else:
+                out.append(child["blk_oh"])
+                if "blk_btree" in child:
+                    out.append(child["blk_btree"])
+                out.extend(child["blk_data"])
+        return out
+
+    def serialize(self, out: bytearray, compress: bool) -> None:
+        assert len(out) == self.blk_oh.addr
+        out += _object_header(
+            [
+                _message(
+                    _M_SYMBOL_TABLE,
+                    struct.pack("<QQ", self.blk_btree.addr, self.blk_heap.addr),
+                )
+            ]
+        )
+        names = list(self.children)
+        last_off = self.name_off[names[-1]] if names else 0
+        out += (
+            b"TREE"
+            + struct.pack("<BBH", 0, 0, 1)
+            + struct.pack("<QQ", _UNDEF, _UNDEF)
+            + struct.pack("<QQQ", 0, self.blk_snod.addr, last_off)
+        )
+        snod = b"SNOD" + struct.pack("<BxH", 1, len(names))
+        for n in names:
+            child = self.children[n]
+            oh = child.blk_oh if isinstance(child, _GroupPlan) else child["blk_oh"]
+            snod += struct.pack("<QQI4x16x", self.name_off[n], oh.addr, 0)
+        out += snod
+        out += b"HEAP" + struct.pack(
+            "<B3xQQQ", 0, len(self.heap_data), _UNDEF, self.blk_heap_seg.addr
+        )
+        out += self.heap_data
+        for n in names:
+            child = self.children[n]
+            if isinstance(child, _GroupPlan):
+                child.serialize(out, compress)
+                continue
+            p = child
+            out += _object_header(_ds_messages(p, p["attrs"], compress))
+            if "blk_btree" in p:
+                a = p["array"]
+                nd = a.ndim
+                bt = (
+                    b"TREE"
+                    + struct.pack("<BBH", 1, 0, len(p["data"]))
+                    + struct.pack("<QQ", _UNDEF, _UNDEF)
+                )
+                for raw, start, blk in zip(p["data"], p["starts"], p["blk_data"]):
+                    key = struct.pack("<II", len(raw), 0) + struct.pack(
+                        f"<{nd + 1}Q", start, *([0] * nd)
+                    )
+                    bt += key + struct.pack("<Q", blk.addr)
+                end = p["starts"][-1] + p["cshape"][0]  # final key: one past
+                bt += struct.pack("<II", 0, 0) + struct.pack(
+                    f"<{nd + 1}Q", end, *([0] * nd)
+                )
+                assert len(bt) == p["blk_btree"].size
+                out += bt
+            for raw in p["data"]:
+                out += raw
+
+
 def write_hdf5(
     datasets: dict[str, np.ndarray],
     attrs: dict[str, dict[str, float]] | None = None,
     chunk_rows: int | None = None,
     compress: bool = False,
 ) -> bytes:
-    """Encode numeric arrays as a minimal HDF5 file (one root group, one
-    dataset per entry, names sorted — SNOD entries must be ordered).
+    """Encode numeric arrays as a minimal HDF5 file. Dataset names may be
+    '/'-separated paths ("Retrieval/xco2") — intermediate groups are
+    created, mirroring the netCDF4 variable-group layout the reference
+    projects (ref readers/GranuleReader.py:115-117, group= selection).
 
     ``chunk_rows``: rows per chunk along axis 0 (None = contiguous
     layout). ``compress``: shuffle+deflate the chunks (requires
     ``chunk_rows`` — HDF5 only filters chunked layouts, per spec).
-    ``attrs``: per-dataset numeric scalar attributes (e.g.
-    ``{"xco2": {"_FillValue": -999999.0}}``).
+    ``attrs``: per-dataset numeric scalar attributes keyed by the same
+    path (e.g. ``{"Retrieval/xco2": {"_FillValue": -999999.0}}``).
     """
     if compress and chunk_rows is None:
         raise ValueError("compression requires chunked layout (chunk_rows)")
     attrs = attrs or {}
-    names = sorted(datasets)
-    arrays = {n: np.ascontiguousarray(datasets[n]) for n in names}
+    tree: dict = {}
+    for name, arr in datasets.items():
+        parts = [p for p in name.split("/") if p]
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+            if not isinstance(node, dict):
+                raise ValueError(f"{name}: path collides with a dataset")
+        node[parts[-1]] = np.ascontiguousarray(arr)
 
-    # ---- local heap: offset 0 = reserved empty string, then names
-    heap_data = bytearray(b"\x00" * 8)
-    name_off: dict[str, int] = {}
-    for n in names:
-        name_off[n] = len(heap_data)
-        heap_data += n.encode() + b"\x00"
-    heap_data = bytearray(_pad8(bytes(heap_data)))
-
-    # ---- block plan: sizes first, then addresses, then serialize
-    class Blk:
-        def __init__(self, size: int):
-            self.size, self.addr = size, 0
-
-    sb = Blk(96)
-    root_oh_msgs = [_message(_M_SYMBOL_TABLE, struct.pack("<QQ", 0, 0))]
-    root_oh = Blk(len(_object_header(root_oh_msgs)))
-    btree = Blk(24 + 3 * 8)  # 1 leaf, 1 child: key0, child0, key1
-    snod = Blk(8 + 40 * len(names))
-    heap = Blk(32)
-    heap_seg = Blk(len(heap_data))
-
-    ds_plan: dict[str, dict] = {}
-    for n in names:
-        a = arrays[n]
-        msgs_size = 0
-        plan: dict = {"array": a}
-        if chunk_rows is None:
-            plan["chunks"] = None
-            plan["data"] = [a.tobytes()]
-        else:
-            cshape = (min(chunk_rows, a.shape[0]),) + a.shape[1:]
-            plan["cshape"] = cshape
-            raws = []
-            for i in range(0, a.shape[0], cshape[0]):
-                chunk = np.zeros(cshape, a.dtype)
-                part = a[i : i + cshape[0]]
-                chunk[: part.shape[0]] = part
-                raw = chunk.tobytes()
-                if compress:
-                    # pipeline order: shuffle then deflate (netCDF default)
-                    raw = (
-                        np.frombuffer(raw, np.uint8)
-                        .reshape(-1, a.dtype.itemsize)
-                        .T.tobytes()
-                    )
-                    raw = zlib.compress(raw, 4)
-                raws.append(raw)
-            plan["data"] = raws
-            plan["starts"] = list(range(0, a.shape[0], cshape[0]))
-            # chunk btree: one leaf; each entry key = 8 + 8*(ndims+1)
-            nkeys = len(raws) + 1
-            plan["btree_size"] = (
-                24 + nkeys * (8 + 8 * (a.ndim + 1)) + len(raws) * 8
-            )
-        ds_plan[n] = plan
-        plan["blk_data"] = [Blk(len(d)) for d in plan["data"]]
-        if chunk_rows is not None:
-            plan["blk_btree"] = Blk(plan["btree_size"])
-        # object header size: build messages with dummy addresses
-        plan["oh_builder"] = None  # filled after addresses are known
-        dummy = _ds_messages(plan, attrs.get(n, {}), compress)
-        plan["blk_oh"] = Blk(len(_object_header(dummy)))
-
-    order: list[Blk] = [sb, root_oh, btree, snod, heap, heap_seg]
-    for n in names:
-        p = ds_plan[n]
-        order.append(p["blk_oh"])
-        if "blk_btree" in p:
-            order.append(p["blk_btree"])
-        order.extend(p["blk_data"])
+    root = _GroupPlan(tree, chunk_rows, compress, attrs)
+    sb = _Blk(96)
+    order = [sb] + root.blocks()
     pos = 0
     for b in order:
         b.addr = pos
         pos += b.size
     eof = pos
 
-    # ---- serialize with real addresses
     out = bytearray()
-
-    sb_bytes = (
+    out += (
         _SIG
         + struct.pack("<BBBxB BBx HH I", 0, 0, 0, 0, 8, 8, 4, 16, 0)
         + struct.pack("<QQQQ", 0, _UNDEF, eof, _UNDEF)
         # root symbol table entry: name offset 0, root OH addr, cached stab
-        + struct.pack("<QQI4xQQ", 0, root_oh.addr, 1, btree.addr, heap.addr)
-    )
-    assert len(sb_bytes) == 96, len(sb_bytes)
-    out += sb_bytes
-
-    out += _object_header(
-        [_message(_M_SYMBOL_TABLE, struct.pack("<QQ", btree.addr, heap.addr))]
-    )
-
-    # group btree: level 0, 1 SNOD child covering all names
-    out += (
-        b"TREE"
-        + struct.pack("<BBH", 0, 0, 1)
-        + struct.pack("<QQ", _UNDEF, _UNDEF)
-        + struct.pack("<QQQ", 0, snod.addr, name_off[names[-1]] if names else 0)
-    )
-
-    snod_bytes = b"SNOD" + struct.pack("<BxH", 1, len(names))
-    for n in names:
-        snod_bytes += struct.pack(
-            "<QQI4x16x", name_off[n], ds_plan[n]["blk_oh"].addr, 0
+        + struct.pack(
+            "<QQI4xQQ", 0, root.blk_oh.addr, 1,
+            root.blk_btree.addr, root.blk_heap.addr,
         )
-    out += snod_bytes
-
-    out += b"HEAP" + struct.pack(
-        "<B3xQQQ", 0, len(heap_data), _UNDEF, heap_seg.addr
     )
-    out += bytes(heap_data)
-
-    for n in names:
-        p = ds_plan[n]
-        out += _object_header(_ds_messages(p, attrs.get(n, {}), compress))
-        if "blk_btree" in p:
-            a = p["array"]
-            nd = a.ndim
-            bt = (
-                b"TREE"
-                + struct.pack("<BBH", 1, 0, len(p["data"]))
-                + struct.pack("<QQ", _UNDEF, _UNDEF)
-            )
-            for raw, start, blk in zip(p["data"], p["starts"], p["blk_data"]):
-                key = struct.pack("<II", len(raw), 0) + struct.pack(
-                    f"<{nd + 1}Q", start, *([0] * nd)
-                )
-                bt += key + struct.pack("<Q", blk.addr)
-            # final key: one past the last chunk
-            end = p["starts"][-1] + p["cshape"][0]
-            bt += struct.pack("<II", 0, 0) + struct.pack(
-                f"<{nd + 1}Q", end, *([0] * nd)
-            )
-            assert len(bt) == p["btree_size"], (len(bt), p["btree_size"])
-            out += bt
-        for raw in p["data"]:
-            out += raw
-
+    assert len(out) == 96
+    root.serialize(out, compress)
     assert len(out) == eof, (len(out), eof)
     return bytes(out)
 
@@ -490,50 +532,66 @@ def read_hdf5(
             "root group has no symbol table (new-style v2 groups "
             "unsupported — re-save without latest-format flags)"
         )
-    if data[heap_addr : heap_addr + 4] != b"HEAP":
-        raise ValueError("bad local heap signature")
-    (heap_seg,) = struct.unpack_from("<Q", data, heap_addr + 24)
-
-    def heap_name(off: int) -> str:
-        end = data.index(b"\x00", heap_seg + off)
-        return data[heap_seg + off : end].decode()
-
-    entries: list[tuple[str, int]] = []
-    for snod in _walk_group_btree(data, btree_addr):
-        assert data[snod : snod + 4] == b"SNOD"
-        (nsym,) = struct.unpack_from("<H", data, snod + 6)
-        for i in range(nsym):
-            base = snod + 8 + i * 40
-            noff, oaddr = struct.unpack_from("<QQ", data, base)
-            entries.append((heap_name(noff), oaddr))
 
     arrays: dict[str, np.ndarray] = {}
     attrs: dict[str, dict[str, np.ndarray]] = {}
-    for name, oaddr in entries:
-        if variables is not None and name not in variables:
-            continue
-        shape: tuple[int, ...] | None = None
-        dt: np.dtype | None = None
-        layout = None
-        filters: list[tuple[int, int]] = []  # (id, client value)
-        a_attrs: dict[str, np.ndarray] = {}
-        for mtype, body in _read_messages(data, oaddr):
-            if mtype == _M_DATASPACE:
-                shape = _parse_dataspace(body)
-            elif mtype == _M_DATATYPE:
-                dt = _parse_dtype(body)
-            elif mtype == _M_LAYOUT:
-                layout = body
-            elif mtype == _M_FILTERS:
-                filters = _parse_filters(body)
-            elif mtype == _M_ATTRIBUTE:
-                kv = _parse_attribute(body)
-                if kv:
-                    a_attrs[kv[0]] = kv[1]
-        if shape is None or dt is None or layout is None:
-            continue  # not a dataset (e.g. a sub-group) — skip
-        arrays[name] = _read_data(data, layout, shape, dt, filters)
-        attrs[name] = a_attrs
+
+    def walk_group(btree_addr: int, heap_addr: int, prefix: str) -> None:
+        if data[heap_addr : heap_addr + 4] != b"HEAP":
+            raise ValueError("bad local heap signature")
+        (heap_seg,) = struct.unpack_from("<Q", data, heap_addr + 24)
+
+        def heap_name(off: int) -> str:
+            end = data.index(b"\x00", heap_seg + off)
+            return data[heap_seg + off : end].decode()
+
+        entries: list[tuple[str, int]] = []
+        for snod in _walk_group_btree(data, btree_addr):
+            assert data[snod : snod + 4] == b"SNOD"
+            (nsym,) = struct.unpack_from("<H", data, snod + 6)
+            for i in range(nsym):
+                base = snod + 8 + i * 40
+                noff, oaddr = struct.unpack_from("<QQ", data, base)
+                entries.append((heap_name(noff), oaddr))
+
+        for name, oaddr in entries:
+            path = prefix + name
+            shape: tuple[int, ...] | None = None
+            dt: np.dtype | None = None
+            layout = None
+            filters: list[tuple[int, int]] = []  # (id, client value)
+            a_attrs: dict[str, np.ndarray] = {}
+            stab = None
+            for mtype, body in _read_messages(data, oaddr):
+                if mtype == _M_DATASPACE:
+                    shape = _parse_dataspace(body)
+                elif mtype == _M_DATATYPE:
+                    dt = _parse_dtype(body)
+                elif mtype == _M_LAYOUT:
+                    layout = body
+                elif mtype == _M_FILTERS:
+                    filters = _parse_filters(body)
+                elif mtype == _M_SYMBOL_TABLE:
+                    stab = struct.unpack_from("<QQ", body, 0)
+                elif mtype == _M_ATTRIBUTE:
+                    kv = _parse_attribute(body)
+                    if kv:
+                        a_attrs[kv[0]] = kv[1]
+            if stab is not None:  # sub-group (netCDF variable group)
+                walk_group(stab[0], stab[1], path + "/")
+                continue
+            if shape is None or dt is None or layout is None:
+                continue  # neither dataset nor old-style group — skip
+            # projection matches the full path OR the leaf name, so
+            # callers can say 'xco2' without knowing the group layout
+            if variables is not None and not (
+                path in variables or name in variables
+            ):
+                continue
+            arrays[path] = _read_data(data, layout, shape, dt, filters)
+            attrs[path] = a_attrs
+
+    walk_group(btree_addr, heap_addr, "")
     return arrays, attrs
 
 

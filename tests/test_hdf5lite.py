@@ -105,6 +105,47 @@ def test_unsupported_shapes_fail_loudly():
         H.write_hdf5({"v": np.arange(3.0)}, compress=True)
 
 
+def test_nested_groups_roundtrip():
+    """netCDF variable groups (the reference projects /Retrieval,
+    /Sounding etc. — ref readers/GranuleReader.py:115-117): '/'-separated
+    dataset paths create real HDF5 sub-groups and read back by path."""
+    rng = np.random.default_rng(9)
+    data = {
+        "sounding_id": np.arange(20, dtype=np.int64),
+        "Retrieval/xco2": rng.normal(400, 2, 20),
+        "Retrieval/psurf": rng.normal(1000, 5, 20),
+        "Sounding/operation_mode": rng.integers(0, 3, 20).astype(np.int8),
+    }
+    blob = H.write_hdf5(
+        data, {"Retrieval/xco2": {"_FillValue": -999999.0}},
+        chunk_rows=7, compress=True,
+    )
+    arrays, attrs = H.read_hdf5(blob)
+    assert set(arrays) == set(data)
+    for k, v in data.items():
+        np.testing.assert_array_equal(arrays[k], v)
+    assert "_FillValue" in attrs["Retrieval/xco2"]
+    # projection by leaf name finds grouped variables too
+    arrays, _ = H.read_hdf5(blob, variables=["xco2"])
+    assert list(arrays) == ["Retrieval/xco2"]
+
+
+def test_decode_netcdf_group_selection():
+    """decode_netcdf(group='Retrieval') mirrors xarray's group= semantics
+    on the wheel-free path; group=None flattens to leaf names."""
+    from oco3_data_transformer_spark.sources.granules import decode_netcdf
+
+    data = {
+        "sounding_id": np.arange(10, dtype=np.int64),
+        "Retrieval/xco2": np.linspace(400, 401, 10),
+    }
+    blob = H.write_hdf5(data)
+    sel = decode_netcdf(blob, None, group="Retrieval")
+    assert list(sel.columns) == ["xco2"]
+    flat = decode_netcdf(blob, None)
+    assert sorted(flat.columns) == ["sounding_id", "xco2"]
+
+
 def test_decode_netcdf_hdf5_fallback_masks_fill():
     """The S1 decoder path: hdf5lite payload → pandas frame with
     _FillValue→NaN normalization (ref readers/GranuleReader.py:151-153)
