@@ -22,6 +22,7 @@ Design notes for 100 TB of blobs:
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -53,21 +54,128 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> channels (8-bit only)
+_PNG_COLORTYPE = {1: 0, 3: 2, 4: 6}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """Minimal PNG encoder (public PNG spec, ISO/IEC 15948): 8-bit
+    grayscale/RGB/RGBA, non-interlaced, filter type 0 per scanline,
+    zlib-deflated IDAT. Any PNG reader decodes it."""
+    import zlib as _z
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if ch not in _PNG_COLORTYPE:
+        raise ValueError(f"png_encode: {ch} channels unsupported (1/3/4)")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLORTYPE[ch], 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), arr.reshape(h, w * ch)], axis=1
+    ).tobytes()  # filter byte 0 + scanline
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """Minimal PNG decoder: 8-bit gray/RGB/RGBA, non-interlaced, all five
+    scanline filter types (None/Sub/Up/Average/Paeth) — the shapes real
+    encoders emit. Returns (H, W, C) uint8."""
+    import zlib as _z
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat, ihdr = 8, [], None
+    while pos < len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype_, comp, filt, interlace = ihdr
+    if depth != 8 or ctype_ not in _PNG_CHANNELS or interlace:
+        raise ValueError(
+            f"PNG shape unsupported (depth {depth}, color type {ctype_}, "
+            f"interlace {interlace}) — 8-bit gray/RGB/RGBA non-interlaced only"
+        )
+    ch = _PNG_CHANNELS[ctype_]
+    stride = w * ch
+    raw = _z.decompress(b"".join(idat))
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.int64)
+    bpp = ch
+    for y in range(h):
+        ft, line = rows[y, 0], rows[y, 1:].astype(np.int64)
+        up = out[y - 1] if y else np.zeros(stride, np.int64)
+        cur = out[y]
+        if ft == 0:
+            cur[:] = line
+        elif ft == 2:  # Up
+            cur[:] = (line + up) & 0xFF
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth: sequential in x
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = up[x]
+                c = up[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ft} invalid")
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
 def decode_image(codec: str, payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
-    """Decode one blob to (H, W, C) uint8. Only 'raw' is implemented here;
-    real codecs plug in behind the same signature."""
+    """Decode one blob to (H, W, C) uint8. 'raw' and 'png' decode
+    wheel-free ('png' via the from-spec codec above); other codecs (jpeg,
+    webp) genuinely need an image library and plug in behind the same
+    signature when one is importable."""
     if codec == "raw":
         arr = np.frombuffer(payload, dtype=np.uint8)
         return arr.reshape(height, width, channels)
+    if codec == "png":
+        return png_decode(payload)
     raise NotImplementedError(
         f"codec {codec!r} needs an image library not present in this "
-        "container; only the 'raw' codec decodes here"
+        "container; 'raw' and 'png' decode here"
     )
 
 
 def encode_image(arr: np.ndarray, codec: str = "raw") -> bytes:
     if codec == "raw":
         return np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
+    if codec == "png":
+        return png_encode(arr)
     raise NotImplementedError(f"codec {codec!r} not available")
 
 

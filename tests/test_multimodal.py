@@ -86,3 +86,99 @@ def test_audio_unknown_codec_raises(spark):
     clips = M.synthetic_audio(spark, 1).withColumn("codec", F.lit("mp3"))
     with pytest.raises(Exception, match="mp3"):
         M.audio_features(clips).collect()
+
+
+def test_png_codec_roundtrip_and_shapes():
+    """From-spec PNG codec (public PNG spec / ISO 15948): 8-bit gray, RGB,
+    RGBA round-trip; unsupported shapes fail loudly."""
+    rng = np.random.default_rng(11)
+    for shape in [(7, 5, 3), (4, 9, 4), (6, 6, 1)]:
+        a = rng.integers(0, 256, shape).astype(np.uint8)
+        back = M.png_decode(M.png_encode(a))
+        np.testing.assert_array_equal(back, a)
+    with pytest.raises(ValueError, match="signature"):
+        M.png_decode(b"definitely not a png")
+    with pytest.raises(ValueError, match="channels"):
+        M.png_encode(np.zeros((2, 2, 2), np.uint8))
+
+
+def test_png_decoder_handles_all_five_filters():
+    """Real encoders emit Sub/Up/Average/Paeth filtered scanlines; build a
+    PNG using a different filter per row and verify exact decode — the
+    part a roundtrip of our own (filter-0) encoder can't cover."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(13)
+    w, h, ch = 4, 5, 3
+    a = rng.integers(0, 256, (h, w, ch)).astype(np.int64)
+    rows, prev = [], np.zeros(w * ch, np.int64)
+    for y in range(h):
+        ft, line = y % 5, a[y].reshape(-1)
+        enc = np.zeros(w * ch, np.int64)
+        for x in range(w * ch):
+            left = line[x - ch] if x >= ch else 0
+            up, ul = prev[x], (prev[x - ch] if x >= ch else 0)
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+            enc[x] = (line[x] - pred) % 256
+        rows.append(bytes([ft]) + bytes(enc.astype(np.uint8)))
+        prev = line
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(M.png_decode(png), a.astype(np.uint8))
+
+
+def test_image_features_over_png_codec(spark):
+    """The mapInPandas feature pass decodes codec='png' blobs wheel-free —
+    same plumbing as 'raw', real container bytes."""
+    rng = np.random.default_rng(17)
+    rows = []
+    arrs = {}
+    for i in range(4):
+        a = rng.integers(0, 256, (6, 8, 3)).astype(np.uint8)
+        arrs[i] = a
+        rows.append((i, "png", 8, 6, 3, bytearray(M.png_encode(a))))
+    df = spark.createDataFrame(
+        rows, "item_id long, codec string, width int, height int, "
+        "channels int, payload binary",
+    )
+    got = {r.item_id: r for r in M.image_features(df).collect()}
+    for i, a in arrs.items():
+        assert abs(got[i].mean_intensity - float(a.mean())) < 1e-9
+
+
+def test_png_differential_against_pil():
+    """Activation golden: when PIL appears, our encoder's bytes must decode
+    identically in PIL and PIL's bytes in our decoder."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = np.random.default_rng(19)
+    a = rng.integers(0, 256, (9, 7, 3)).astype(np.uint8)
+    pil_img = Image.fromarray(a)
+    np.testing.assert_array_equal(np.asarray(Image.open(io.BytesIO(M.png_encode(a)))), a)
+    buf = io.BytesIO()
+    pil_img.save(buf, format="PNG")
+    np.testing.assert_array_equal(M.png_decode(buf.getvalue()), a)
