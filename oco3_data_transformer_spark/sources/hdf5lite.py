@@ -347,10 +347,26 @@ def write_hdf5(
         pos += b.size
     eof = pos
 
+    # Group Leaf Node K bounds a symbol table node at 2K entries (spec
+    # III.C); this writer emits ONE SNOD per group, so K must cover the
+    # widest group or the file is out-of-spec for real readers (granules
+    # routinely carry dozens of variables per group).
+    def max_children(g: _GroupPlan) -> int:
+        return max(
+            [len(g.children)]
+            + [
+                max_children(c)
+                for c in g.children.values()
+                if isinstance(c, _GroupPlan)
+            ]
+        )
+
+    leaf_k = max(4, (max_children(root) + 1) // 2)
+
     out = bytearray()
     out += (
         _SIG
-        + struct.pack("<BBBxB BBx HH I", 0, 0, 0, 0, 8, 8, 4, 16, 0)
+        + struct.pack("<BBBxB BBx HH I", 0, 0, 0, 0, 8, 8, leaf_k, 16, 0)
         + struct.pack("<QQQQ", 0, _UNDEF, eof, _UNDEF)
         # root symbol table entry: name offset 0, root OH addr, cached stab
         + struct.pack(

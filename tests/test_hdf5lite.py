@@ -192,3 +192,17 @@ def test_granule_source_reads_hdf5_granules(spark, tmp_path):
     assert len(rows) == 1000
     assert {"granule", "sounding_id", "xco2", "latitude"} == set(rows.columns)
     assert rows["xco2"].isna().sum() > 0  # fill masked to NaN
+
+
+def test_wide_group_stays_in_spec():
+    """A granule-realistic variable count (30 datasets in one group): the
+    superblock's Group Leaf Node K must cover the single SNOD's entry
+    count (spec caps a symbol table node at 2K symbols), and everything
+    round-trips."""
+    data = {f"var_{i:02d}": np.arange(4, dtype=np.float64) + i for i in range(30)}
+    blob = H.write_hdf5(data)
+    (leaf_k,) = struct.unpack_from("<H", blob, 16)
+    assert 2 * leaf_k >= 30
+    arrays, _ = H.read_hdf5(blob)
+    assert len(arrays) == 30
+    np.testing.assert_array_equal(arrays["var_29"], np.arange(4.0) + 29)
