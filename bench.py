@@ -117,8 +117,9 @@ SF1_RATIO_GATE = 2.0
 SF1_GATE_EXEMPT = {
     "q20_climatology_monthly": "floor: ~0.4 s absolute, 2-stage rollup; "
     "ratio falls with scale (r5 floor decomposition)",
-    "q40_ivf_knn": "floor: multi-stage routing on ~0.5 s absolute; "
-    "100x leg inverts the ratio (PERF.md)",
+    "q40_ivf_knn": "floor: multi-stage routing, ~1.5 s absolute at sf1 "
+    "(r7 BENCH_DETAIL; 0.45 s is the sf0.1 figure); "
+    "100x leg inverts the ratio to 0.43x (PERF.md)",
     "q25_dedup_keep_first": "SortAggregate fallback: struct min_by buffers "
     "are not hash-aggregable; plan is shuffle-optimal (|users| rows cross) "
     "and 4x faster than the window plan it replaced; hash-able "

@@ -1293,7 +1293,8 @@ def repeated_window_spans(
         # (PERF.md r7): a localCheckpoint here (the
         # prefix_filter_jaccard_pairs discipline) must MATERIALIZE the
         # full window table — Σ corpus tokens rows — and at 500k docs
-        # that IO turned a 0.6 s query into 42 s, while the re-derived
+        # that IO turned an 18.5 s query into 42 s (PERF.md r7
+        # erratum retracts the earlier 0.6 s figure), while the re-derived
         # projection streams straight into each consumer's map-side
         # partial aggregate and never lands anywhere. Checkpointing wins
         # only when the materialized set is SMALL relative to the

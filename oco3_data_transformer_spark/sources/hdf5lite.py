@@ -17,7 +17,10 @@ by The HDF Group) that NetCDF4-style granules actually use:
     byte-shuffle — the standard netCDF compression stack), Attribute (v1,
     numeric scalars such as ``_FillValue``), and Object Header
     Continuation blocks on the read side;
-  - v1 raw-data-chunk B-trees (any depth on read; single leaf on write).
+  - v1 raw-data-chunk B-trees: any depth on read AND write (nodes are
+    capped at 64 entries = the 2K bound real readers assume from the
+    default Indexed Storage K=32, since superblock v0 has no field for
+    it; >64 chunks stack internal levels).
 
 Out of scope (raises with a clear message): later superblock versions,
 v2 B-trees / fractal heaps ("new-style" groups), variable-length and
@@ -165,6 +168,16 @@ class _Blk:
         self.size, self.addr = size, 0
 
 
+# v1 B-tree node capacity for raw-data-chunk (indexed storage) trees.
+# Superblock v0 carries NO "Indexed Storage Internal Node K" field (that
+# appears only in superblock v1), so real readers assume the library
+# default K=32 → at most 2K = 64 entries per node.  Emitting a wider
+# node produces a file libhdf5/h5py reject — the same out-of-spec
+# failure mode the Group Leaf Node K fix (commit 65099d6) closed for
+# symbol-table nodes, on the chunk side.
+_CHUNK_BTREE_MAX_ENTRIES = 64
+
+
 def _plan_dataset(
     a: np.ndarray, chunk_rows: int | None, compress: bool
 ) -> dict:
@@ -172,7 +185,10 @@ def _plan_dataset(
     if chunk_rows is None:
         plan["data"] = [a.tobytes()]
     else:
-        cshape = (min(chunk_rows, a.shape[0]),) + a.shape[1:]
+        # zero-row arrays: keep the chunked layout message (chunk dims
+        # must be > 0 per spec) but emit zero chunks and an UNDEF B-tree
+        # address, which the reader already maps to an all-fill array.
+        cshape = (max(1, min(chunk_rows, a.shape[0])),) + a.shape[1:]
         plan["cshape"] = cshape
         raws = []
         for i in range(0, a.shape[0], cshape[0]):
@@ -191,13 +207,79 @@ def _plan_dataset(
             raws.append(raw)
         plan["data"] = raws
         plan["starts"] = list(range(0, a.shape[0], cshape[0]))
-        # chunk btree: one leaf; each entry key = 8 + 8*(ndims+1)
-        nkeys = len(raws) + 1
-        plan["blk_btree"] = _Blk(
-            24 + nkeys * (8 + 8 * (a.ndim + 1)) + len(raws) * 8
-        )
+        if raws:
+            plan["bt_nodes"], plan["bt_blks"] = _plan_chunk_btree(
+                len(raws), a.ndim
+            )
+            # layout message points at the root = first planned node
+            plan["blk_btree"] = plan["bt_blks"][0]
     plan["blk_data"] = [_Blk(len(d)) for d in plan["data"]]
     return plan
+
+
+def _plan_chunk_btree(nchunks: int, ndims: int) -> tuple[list[dict], list[_Blk]]:
+    """Plan a v1 raw-data-chunk B-tree over ``nchunks`` chunks, splitting
+    into multiple nodes (and levels) so no node exceeds
+    ``_CHUNK_BTREE_MAX_ENTRIES``.  Returns node descriptors + their
+    blocks, root first; each descriptor covers the chunk index range
+    [lo, hi) and, at level > 0, holds the indices of its child nodes."""
+    ksize = 8 + 8 * (ndims + 1)
+
+    def node_size(nent: int) -> int:
+        return 24 + (nent + 1) * ksize + nent * 8
+
+    cap = _CHUNK_BTREE_MAX_ENTRIES
+    # bottom level: leaves over chunk index ranges
+    level_nodes: list[dict] = []
+    nleaves = (nchunks + cap - 1) // cap
+    per = (nchunks + nleaves - 1) // nleaves
+    lo = 0
+    while lo < nchunks:
+        hi = min(lo + per, nchunks)
+        level_nodes.append({"level": 0, "lo": lo, "hi": hi, "children": None})
+        lo = hi
+    levels = [level_nodes]
+    # stack internal levels until a single root remains
+    while len(levels[-1]) > 1:
+        below = levels[-1]
+        nnodes = (len(below) + cap - 1) // cap
+        per_n = (len(below) + nnodes - 1) // nnodes
+        lvl: list[dict] = []
+        for s in range(0, len(below), per_n):
+            grp = below[s : s + per_n]
+            lvl.append(
+                {
+                    "level": grp[0]["level"] + 1,
+                    "lo": grp[0]["lo"],
+                    "hi": grp[-1]["hi"],
+                    "children": list(range(s, s + len(grp))),
+                }
+            )
+        levels.append(lvl)
+    # flatten root-first; record each node's flat index per level for
+    # child resolution
+    nodes: list[dict] = []
+    offsets: list[int] = []
+    for lvl in reversed(levels):  # root level first
+        offsets.append(len(nodes))
+        nodes.extend(lvl)
+    # child indices were per-level; rebase onto the flat list.  After the
+    # reversed() flatten, level L sits at offsets[len(levels)-1-L].
+    flat_off = {lv[0]["level"]: off for lv, off in zip(reversed(levels), offsets)}
+    for n in nodes:
+        if n["children"] is not None:
+            n["children"] = [flat_off[n["level"] - 1] + c for c in n["children"]]
+    blks = [
+        _Blk(
+            node_size(
+                len(n["children"])
+                if n["children"] is not None
+                else n["hi"] - n["lo"]
+            )
+        )
+        for n in nodes
+    ]
+    return nodes, blks
 
 
 class _GroupPlan:
@@ -245,8 +327,7 @@ class _GroupPlan:
                 out.extend(child.blocks())
             else:
                 out.append(child["blk_oh"])
-                if "blk_btree" in child:
-                    out.append(child["blk_btree"])
+                out.extend(child.get("bt_blks", []))
                 out.extend(child["blk_data"])
         return out
 
@@ -285,27 +366,61 @@ class _GroupPlan:
                 continue
             p = child
             out += _object_header(_ds_messages(p, p["attrs"], compress))
-            if "blk_btree" in p:
-                a = p["array"]
-                nd = a.ndim
-                bt = (
-                    b"TREE"
-                    + struct.pack("<BBH", 1, 0, len(p["data"]))
-                    + struct.pack("<QQ", _UNDEF, _UNDEF)
-                )
-                for raw, start, blk in zip(p["data"], p["starts"], p["blk_data"]):
-                    key = struct.pack("<II", len(raw), 0) + struct.pack(
-                        f"<{nd + 1}Q", start, *([0] * nd)
-                    )
-                    bt += key + struct.pack("<Q", blk.addr)
-                end = p["starts"][-1] + p["cshape"][0]  # final key: one past
-                bt += struct.pack("<II", 0, 0) + struct.pack(
-                    f"<{nd + 1}Q", end, *([0] * nd)
-                )
-                assert len(bt) == p["blk_btree"].size
-                out += bt
+            if "bt_nodes" in p:
+                _serialize_chunk_btree(out, p)
             for raw in p["data"]:
                 out += raw
+
+
+def _serialize_chunk_btree(out: bytearray, p: dict) -> None:
+    """Emit the planned chunk B-tree nodes (root first, then by level).
+    Key ``i`` describes chunk ``i`` (size, mask=0, row offset); the
+    sentinel key one past the last chunk carries the one-past-the-end
+    row offset, matching libhdf5's right-edge key convention.  Internal
+    node key ``j`` is the left key of child ``j``'s subtree."""
+    a = p["array"]
+    nd = a.ndim
+    nchunks = len(p["data"])
+
+    def key(i: int) -> bytes:
+        if i < nchunks:
+            size, start = len(p["data"][i]), p["starts"][i]
+        else:
+            size, start = 0, p["starts"][-1] + p["cshape"][0]
+        return struct.pack("<II", size, 0) + struct.pack(
+            f"<{nd + 1}Q", start, *([0] * nd)
+        )
+
+    nodes, blks = p["bt_nodes"], p["bt_blks"]
+    # sibling pointers: adjacent nodes at the same level
+    sib: dict[int, tuple[int, int]] = {}
+    for lvl in {n["level"] for n in nodes}:
+        idxs = [i for i, n in enumerate(nodes) if n["level"] == lvl]
+        for j, i in enumerate(idxs):
+            left = blks[idxs[j - 1]].addr if j > 0 else _UNDEF
+            right = blks[idxs[j + 1]].addr if j + 1 < len(idxs) else _UNDEF
+            sib[i] = (left, right)
+    # blocks were planned root-first, but file addresses are in plan
+    # order, so serialize in that same order
+    for i, (n, blk) in enumerate(zip(nodes, blks)):
+        assert len(out) == blk.addr
+        if n["children"] is None:  # leaf: children are chunk data blocks
+            ents = list(range(n["lo"], n["hi"]))
+            childaddr = [p["blk_data"][c].addr for c in ents]
+            bounds = ents + [n["hi"]]
+        else:  # internal: children are lower B-tree nodes
+            childaddr = [blks[c].addr for c in n["children"]]
+            bounds = [nodes[c]["lo"] for c in n["children"]] + [n["hi"]]
+        bt = (
+            b"TREE"
+            + struct.pack("<BBH", 1, n["level"], len(childaddr))
+            + struct.pack("<QQ", *sib[i])
+        )
+        for b, addr in zip(bounds, childaddr):
+            bt += key(b) + struct.pack("<Q", addr)
+        bt += key(bounds[-1])
+        assert len(bt) == blk.size, (len(bt), blk.size)
+        out += bt
 
 
 def write_hdf5(
@@ -390,13 +505,16 @@ def _ds_messages(plan: dict, ds_attrs: dict[str, float], compress: bool) -> list
         # fill value v2: alloc time 2 (early), write time 0, undefined
         _message(_M_FILLVALUE, struct.pack("<BBBB", 2, 2, 0, 0)),
     ]
-    if "blk_btree" in plan:
+    if "cshape" in plan:
         # layout v3 chunked (spec IV.A.2.i): version, class, dimensionality
         # (= ndims+1), B-tree address, chunk dims (4B each), element size —
-        # properties immediately follow the class byte, NO padding
+        # properties immediately follow the class byte, NO padding.
+        # Zero-row datasets have no chunks: UNDEF B-tree address (the
+        # reader returns an all-fill array for that, per spec semantics).
         cshape = plan["cshape"]
+        bt_addr = plan["blk_btree"].addr if "blk_btree" in plan else _UNDEF
         body = struct.pack("<BBB", 3, 2, len(cshape) + 1)
-        body += struct.pack("<Q", plan["blk_btree"].addr)
+        body += struct.pack("<Q", bt_addr)
         body += b"".join(struct.pack("<I", c) for c in cshape)
         body += struct.pack("<I", a.dtype.itemsize)
         msgs.append(_message(_M_LAYOUT, body))

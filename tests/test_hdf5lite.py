@@ -206,3 +206,51 @@ def test_wide_group_stays_in_spec():
     arrays, _ = H.read_hdf5(blob)
     assert len(arrays) == 30
     np.testing.assert_array_equal(arrays["var_29"], np.arange(4.0) + 29)
+
+
+def test_multi_node_chunk_btree_stays_in_spec():
+    """>64 chunks must split across B-tree nodes: superblock v0 has no
+    Indexed Storage Internal Node K field, so real readers assume the
+    default K=32 (max 64 entries/node) — one wide leaf is out-of-spec
+    (the chunk-side twin of the Group Leaf Node K bound).  500 chunks →
+    a depth-1 tree; every type-1 node must hold ≤ 64 entries and the
+    data must round-trip bit-exactly."""
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=100_000).astype(np.float32)
+    blob = H.write_hdf5({"x": a}, chunk_rows=200, compress=True)
+    seen_levels = set()
+    pos = 0
+    while True:
+        pos = blob.find(b"TREE", pos)
+        if pos < 0:
+            break
+        ntype, level, nent = struct.unpack_from("<BBH", blob, pos + 4)
+        if ntype == 1:
+            assert nent <= 64, f"chunk B-tree node at {pos} has {nent} entries"
+            seen_levels.add(level)
+        pos += 4
+    assert seen_levels == {0, 1}  # 500 chunks: leaves + one internal level
+    arrays, _ = H.read_hdf5(blob)
+    np.testing.assert_array_equal(arrays["x"], a)
+
+
+def test_depth2_chunk_btree_roundtrip():
+    """5000 chunks exceed 64*64, forcing two internal levels."""
+    a = np.arange(10_000, dtype=np.int64)
+    blob = H.write_hdf5({"a": a}, chunk_rows=2)
+    arrays, _ = H.read_hdf5(blob)
+    np.testing.assert_array_equal(arrays["a"], a)
+
+
+def test_zero_row_chunked_dataset():
+    """Zero-row array with chunk_rows must not crash (chunk dims stay
+    positive per spec; zero chunks → UNDEF B-tree address, which the
+    reader maps to an empty/all-fill array)."""
+    blob = H.write_hdf5(
+        {"z": np.zeros((0,), np.float64), "w": np.arange(5.0)},
+        chunk_rows=100,
+        compress=True,
+    )
+    arrays, _ = H.read_hdf5(blob)
+    assert arrays["z"].shape == (0,)
+    np.testing.assert_array_equal(arrays["w"], np.arange(5.0))
