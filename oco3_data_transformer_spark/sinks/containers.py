@@ -92,10 +92,11 @@ def write_netcdf3(
     cell-center ``lat``/``lon`` coordinate variables (latitude DESCENDING —
     the caller pre-flipped rows north-up, C10) and a double data variable.
 
-    ``fmt``: ``'cdf1'`` (classic), ``'cdf5'`` (64-bit data format), or
-    ``'auto'`` — CDF-1 unless a variable would exceed its 2 GiB vsize
-    cap, then CDF-5 (VERDICT r06 item 7: the limit is lifted, not
-    silently truncated).
+    ``fmt``: ``'cdf1'`` (classic), ``'cdf2'`` (64-bit offset classic —
+    only variable begin offsets widen to 8 bytes), ``'cdf5'`` (64-bit
+    data format), or ``'auto'`` — CDF-1 unless a variable would exceed
+    its 2 GiB vsize cap, then CDF-5 (VERDICT r06 item 7: the limit is
+    lifted, not silently truncated).
     """
     arr = np.asarray(arr, dtype=np.float64)
     h, w = arr.shape
@@ -111,17 +112,21 @@ def write_netcdf3(
     max_vsize = 8 * max(h * w, h, w)
     if fmt == "auto":
         fmt = "cdf5" if max_vsize > _CDF1_MAX_VSIZE else "cdf1"
-    if fmt not in ("cdf1", "cdf5"):
-        raise ValueError(f"fmt must be 'auto', 'cdf1' or 'cdf5', got {fmt!r}")
+    if fmt not in ("cdf1", "cdf2", "cdf5"):
+        raise ValueError(
+            f"fmt must be 'auto', 'cdf1', 'cdf2' or 'cdf5', got {fmt!r}"
+        )
     if fmt == "cdf1" and max_vsize > _CDF1_MAX_VSIZE:
         raise ValueError(
             f"variable {var_name!r} needs {max_vsize} bytes > the CDF-1 "
             "2 GiB vsize cap; use fmt='cdf5' (or 'auto')"
         )
     wide = fmt == "cdf5"
+    off_wide = fmt in ("cdf2", "cdf5")  # begin offsets: 8B in CDF-2/CDF-5
 
     # header: magic, numrecs, dims, global attrs, variables
-    head = [b"CDF\x05" if wide else b"CDF\x01", _nc_int(0, wide)]
+    magic = {"cdf1": b"CDF\x01", "cdf2": b"CDF\x02", "cdf5": b"CDF\x05"}[fmt]
+    head = [magic, _nc_int(0, wide)]
     head.append(struct.pack(">i", _NC_DIMENSION) + _nc_int(2, wide))
     head.append(_nc_name("lat", wide) + _nc_int(h, wide))
     head.append(_nc_name("lon", wide) + _nc_int(w, wide))
@@ -148,24 +153,65 @@ def write_netcdf3(
         var_headers.append(vh)
     head.append(struct.pack(">i", _NC_VARIABLE) + _nc_int(len(vars_meta), wide))
     # each var header is followed by a begin offset (4-byte in CDF-1,
-    # 8-byte in CDF-5)
-    off_w = 8 if wide else 4
+    # 8-byte in CDF-2/CDF-5)
+    off_w = 8 if off_wide else 4
     header_len = sum(len(b) for b in head) + sum(
         len(vh) + off_w for vh in var_headers
     )
     offset = header_len
     for (_, _, _, payload), vh in zip(vars_meta, var_headers):
-        head.append(vh + _nc_int(offset, wide))
+        head.append(vh + _nc_int(offset, off_wide))
         offset += len(payload)
     return b"".join(head) + b"".join(p for _, _, _, p in vars_meta)
 
 
+def write_netcdf4(
+    arr: np.ndarray,
+    var_name: str = "value",
+    bounds: tuple[float, float, float, float] | None = None,
+    level: int = 9,
+) -> bytes:
+    """Encode a 2-D (lat, lon) grid as a NetCDF4-style file: HDF5
+    container, shuffle + zlib-``level`` chunked data variable,
+    cell-center ``lat``/``lon`` coordinate variables (latitude
+    DESCENDING, C10), NaN ``_FillValue`` attribute — the container
+    family the reference emits (ref writers/NetCDFWriter.py:26-61:
+    ``to_netcdf(..., encoding={var: {'zlib': True, 'complevel': 9}})``),
+    produced wheel-free on the sources/hdf5lite.py writer.
+
+    Subset caveat (documented, not silent): hdf5lite writes numeric
+    scalar attributes only, so netCDF4 *dimension-scale* metadata
+    (DIMENSION_LIST / REFERENCE_LIST, which need reference datatypes) is
+    not emitted. h5py/libhdf5 read the file as plain HDF5 datasets; the
+    skip-gated differential in tests covers that when h5py is present.
+    """
+    arr = np.asarray(arr, dtype=np.float64)
+    h, w = arr.shape
+    datasets: dict[str, np.ndarray] = {var_name: arr}
+    attrs: dict[str, dict[str, float]] = {var_name: {"_FillValue": np.nan}}
+    if bounds is not None:
+        min_lon, min_lat, max_lon, max_lat = bounds
+        res_x = (max_lon - min_lon) / w
+        res_y = (max_lat - min_lat) / h
+        datasets["lat"] = (max_lat - res_y / 2) - res_y * np.arange(h)
+        datasets["lon"] = (min_lon + res_x / 2) + res_x * np.arange(w)
+    # netCDF4 default-ish row chunking: ~1 MiB chunks along axis 0
+    chunk_rows = max(1, min(h, (1 << 20) // max(1, w * 8)))
+    from ..sources.hdf5lite import write_hdf5
+
+    return write_hdf5(datasets, attrs, chunk_rows=chunk_rows, compress=level)
+
+
 def read_netcdf3(data: bytes) -> dict:
-    """Minimal CDF-1/CDF-5 reader (round-trip tests / source use): returns
-    ``{var_name: ndarray}`` for double variables plus ``_dims``."""
-    if data[:3] != b"CDF" or data[3] not in (1, 5):
-        raise ValueError("not a NetCDF classic (CDF-1/CDF-5) file")
-    wide = data[3] == 5
+    """Minimal CDF-1/CDF-2/CDF-5 reader (round-trip tests / source use):
+    returns ``{var_name: ndarray}`` for double variables plus ``_dims``.
+    CDF-2 (64-bit offset classic) differs from CDF-1 only in the width
+    of variable ``begin`` offsets (8 bytes); CDF-5 also widens every
+    NON_NEG/size field."""
+    if data[:3] != b"CDF" or data[3] not in (1, 2, 5):
+        raise ValueError("not a NetCDF classic (CDF-1/CDF-2/CDF-5) file")
+    ver = data[3]
+    wide = ver == 5
     pos = 4
 
     def i4():
@@ -174,9 +220,17 @@ def read_netcdf3(data: bytes) -> dict:
         pos += 4
         return v
 
-    def nn():  # NON_NEG / OFFSET: INT64 in CDF-5, INT in CDF-1
+    def nn():  # NON_NEG: INT64 in CDF-5, INT in CDF-1/CDF-2
         nonlocal pos
         if wide:
+            (v,) = struct.unpack_from(">q", data, pos)
+            pos += 8
+            return v
+        return i4()
+
+    def begin():  # variable data offset: INT64 in CDF-2 and CDF-5
+        nonlocal pos
+        if ver >= 2:
             (v,) = struct.unpack_from(">q", data, pos)
             pos += 8
             return v
@@ -212,10 +266,10 @@ def read_netcdf3(data: bytes) -> dict:
         nd = nn()
         shape = tuple(dims[nn()][1] for i in range(nd))
         skip_attrs()
-        typ, vsize, begin = i4(), nn(), nn()
+        typ, vsize, voff = i4(), nn(), begin()
         if typ == _NC_DOUBLE:
             out[vname] = np.frombuffer(
-                data, dtype=">f8", count=vsize // 8, offset=begin
+                data, dtype=">f8", count=vsize // 8, offset=voff
             ).reshape(shape)
     return out
 

@@ -18,7 +18,7 @@ Spark-first design:
     ref readers/GranuleReader.py:115-117) — with a DataSource V2 this would
     be ``requiredSchema``; the pragmatic reader achieves the same pruning
     one layer up.
-  - the NetCDF decoder is wheel-free end-to-end: classic CDF-1/CDF-5
+  - the NetCDF decoder is wheel-free end-to-end: classic CDF-1/CDF-2/CDF-5
     through sinks/containers.py, NetCDF4/HDF5 through the pure-numpy
     subset reader in sources/hdf5lite.py (xarray+h5netcdf still preferred
     when importable); the 'npz' decoder (numpy archives, one array per
@@ -65,7 +65,7 @@ def decode_netcdf(
 ) -> pd.DataFrame:
     """NetCDF granule decode (ref readers/GranuleReader.py:45-155: open →
     project variables → mask_and_scale fill→NaN). NetCDF *classic*
-    (CDF-1/CDF-5, magic ``CDF\\x0{1,5}``) decodes wheel-free through the
+    (CDF-1/CDF-2/CDF-5, magic ``CDF\\x0{1,2,5}``) decodes wheel-free through the
     pure-numpy reader in sinks/containers.py; NetCDF4/HDF5 files go
     through xarray+h5netcdf when importable, else the pure-numpy HDF5
     subset reader (sources/hdf5lite.py — superblock v0, old-style root
@@ -73,7 +73,7 @@ def decode_netcdf(
     standard netCDF4 on-disk shape), so S1 no longer has a wheel-gated
     format branch. ``_FillValue`` attributes are normalized to NaN, the
     reference's mask_and_scale behavior."""
-    if payload[:3] == b"CDF" and payload[3] in (1, 5):
+    if payload[:3] == b"CDF" and payload[3] in (1, 2, 5):
         from ..sinks.containers import read_netcdf3
 
         data = read_netcdf3(payload)
@@ -107,15 +107,31 @@ def decode_netcdf(
             )}
         cols = {}
         for n, arr in arrays.items():
-            if arr.dtype.kind == "f":
+            # full mask_and_scale, matching the xarray path (CF packed
+            # data: unpacked = packed * scale_factor + add_offset, fill
+            # masked on the PACKED value first).  Integer variables are
+            # promoted to float64 whenever any of these attrs is present
+            # — the common satellite int16+scale_factor encoding must not
+            # silently decode to raw packed integers on this path.
+            a_at = attrs.get(n, {})
+            fv = a_at.get("_FillValue")
+            sf = a_at.get("scale_factor")
+            ao = a_at.get("add_offset")
+            packed = (fv is not None) or (sf is not None) or (ao is not None)
+            if arr.dtype.kind == "f" or packed:
+                raw = arr
                 arr = arr.astype(np.float64, copy=True)
-                fv = attrs.get(n, {}).get("_FillValue")
-                fill = (
-                    float(np.asarray(fv).ravel()[0])
-                    if fv is not None
-                    else FILL_VALUE_DEFAULT
-                )
-                arr = np.where(arr == fill, np.nan, arr)
+                if fv is not None:
+                    fill = float(np.asarray(fv).ravel()[0])
+                    arr = np.where(arr == fill, np.nan, arr)
+                elif raw.dtype.kind == "f":
+                    # floats with no explicit fill: the conventional
+                    # default fill still masks (xarray behavior)
+                    arr = np.where(arr == FILL_VALUE_DEFAULT, np.nan, arr)
+                if sf is not None or ao is not None:
+                    scale = float(np.asarray(sf).ravel()[0]) if sf is not None else 1.0
+                    offset = float(np.asarray(ao).ravel()[0]) if ao is not None else 0.0
+                    arr = arr * scale + offset
             cols[n] = arr if arr.ndim == 1 else list(arr)
         return pd.DataFrame(cols)
     ds = xr.open_dataset(  # pragma: no cover - exercised when lib present

@@ -179,7 +179,7 @@ _CHUNK_BTREE_MAX_ENTRIES = 64
 
 
 def _plan_dataset(
-    a: np.ndarray, chunk_rows: int | None, compress: bool
+    a: np.ndarray, chunk_rows: int | None, compress: int
 ) -> dict:
     plan: dict = {"array": a}
     if chunk_rows is None:
@@ -203,7 +203,7 @@ def _plan_dataset(
                     .reshape(-1, a.dtype.itemsize)
                     .T.tobytes()
                 )
-                raw = zlib.compress(raw, 4)
+                raw = zlib.compress(raw, compress)
             raws.append(raw)
         plan["data"] = raws
         plan["starts"] = list(range(0, a.shape[0], cshape[0]))
@@ -427,7 +427,7 @@ def write_hdf5(
     datasets: dict[str, np.ndarray],
     attrs: dict[str, dict[str, float]] | None = None,
     chunk_rows: int | None = None,
-    compress: bool = False,
+    compress: int = 0,
 ) -> bytes:
     """Encode numeric arrays as a minimal HDF5 file. Dataset names may be
     '/'-separated paths ("Retrieval/xco2") — intermediate groups are
@@ -435,11 +435,13 @@ def write_hdf5(
     projects (ref readers/GranuleReader.py:115-117, group= selection).
 
     ``chunk_rows``: rows per chunk along axis 0 (None = contiguous
-    layout). ``compress``: shuffle+deflate the chunks (requires
-    ``chunk_rows`` — HDF5 only filters chunked layouts, per spec).
+    layout). ``compress``: zlib level 1-9 for shuffle+deflate chunks
+    (0/False = uncompressed; True = level 4; requires ``chunk_rows`` —
+    HDF5 only filters chunked layouts, per spec).
     ``attrs``: per-dataset numeric scalar attributes keyed by the same
     path (e.g. ``{"Retrieval/xco2": {"_FillValue": -999999.0}}``).
     """
+    compress = 4 if compress is True else int(compress)
     if compress and chunk_rows is None:
         raise ValueError("compression requires chunked layout (chunk_rows)")
     attrs = attrs or {}
@@ -495,7 +497,7 @@ def write_hdf5(
     return bytes(out)
 
 
-def _ds_messages(plan: dict, ds_attrs: dict[str, float], compress: bool) -> list[bytes]:
+def _ds_messages(plan: dict, ds_attrs: dict[str, float], compress: int) -> list[bytes]:
     """Dataset object-header messages; addresses read from plan blocks
     (zero placeholders before layout)."""
     a = plan["array"]
@@ -523,7 +525,7 @@ def _ds_messages(plan: dict, ds_attrs: dict[str, float], compress: bool) -> list
             fl += struct.pack("<HHHH", _FILTER_SHUFFLE, 0, 1, 1)
             fl += struct.pack("<I4x", a.dtype.itemsize)  # odd count: 4B pad
             fl += struct.pack("<HHHH", _FILTER_DEFLATE, 0, 1, 1)
-            fl += struct.pack("<I4x", 4)
+            fl += struct.pack("<I4x", compress)  # client value = zlib level
             msgs.append(_message(_M_FILTERS, fl))
     else:
         # layout v3 contiguous: version, class, address, size — unpadded

@@ -225,3 +225,110 @@ def test_classic_netcdf_roundtrip_through_granule_decoder():
     assert set(pdf.columns) == {"xco2", "lat"}
     np.testing.assert_array_equal(np.stack(pdf["xco2"].to_numpy()), arr)
     assert len(pdf["lat"]) == 3 and pdf["lat"].iloc[0] > pdf["lat"].iloc[1]
+
+
+def test_netcdf2_roundtrip_and_golden_header():
+    """CDF-2 (64-bit offset classic): magic ``CDF\\x02``; ONLY the
+    variable begin offsets widen to 8 bytes — NON_NEG counts stay 4-byte
+    (per the classic format spec addendum)."""
+    arr = np.arange(6, dtype=np.float64).reshape(2, 3)
+    data = C.write_netcdf3(arr, "xco2", BOUNDS, fmt="cdf2")
+    assert data[:4] == b"CDF\x02"
+    # numrecs is 4-byte in CDF-2 (wide only in CDF-5)
+    assert struct.unpack_from(">i", data, 4)[0] == 0
+    back = C.read_netcdf3(data)
+    np.testing.assert_array_equal(back["xco2"], arr)
+    assert back["_dims"] == {"lat": 2, "lon": 3}
+    # CDF-2 payload also flows through the granule decoder dispatch
+    from oco3_data_transformer_spark.sources.granules import decode_netcdf
+
+    pdf = decode_netcdf(data, variables=["xco2"])
+    np.testing.assert_array_equal(np.stack(pdf["xco2"].to_numpy()), arr)
+
+
+def test_netcdf4_writer_roundtrip_and_container_facts():
+    """S9 reference-family output: write_netcdf4 emits an HDF5 container
+    with shuffle+zlib-9 chunked variables, descending-lat coords and a
+    NaN _FillValue (ref writers/NetCDFWriter.py:26-61)."""
+    from oco3_data_transformer_spark.sources.hdf5lite import read_hdf5
+
+    arr = np.arange(12, dtype=np.float64).reshape(3, 4)
+    arr[1, 2] = np.nan
+    data = C.write_netcdf4(arr, "xco2", BOUNDS)
+    assert data[:8] == b"\x89HDF\r\n\x1a\n"
+    arrays, attrs = read_hdf5(data)
+    np.testing.assert_array_equal(arrays["xco2"], arr)
+    assert np.isnan(attrs["xco2"]["_FillValue"]).all()
+    lat, lon = arrays["lat"], arrays["lon"]
+    assert lat[0] > lat[-1]  # latitude DESCENDING (C10)
+    assert len(lat) == 3 and len(lon) == 4
+    np.testing.assert_allclose(lon, [10.5, 11.5, 12.5, 13.5])
+    # filter pipeline golden: shuffle (id 2) then deflate (id 1) level 9.
+    # Filter Pipeline v1 message body: version, nfilters, 6 pad, then per
+    # filter: id(2) namelen(2) flags(2) ncv(2) cvs...
+    fp = data.find(struct.pack("<BB6x", 1, 2) + struct.pack("<HHHH", 2, 0, 1, 1))
+    assert fp > 0, "shuffle+deflate filter pipeline not found"
+    deflate = struct.pack("<HHHH", 1, 0, 1, 1) + struct.pack("<I", 9)
+    assert deflate in data[fp : fp + 64], "deflate level 9 not recorded"
+
+
+def test_netcdf4_differential_h5py():
+    """Skip-gated: when h5py is importable, libhdf5 itself must read the
+    write_netcdf4 output (values + coords)."""
+    h5py = pytest.importorskip("h5py")
+    import io
+
+    arr = np.arange(20, dtype=np.float64).reshape(4, 5)
+    data = C.write_netcdf4(arr, "xco2", BOUNDS)
+    with h5py.File(io.BytesIO(data), "r") as f:
+        np.testing.assert_array_equal(f["xco2"][()], arr)
+        assert f["lat"][()][0] > f["lat"][()][-1]
+
+
+def test_export_slices_netcdf4_payload(spark):
+    """fmt='netcdf4' through the Spark export sink: HDF5-container
+    payloads wheel-free (the reference's exact container family)."""
+    import datetime as dt
+
+    from oco3_data_transformer_spark.schemas import STORE_SLICE
+    from oco3_data_transformer_spark.sinks import export
+
+    day = dt.datetime(2024, 3, 1)
+    rows = [
+        ("oco3", "t1", "pre", day, la, lo, "xco2", float(la * 2 + lo))
+        for la in range(2)
+        for lo in range(2)
+    ]
+    df = spark.createDataFrame(rows, STORE_SLICE)
+    out = export.export_slices(df, lat_res=2, lon_res=2, fmt="netcdf4").collect()
+    assert len(out) == 1
+    payload = bytes(out[0]["payload"])
+    assert payload[:8] == b"\x89HDF\r\n\x1a\n"
+    assert out[0]["filename"].endswith(".nc")
+
+
+def test_hdf5_fallback_applies_scale_factor_and_int_fill():
+    """The wheel-free HDF5 decode path must apply CF packed-data
+    semantics exactly like the xarray path: int16 + scale_factor +
+    add_offset + integer _FillValue decodes to masked PHYSICAL values,
+    never raw packed integers (the silent divergence ADVICE r7 flagged)."""
+    from oco3_data_transformer_spark.sources.granules import decode_netcdf
+    from oco3_data_transformer_spark.sources.hdf5lite import write_hdf5
+
+    packed = np.array([100, 200, -32767, 300], dtype=np.int16)
+    blob = write_hdf5(
+        {"xco2": packed, "plain": np.array([1, 2, 3, 4], dtype=np.int32)},
+        attrs={
+            "xco2": {
+                "_FillValue": -32767.0,
+                "scale_factor": 0.01,
+                "add_offset": 400.0,
+            }
+        },
+    )
+    pdf = decode_netcdf(blob, None)
+    got = pdf["xco2"].to_numpy()
+    np.testing.assert_allclose(got[[0, 1, 3]], [401.0, 402.0, 403.0])
+    assert np.isnan(got[2])
+    # unpacked variables keep their integer dtype (no gratuitous promote)
+    assert pdf["plain"].dtype.kind == "i"
