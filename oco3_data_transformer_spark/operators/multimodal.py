@@ -104,9 +104,18 @@ def png_decode(payload: bytes) -> np.ndarray:
         raise ValueError("not a PNG (bad signature)")
     pos, idat, ihdr = 8, [], None
     while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("PNG truncated (chunk header past EOF)")
         (ln,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(payload):
+            raise ValueError(
+                f"PNG truncated ({ctype!r} chunk length {ln} past EOF)"
+            )
         data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if crc != _z.crc32(ctype + data) & 0xFFFFFFFF:
+            raise ValueError(f"PNG {ctype!r} chunk CRC mismatch")
         pos += 12 + ln
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
@@ -117,6 +126,11 @@ def png_decode(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype_, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError(
+            f"PNG IHDR invalid (compression {comp}, filter method {filt}; "
+            "both must be 0 per spec)"
+        )
     if depth != 8 or ctype_ not in _PNG_CHANNELS or interlace:
         raise ValueError(
             f"PNG shape unsupported (depth {depth}, color type {ctype_}, "
@@ -125,31 +139,40 @@ def png_decode(payload: bytes) -> np.ndarray:
     ch = _PNG_CHANNELS[ctype_]
     stride = w * ch
     raw = _z.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT size does not match IHDR dimensions")
     rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), np.int64)
     bpp = ch
+    zero_pix = np.zeros(bpp, np.int64)
     for y in range(h):
         ft, line = rows[y, 0], rows[y, 1:].astype(np.int64)
         up = out[y - 1] if y else np.zeros(stride, np.int64)
         cur = out[y]
         if ft == 0:
             cur[:] = line
-        elif ft == 2:  # Up
+        elif ft == 1:  # Sub: per-lane running sum mod 256 (vectorized)
+            cur[:] = np.cumsum(line.reshape(w, bpp), axis=0).reshape(stride) & 0xFF
+        elif ft == 2:  # Up (vectorized)
             cur[:] = (line + up) & 0xFF
-        elif ft in (1, 3, 4):  # Sub/Average/Paeth: sequential in x
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                b = up[x]
-                c = up[x - bpp] if x >= bpp else 0
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
-                    pred = (a + b) // 2
+        elif ft in (3, 4):  # Average/Paeth: recurrence on the previous
+            # PIXEL — loop per pixel, all bpp lanes at once
+            line_px = line.reshape(w, bpp)
+            up_px = up.reshape(w, bpp)
+            cur_px = cur.reshape(w, bpp)
+            for x in range(w):
+                a = cur_px[x - 1] if x else zero_pix
+                b = up_px[x]
+                c = up_px[x - 1] if x else zero_pix
+                if ft == 3:
+                    pred = (a + b) >> 1
                 else:
                     p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                cur[x] = (line[x] + pred) & 0xFF
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                cur_px[x] = (line_px[x] + pred) & 0xFF
         else:
             raise ValueError(f"PNG filter type {ft} invalid")
     return out.astype(np.uint8).reshape(h, w, ch)

@@ -182,3 +182,40 @@ def test_png_differential_against_pil():
     buf = io.BytesIO()
     pil_img.save(buf, format="PNG")
     np.testing.assert_array_equal(M.png_decode(buf.getvalue()), a)
+
+
+def test_png_decoder_validates_container():
+    """Decode-side hardening (ADVICE r7): chunk CRCs, chunk lengths, and
+    the IHDR compression/filter-method bytes are checked, not trusted."""
+    import struct
+    import zlib
+
+    a = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    enc = M.png_encode(a)
+    # corrupt one payload byte inside IDAT -> CRC mismatch
+    bad = bytearray(enc)
+    bad[45] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        M.png_decode(bytes(bad))
+    # truncated chunk
+    with pytest.raises(ValueError, match="truncated"):
+        M.png_decode(enc[:40])
+    # IHDR with nonzero compression method
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 1, 0, 0)
+    blob = (
+        M._PNG_SIG
+        + M._png_chunk(b"IHDR", ihdr)
+        + M._png_chunk(b"IDAT", zlib.compress(b"\x00" * 52))
+        + M._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="compression 1"):
+        M.png_decode(blob)
+    # IDAT payload shorter than IHDR promises
+    blob = (
+        M._PNG_SIG
+        + M._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + M._png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + M._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="does not match IHDR"):
+        M.png_decode(blob)
