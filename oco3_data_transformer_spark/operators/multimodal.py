@@ -179,18 +179,32 @@ def png_decode(payload: bytes) -> np.ndarray:
 
 
 def decode_image(codec: str, payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
-    """Decode one blob to (H, W, C) uint8. 'raw' and 'png' decode
-    wheel-free ('png' via the from-spec codec above); other codecs (jpeg,
-    webp) genuinely need an image library and plug in behind the same
-    signature when one is importable."""
+    """Decode one blob to (H, W, C) uint8. 'raw', 'png' and baseline
+    'jpeg' decode wheel-free ('png' via the from-spec codec above,
+    'jpeg' via operators/jpeglite.py; PIL preferred for jpeg when
+    importable); other codecs (webp, progressive jpeg) genuinely need an
+    image library and plug in behind the same signature when one is
+    importable."""
     if codec == "raw":
         arr = np.frombuffer(payload, dtype=np.uint8)
         return arr.reshape(height, width, channels)
     if codec == "png":
         return png_decode(payload)
+    if codec == "jpeg":
+        try:  # pragma: no cover - optional dependency preferred
+            import io as _io
+
+            from PIL import Image  # type: ignore
+
+            arr = np.asarray(Image.open(_io.BytesIO(payload)))
+            return arr[:, :, None] if arr.ndim == 2 else arr
+        except ImportError:
+            from .jpeglite import jpeg_decode
+
+            return jpeg_decode(payload)
     raise NotImplementedError(
         f"codec {codec!r} needs an image library not present in this "
-        "container; 'raw' and 'png' decode here"
+        "container; 'raw', 'png' and baseline 'jpeg' decode here"
     )
 
 
@@ -199,6 +213,10 @@ def encode_image(arr: np.ndarray, codec: str = "raw") -> bytes:
         return np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
     if codec == "png":
         return png_encode(arr)
+    if codec == "jpeg":
+        from .jpeglite import jpeg_encode
+
+        return jpeg_encode(arr)
     raise NotImplementedError(f"codec {codec!r} not available")
 
 
