@@ -36,99 +36,18 @@ import os
 import sys
 import time
 
+from bench_sets import (
+    GRAPH_DETAIL,
+    HEADLINE,
+    KERNEL_DETAIL,
+    ROUND6_DETAIL,
+    SF1_GATE_EXEMPT,
+    SF1_RATIO_GATE,
+    SKETCH_DETAIL,
+)
 from oco3_data_transformer_spark.catalog import REGISTRY
 from oco3_data_transformer_spark.session import get_spark, tune_for_input
 from oco3_data_transformer_spark.sources.registry import TABLES
-
-# Headline set: the operators whose physical plans matter most at scale —
-# wide aggregation, broadcast-join chain, range-refine join, sessionization
-# windows, shingle/LSH dedup, vector search, climatology rollup.
-HEADLINE = [
-    "q01_pricing_summary",
-    "q02_filter_pushdown_revenue",
-    "q10_broadcast_dim_join",
-    "q13_range_refine_join",
-    "q17_sessionize_islands",
-    "q18_sessionize_gap_merge",
-    "q20_climatology_monthly",
-    "q25_dedup_keep_first",
-    "q31_ngram_jaccard_neardup",
-    "q32_minhash_lsh_neardup",
-    "q33_simhash_neardup",
-    "q34_knn_bruteforce",
-    "q40_ivf_knn",
-    "q41_grid_kernel",
-]
-
-# Round-4 sketch/ANN/LM operators, timed at both legs and recorded under
-# "round4_detail" in BENCH_DETAIL.json (VERDICT r04 item 4: their perf
-# story belongs in a driver artifact). Kept OUT of the headline total so
-# the headline stays comparable across rounds r01-r05.
-SKETCH_DETAIL = [
-    "q106_kmins_distinct",
-    "q108_bigram_perplexity",
-    "q111_sketch_setops",
-    "q115_ivfpq_knn",
-]
-
-# Round-5 graph family + prefix-filter sim-join, recorded under its own
-# "round5_detail" block (VERDICT r05 item 3). These queries do most of
-# their work eagerly at DataFrame construction (per-round eager
-# localCheckpoints, persisted edge tables reused across reps), so for
-# them the honest Spark-vs-DuckDB comparison is build+exec — see
-# ratio_with_build in leg_summary.
-GRAPH_DETAIL = [
-    "q117_transition_pagerank",
-    "q119_neardup_graph_triangles",
-    "q120_mutual_knn_graph",
-    "q121_neardup_graph_communities",
-    "q122_prefix_filter_simjoin",
-    "q123_neardup_graph_kcore",
-    "q124_seed_expansion_ppr",
-    "q125_semantic_cluster_profile",
-]
-
-# Round-6 additions whose oracle does EQUIVALENT work (a fair ratio).
-# q126-q128 are deliberately excluded: their oracles predict the output
-# without replicating the kernel's computation (affine-mesh prediction /
-# the GK accuracy-contract verdict), so a Spark-vs-DuckDB ratio there
-# would compare real work against a constant-time answer.
-ROUND6_DETAIL = [
-    "q129_repeated_window_spans",
-]
-
-# Gridding kernels (q126 linear, q130 cubic): timed SPARK-ONLY at both
-# legs ("kernel_detail"). Their oracles PREDICT the output from the affine
-# contract without replicating the triangulation/interpolation, so a
-# Spark-vs-DuckDB ratio would compare real work against a constant-time
-# answer; the absolute Spark times are still recorded so kernel-cost
-# regressions are driver-visible (VERDICT r06 item 5).
-KERNEL_DETAIL = [
-    "q126_grid_linear_kernel",
-    "q130_grid_cubic_kernel",
-]
-
-# Per-query sf1 ratio gate (VERDICT r06 item 4): at the 10x leg every
-# headline query must be <= SF1_RATIO_GATE x its DuckDB oracle, except
-# the documented floor-dominated exemptions below (sub-second absolute
-# times where the measured local-mode session/job floor — r5 floor
-# decomposition, scripts/floor_split.py — is most of the number).
-SF1_RATIO_GATE = 2.0
-SF1_GATE_EXEMPT = {
-    "q20_climatology_monthly": "floor: ~0.4 s absolute, 2-stage rollup; "
-    "ratio falls with scale (r5 floor decomposition)",
-    "q40_ivf_knn": "floor: multi-stage routing, ~1.5 s absolute at sf1 "
-    "(r7 BENCH_DETAIL; 0.45 s is the sf0.1 figure); "
-    "100x leg inverts the ratio to 0.43x (PERF.md)",
-    "q25_dedup_keep_first": "SortAggregate fallback: struct min_by buffers "
-    "are not hash-aggregable; plan is shuffle-optimal (|users| rows cross) "
-    "and 4x faster than the window plan it replaced; hash-able "
-    "reformulations measured worse (PERF.md r7 note)",
-    "q10_broadcast_dim_join": "floor: broadcast-join chain, ~0.3 s absolute",
-    "q13_range_refine_join": "floor: ~1 s absolute, ratio falls with scale",
-    "q41_grid_kernel": "floor: grouped-map kernel, ~0.27 s absolute at sf1, "
-    "+0.06 s across a 10x data growth (r6 BENCH_DETAIL)",
-}
 
 
 def _settle(max_wait: int = 120, threshold: float = 4.0) -> None:
@@ -275,6 +194,37 @@ def leg_summary(timings: dict, duck: dict, sf: str) -> dict:
     return out
 
 
+def _gate_block(block: dict, timings: dict) -> None:
+    """Per-query ratio gate over one sf1 (sub-)block (VERDICT r07 item 5:
+    every sf1 sub-block gets the same gate + exemption discipline as the
+    headline leg). Also records build-inclusive ratios — the honest
+    comparison for the eager/iterative graph family — and surfaces any
+    build-inclusive ratio beyond 2x the gate as a watch entry so nothing
+    is silently unwatched even where the exec-only gate passes."""
+    ratios, ratios_wb, violations, watch = {}, {}, {}, {}
+    for n, dmin in block.get("duckdb_queries", {}).items():
+        r = round(timings[n]["min"] / dmin, 2) if dmin else None
+        rwb = (
+            round((timings[n]["min"] + timings[n]["build"]) / dmin, 2)
+            if dmin
+            else None
+        )
+        ratios[n] = r
+        ratios_wb[n] = rwb
+        if r is not None and r > SF1_RATIO_GATE and n not in SF1_GATE_EXEMPT:
+            violations[n] = r
+        elif rwb is not None and rwb > 2 * SF1_RATIO_GATE:
+            watch[n] = rwb
+    block["per_query_ratio"] = ratios
+    block["per_query_ratio_with_build"] = ratios_wb
+    block["ratio_gate"] = {
+        "gate": SF1_RATIO_GATE,
+        "exempt": {k: v for k, v in SF1_GATE_EXEMPT.items() if k in ratios},
+        "violations": violations,
+        "watch_with_build": watch,
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     _settle()
@@ -331,35 +281,60 @@ def main() -> int:
             t1 = spark_leg(spark, sf1_dir, reps=2, tag="sf1")
             d1 = duckdb_leg(sf1_dir, reps=2, tag="sf1")
             out["sf1"] = leg_summary(t1, d1, sf1_dir)
+            gate_jobs = [(out["sf1"], t1)]
             if os.environ.get("SPARK_GRAFT_R4_DETAIL", "1") != "0":
                 s41 = spark_leg(spark, sf1_dir, reps=1, tag="sf1-r4", names=SKETCH_DETAIL)
                 d41 = duckdb_leg(sf1_dir, reps=1, tag="sf1-r4", names=SKETCH_DETAIL)
                 out["sf1"]["round4_detail"] = leg_summary(s41, d41, sf1_dir)
+                gate_jobs.append((out["sf1"]["round4_detail"], s41))
                 s51 = spark_leg(spark, sf1_dir, reps=1, tag="sf1-r5", names=GRAPH_DETAIL)
                 d51 = duckdb_leg(sf1_dir, reps=1, tag="sf1-r5", names=GRAPH_DETAIL)
                 out["sf1"]["round5_detail"] = leg_summary(s51, d51, sf1_dir)
+                gate_jobs.append((out["sf1"]["round5_detail"], s51))
                 s61 = spark_leg(spark, sf1_dir, reps=1, tag="sf1-r6", names=ROUND6_DETAIL)
                 d61 = duckdb_leg(sf1_dir, reps=1, tag="sf1-r6", names=ROUND6_DETAIL)
                 out["sf1"]["round6_detail"] = leg_summary(s61, d61, sf1_dir)
+                gate_jobs.append((out["sf1"]["round6_detail"], s61))
                 sk1 = spark_leg(spark, sf1_dir, reps=1, tag="sf1-kernels", names=KERNEL_DETAIL)
                 out["sf1"]["kernel_detail"] = leg_summary(sk1, {}, sf1_dir)
-            # per-query ratio gate at the 10x leg (VERDICT r06 item 4):
-            # where data-proportional cost is visible, every headline query
-            # must be <= SF1_RATIO_GATE x its oracle unless exempted above.
-            ratios, violations = {}, {}
-            for n, dmin in out["sf1"].get("duckdb_queries", {}).items():
-                r = round(t1[n]["min"] / dmin, 2) if dmin else None
-                ratios[n] = r
-                if r is not None and r > SF1_RATIO_GATE and n not in SF1_GATE_EXEMPT:
-                    violations[n] = r
-            out["sf1"]["per_query_ratio"] = ratios
-            out["sf1"]["ratio_gate"] = {
-                "gate": SF1_RATIO_GATE,
-                "exempt": SF1_GATE_EXEMPT,
-                "violations": violations,
-            }
+            # per-query ratio gate at the 10x leg (VERDICT r06 item 4;
+            # r07 item 5 extends it to every sub-block with a DuckDB
+            # pairing — kernel_detail is spark-only, nothing to gate).
+            for block, tm in gate_jobs:
+                _gate_block(block, tm)
         except Exception as exc:
             print(f"# sf1 leg failed: {exc}", file=sys.stderr, flush=True)
+
+    # 100x artifact (scripts/bench_100x.py writes BENCH_SF10.json at its
+    # git HEAD): merged into the detail file so the sf1 exemptions are
+    # checked against CURRENT 100x evidence — an exempt query whose ratio
+    # RISES from sf1 to 100x (and sits above the gate there) is flagged;
+    # it must be re-fixed or re-justified, not grandfathered (VERDICT
+    # r07 item 2).
+    sf10_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SF10.json"
+    )
+    if os.path.exists(sf10_path):
+        with open(sf10_path) as fh:
+            sf10 = json.load(fh)
+        out["sf10"] = sf10
+        sf1_ratios: dict = {}
+        if "sf1" in out:
+            sf1_ratios.update(out["sf1"].get("per_query_ratio", {}))
+            for blk in ("round4_detail", "round5_detail", "round6_detail"):
+                sf1_ratios.update(
+                    out["sf1"].get(blk, {}).get("per_query_ratio", {})
+                )
+        rising = {}
+        for n in SF1_GATE_EXEMPT:
+            r1 = sf1_ratios.get(n)
+            r10 = sf10.get("per_query_ratio", {}).get(n)
+            if r1 and r10 and r10 > max(r1, SF1_RATIO_GATE):
+                rising[n] = {"sf1": r1, "sf10": r10}
+        out["exemption_check"] = {
+            "sf10_head": sf10.get("head"),
+            "rising": rising,
+        }
 
     # Full detail to a file; stdout gets ONE compact line the driver's
     # fixed-size tail capture can always parse (r03's 2.3 KB single line
@@ -377,8 +352,20 @@ def main() -> int:
     if "sf1" in out:
         headline["sf1_value"] = out["sf1"]["value"]
         headline["sf1_ratio"] = out["sf1"].get("ratio")
-        gate = out["sf1"].get("ratio_gate", {})
-        headline["sf1_gate_violations"] = len(gate.get("violations", {}))
+        nviol = len(out["sf1"].get("ratio_gate", {}).get("violations", {}))
+        for blk in ("round4_detail", "round5_detail", "round6_detail"):
+            nviol += len(
+                out["sf1"]
+                .get(blk, {})
+                .get("ratio_gate", {})
+                .get("violations", {})
+            )
+        headline["sf1_gate_violations"] = nviol
+    if "sf10" in out:
+        headline["sf10_ratio"] = out["sf10"].get("ratio")
+        headline["exempt_rising"] = len(
+            out.get("exemption_check", {}).get("rising", {})
+        )
     print(json.dumps(headline), flush=True)
     return 0
 

@@ -9,6 +9,7 @@ and runnable standalone:
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -237,10 +238,29 @@ def main(
     if out_path is None and only is None:
         out_path = "CORRECTNESS_SELF.json"
     if out_path:
+        # provenance: record the git HEAD the artifact was generated at so
+        # scripts/check_artifact_freshness.py can prove no code-touching
+        # commit postdates it (VERDICT r07 item 4 — the r7 artifacts
+        # predated a revert by four commits and coverage held only by
+        # accident of the lane runs)
+        import subprocess
+        import time as _time
+
+        try:
+            head = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                capture_output=True,
+                text=True,
+            ).stdout.strip() or None
+        except OSError:
+            head = None
         with open(out_path, "w") as fh:
             json.dump(
                 {
                     "sf_dir": sf_dir,
+                    "head": head,
+                    "generated_at": _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
                     "n_queries": len(names),
                     "n_oracled": sum(1 for r in results if r.get("oracle")),
                     "n_match": len(names) - len(failed),

@@ -1,8 +1,15 @@
 #!/usr/bin/env python
-"""One-off 100× per-query measurement (PERF.md scaling-curve section):
-build the k=100 fixture from sf0.1, run EVERY headline query on both
+"""100× per-query measurement → BENCH_SF10.json (structured artifact).
+
+Builds the k=100 fixture from sf0.1 and runs the headline queries PLUS
+the detail-block queries that carry sf1 ratio-gate exemptions, on both
 engines (Spark min-of-2 warm; DuckDB single-pass warm — its quadratic
-dedup oracles make multi-rep runs prohibitive), print one JSON blob.
+dedup oracles make multi-rep runs prohibitive). The result is written to
+BENCH_SF10.json at the repo root with the git HEAD it was measured at;
+bench.py merges it into BENCH_DETAIL.json as the "sf10" block and checks
+every sf1 exemption against it (an exemption whose ratio RISES from sf1
+to 100× is flagged — VERDICT r07 item 2: exemptions must stay evidenced,
+not grandfathered).
 
 Usage: python scripts/bench_100x.py [dst_dir]   (default .bench_data/sf10)
 """
@@ -11,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -24,25 +32,17 @@ from oco3_data_transformer_spark.catalog import REGISTRY  # noqa: E402
 from oco3_data_transformer_spark.oracle_check import duck_connection  # noqa: E402
 from oco3_data_transformer_spark.session import get_spark  # noqa: E402
 
-HEADLINE = [
-    "q01_pricing_summary",
-    "q02_filter_pushdown_revenue",
-    "q10_broadcast_dim_join",
-    "q13_range_refine_join",
-    "q17_sessionize_islands",
-    "q18_sessionize_gap_merge",
-    "q20_climatology_monthly",
-    "q25_dedup_keep_first",
-    "q31_ngram_jaccard_neardup",
-    "q32_minhash_lsh_neardup",
-    "q33_simhash_neardup",
-    "q34_knn_bruteforce",
-    "q40_ivf_knn",
-    "q41_grid_kernel",
-]
-
 
 def main() -> int:
+    # the same query sets bench.py gates, minus the graph family (its
+    # DuckDB oracles are 10+ minutes EACH at this fixture — q125's was
+    # 631 s already at sf1; the @scale100 oracle_check lane covers that
+    # family's correctness at 100× instead)
+    from bench_sets import HEADLINE, KERNEL_DETAIL, ROUND6_DETAIL, SKETCH_DETAIL
+
+    both_engines = HEADLINE + SKETCH_DETAIL + ROUND6_DETAIL
+    spark_only = KERNEL_DETAIL
+
     dst = sys.argv[1] if len(sys.argv) > 1 else os.path.join(ROOT, ".bench_data", "sf10")
     sf_dir = ensure("/root/testdata/sf0.1", dst, k=100)
     spark = get_spark("bench100")
@@ -53,10 +53,20 @@ def main() -> int:
     # no-op at this fixture's 1.5 GB (>= the 1 GiB small-input bound) —
     # applied for methodological consistency with bench.py
     tune_for_input(spark, [f"{sf_dir}/{t}.parquet" for t in TABLES])
-    out: dict = {"sf": sf_dir, "k": 100, "spark": {}, "spark_build": {}, "duckdb": {}}
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=ROOT,
+            capture_output=True, text=True,
+        ).stdout.strip()
+    except OSError:
+        head = "unknown"
+    out: dict = {
+        "sf": sf_dir, "k": 100, "head": head,
+        "spark": {}, "spark_build": {}, "duckdb": {},
+    }
 
     REGISTRY["q24_coverage_attrs"].fn(spark, sf_dir).collect()  # warmup
-    for name in HEADLINE:
+    for name in both_engines + spark_only:
         # build once / execute twice (plan reuse) — bench.py's methodology
         t0 = time.perf_counter()
         df = REGISTRY[name].fn(spark, sf_dir)
@@ -71,11 +81,10 @@ def main() -> int:
 
     con = duck_connection(sf_dir)
     con.execute("SELECT 1").fetchall()
-    for name in HEADLINE:
+    for name in both_engines:
         sql = REGISTRY[name].sql
         if sql is None:
             continue
-        t0 = time.perf_counter()
         con.execute(sql).fetchall()  # warm
         t0 = time.perf_counter()
         con.execute(sql).fetchall()
@@ -83,10 +92,21 @@ def main() -> int:
         print(f"# duckdb {name}: {out['duckdb'][name]}s", file=sys.stderr, flush=True)
     con.close()
 
-    out["spark_total"] = round(sum(out["spark"].values()), 2)
-    out["duckdb_total"] = round(sum(out["duckdb"].values()), 2)
-    out["ratio"] = round(out["spark_total"] / out["duckdb_total"], 3)
-    print(json.dumps(out))
+    out["per_query_ratio"] = {
+        n: round(out["spark"][n] / d, 2) if d else None
+        for n, d in out["duckdb"].items()
+    }
+    hd = [n for n in out["duckdb"] if n in set(HEADLINE)]
+    out["spark_total"] = round(sum(out["spark"][n] for n in hd), 2)
+    out["duckdb_total"] = round(sum(out["duckdb"][n] for n in hd), 2)
+    out["ratio"] = (
+        round(out["spark_total"] / out["duckdb_total"], 3)
+        if out["duckdb_total"]
+        else None
+    )
+    with open(os.path.join(ROOT, "BENCH_SF10.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({k: out[k] for k in ("head", "spark_total", "duckdb_total", "ratio")}))
     return 0
 
 
