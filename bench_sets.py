@@ -74,8 +74,9 @@ KERNEL_DETAIL = [
 # measured falling ratio at the 100x leg recorded in BENCH_SF10.json).
 SF1_RATIO_GATE = 2.0
 SF1_GATE_EXEMPT = {
-    "q20_climatology_monthly": "floor: ~0.4 s absolute, 2-stage rollup; "
-    "ratio falls with scale (r5 floor decomposition)",
+    # q20 exemption REMOVED in r8: the day-level pre-aggregate rewrite of
+    # climatology_spans (operators/aggregates.py) dropped the countDistinct
+    # Expand; sf1 warm fell 0.79 s -> ~0.1 s (ratio 3.4x -> ~0.7x), gated.
     "q40_ivf_knn": "floor: multi-stage routing, ~1.5 s absolute at sf1 "
     "(r7 BENCH_DETAIL; 0.45 s is the sf0.1 figure); "
     "100x leg inverts the ratio (BENCH_SF10.json)",

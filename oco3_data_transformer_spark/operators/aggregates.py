@@ -31,33 +31,66 @@ def climatology_spans(
     starting Dec 21 of the *previous* year). The reference labels its first,
     possibly partial, slice by the dataset start date — a driver artifact of
     its slicing loop; here labels are data-independent.
+
+    Plan shape (the 100 TB property): two plain hash aggregates — a day-level
+    pre-aggregate (span is a pure function of the calendar day, so grouping by
+    day first loses nothing) followed by a span-level final. The single-level
+    formulation with ``countDistinct(date)`` made Catalyst plan an Expand that
+    duplicates every scanned row (one copy for the distinct path, one for the
+    plain aggregates) and shuffle the doubled partials; here the shuffle
+    carries one row per (keys, day) and no Expand exists. ``mean`` is
+    sum/count — the same expression ``avg`` lowers to, re-associated at day
+    granularity (partial aggregation already makes float sum order
+    nondeterministic, so this changes no contract).
     """
     keys = list(extra_keys or [])
     t = F.col(time_col)
+    day = F.col("_clim_day")
     if freq == "month":
-        span = F.date_trunc("month", t)
+        span = F.date_trunc("month", day)
     elif freq == "year":
-        span = F.date_trunc("year", t)
+        span = F.date_trunc("year", day)
     elif freq == "season":
-        m, d = F.month(t), F.dayofmonth(t)
+        m, d = F.month(day), F.dayofmonth(day)
         # roll day >= 21 of a season-final month into the next quarter;
         # quarter index 0 (Jan-Mar<=20) belongs to Dec 21 of the prior year
         rolled = m + F.when((m % 3 == 0) & (d >= 21), 1).otherwise(0)
         qi = F.floor((rolled - 1) / 3).cast("int")
         span = F.make_date(
-            F.year(t) - F.when(qi == 0, 1).otherwise(0),
+            F.year(day) - F.when(qi == 0, 1).otherwise(0),
             F.when(qi == 0, 12).otherwise(qi * 3).cast("int"),
             F.lit(21),
         )
     else:
         raise ValueError(freq)
-    aggs: list[Column] = []
+    day_aggs: list[Column] = []
+    final_aggs: list[Column] = []
+    post: list[Column] = []
     for c in value_cols:
-        aggs.append(F.avg(c).alias(f"{c}_mean"))
-        aggs.append(F.sum(c).alias(f"{c}_sum"))
-        aggs.append(F.count(c).alias(f"{c}_valid_count"))
-    aggs.append(F.countDistinct(t.cast("date")).alias("n_days"))
-    return df.withColumn("span", span).groupBy(*keys, "span").agg(*aggs)
+        day_aggs.append(F.sum(c).alias(f"{c}_sum"))
+        day_aggs.append(F.count(c).alias(f"{c}_valid_count"))
+        final_aggs.append(F.sum(f"{c}_sum").alias(f"{c}_sum"))
+        final_aggs.append(
+            F.sum(f"{c}_valid_count").cast("long").alias(f"{c}_valid_count")
+        )
+        post.append(
+            (F.col(f"{c}_sum") / F.col(f"{c}_valid_count")).alias(f"{c}_mean")
+        )
+    # a day whose values are all null still counts toward n_days (the
+    # reference counts slices present, not slices with data); null time
+    # rows form a null-day group whose count(day) is 0 — matching the
+    # old countDistinct's null exclusion
+    final_aggs.append(F.count("_clim_day").alias("n_days"))
+    per_day = (
+        df.withColumn("_clim_day", t.cast("date"))
+        .groupBy(*keys, "_clim_day")
+        .agg(*day_aggs)
+    )
+    out = per_day.withColumn("span", span).groupBy(*keys, "span").agg(*final_aggs)
+    cols: list[Column] = [F.col(k) for k in keys] + [F.col("span")]
+    for i, c in enumerate(value_cols):
+        cols += [post[i], F.col(f"{c}_sum"), F.col(f"{c}_valid_count")]
+    return out.select(*cols, F.col("n_days"))
 
 
 def month_of_year_consolidation(

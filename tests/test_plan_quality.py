@@ -64,6 +64,19 @@ def test_keep_first_is_partial_aggregate_not_window(spark):
     assert plan.count("hashpartitioning(") == 1
 
 
+def test_climatology_has_no_expand(spark):
+    """q20 must be two plain hash aggregates (day pre-agg -> span agg),
+    NOT the countDistinct plan whose Expand duplicates every scanned row
+    before the shuffle (r8: that plan measured 3.4x the oracle at sf1;
+    the two-level plan ~0.7x). The shuffle carries one row per day."""
+    plan = plan_of(spark, "q20_climatology_monthly")
+    assert "Expand" not in plan
+    # 4 HashAggregate nodes (partial+final, twice); formatted mode prints
+    # each node twice (tree line + detail header)
+    assert plan.count("HashAggregate") == 8
+    assert plan.count("hashpartitioning(") == 2
+
+
 def executed_plan_of(spark, name: str) -> str:
     df = REGISTRY[name].fn(spark, SF)
     df.collect()  # finalize THIS QueryExecution's adaptive plan
