@@ -16,11 +16,21 @@ the Annex K example tables) that covers real-world baseline files:
     quality curve, Annex K Huffman tables, optional 2x2 luma sampling
     (4:2:0, mean-pooled chroma), grayscale or RGB (JFIF YCbCr).
 
-Out of scope (raises with a clear message): progressive (SOF2) and the
-other non-baseline frame types, arithmetic coding, 12-bit precision,
-4-component (CMYK) scans.  PIL remains preferred when importable —
-operators/multimodal.decode_image tries it first; this is the wheel-free
-fallback, the same contract every other codec in the repo follows.
+  progressive decode — SOF2 with Huffman coding (ITU T.81 Annex G.2):
+    spectral selection, successive approximation, interleaved DC scans,
+    non-interleaved AC scans, EOB runs, DC/AC refinement scans, restart
+    markers inside any scan;
+  progressive encode — a fixed four-phase scan script (DC first at Al=1,
+    per-component AC first at Al=1, DC refinement, AC refinement) that
+    exercises every decode path; EOB runs are flushed per block (the
+    Annex K baseline Huffman tables carry no EOBn>1 symbols, so emitting
+    plain EOB keeps the stream legal at a small size cost).
+
+Out of scope (raises with a clear message): arithmetic coding, 12-bit
+precision, 4-component (CMYK) scans, hierarchical (SOF5+) frames.  PIL
+remains preferred when importable — operators/multimodal.decode_image
+tries it first; this is the wheel-free fallback, the same contract every
+other codec in the repo follows.
 
 Decode correctness is established the same way as the other from-spec
 codecs: marker-level spec goldens, an exactness property (flat blocks are
@@ -235,8 +245,8 @@ def _extend(v: int, s: int) -> int:
 # ---------------------------------------------------------------------------
 
 def jpeg_decode(payload: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0) JFIF/JPEG byte payload to (H, W, C) uint8
-    (C = 1 grayscale or 3 RGB)."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JFIF/JPEG byte
+    payload to (H, W, C) uint8 (C = 1 grayscale or 3 RGB)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -245,6 +255,10 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     ac_tables: dict[int, _HuffDecoder] = {}
     frame = None
     restart_interval = 0
+    # progressive state: per frame-component zigzag coefficient planes,
+    # accumulated across scans (T.81 G.2: each scan contributes one band
+    # and/or one approximation bit)
+    prog_coefs: list[np.ndarray] | None = None
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at byte {pos}")
@@ -275,7 +289,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 q = np.zeros(64, np.int64)
                 q[ZIGZAG] = tbl  # DQT is in zigzag order
                 qtables[tq] = q.reshape(8, 8)
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"JPEG precision {prec} unsupported (8-bit)")
@@ -287,13 +301,14 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"JPEG frame type 0x{marker:02X} unsupported — baseline "
-                "sequential (SOF0) only; progressive/arithmetic are out of "
-                "the from-spec subset"
+                "sequential (SOF0) and progressive (SOF2) only; "
+                "arithmetic/hierarchical are out of the from-spec subset"
             )
         elif marker == 0xC4:  # DHT — possibly several tables per segment
             p = 0
@@ -310,7 +325,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             scan = []
             for i in range(ns):
@@ -320,11 +335,239 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             end = _entropy_end(payload, pos)
             data = payload[pos:end]
             pos = end
-            return _decode_scan(
-                frame, scan, data, qtables, dc_tables, ac_tables,
-                restart_interval,
+            if not frame["progressive"]:
+                return _decode_scan(
+                    frame, scan, data, qtables, dc_tables, ac_tables,
+                    restart_interval,
+                )
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            if prog_coefs is None:
+                prog_coefs = _alloc_prog_coefs(frame)
+            _progressive_scan(
+                frame, scan, ss, se, a >> 4, a & 0x0F, data,
+                dc_tables, ac_tables, restart_interval, prog_coefs,
             )
+    if frame is not None and frame["progressive"] and prog_coefs is not None:
+        # de-zigzag the accumulated coefficients and reconstruct once
+        planes = []
+        for cz in prog_coefs:
+            nat = np.zeros_like(cz)
+            nat[:, :, ZIGZAG] = cz
+            by, bx = nat.shape[:2]
+            planes.append(nat.reshape(by, bx, 8, 8))
+        return _reconstruct(frame, frame["comps"], planes, qtables)
     raise ValueError("JPEG has no scan (missing SOS)")
+
+
+def _frame_geometry(frame: dict) -> tuple[int, int, int, int]:
+    """(hmax, vmax, mcux, mcuy) over ALL frame components (A.1.1)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(c["h"] in (1, 2) and c["v"] in (1, 2) for c in comps):
+        raise ValueError("sampling factors outside {1,2} unsupported")
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _alloc_prog_coefs(frame: dict) -> list[np.ndarray]:
+    _, _, mcux, mcuy = _frame_geometry(frame)
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64)
+        for c in frame["comps"]
+    ]
+
+
+def _split_restarts(data: bytes, restart_interval: int) -> list[_BitReader]:
+    """Split the entropy stream on RSTn markers; each interval gets its own
+    bit reader over unstuffed bytes (restart = byte-realign + state reset)."""
+    intervals: list[bytes] = []
+    if restart_interval:
+        start = 0
+        p = 0
+        while p < len(data) - 1:
+            if data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7:
+                intervals.append(data[start:p])
+                start = p + 2
+                p += 2
+            else:
+                p += 1
+        intervals.append(data[start:])
+    else:
+        intervals = [data.replace(b"\xff\xd0", b"")]  # no DRI: no RSTn
+    return [_BitReader(seg.replace(b"\xff\x00", b"\xff")) for seg in intervals]
+
+
+def _progressive_scan(
+    frame: dict,
+    scan: list[tuple[dict, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    data: bytes,
+    dc_tables: dict[int, _HuffDecoder],
+    ac_tables: dict[int, _HuffDecoder],
+    restart_interval: int,
+    coefs: list[np.ndarray],
+) -> None:
+    """One progressive scan (T.81 G.2): mutate the per-component zigzag
+    coefficient planes in place.  DC scans (Ss=0) may interleave several
+    components; AC scans are single-component over the component's own
+    block grid (not the MCU-padded grid)."""
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if se > 63 or ss > se:
+        raise ValueError("bad spectral selection")
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    comp_idx = [frame["comps"].index(c) for c, _, _ in scan]
+
+    # decode units per restart interval: each unit is one MCU's block list
+    units: list[list[tuple[int, int, int]]] = []
+    if len(scan) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                u = []
+                for ci, (comp, _, _) in enumerate(scan):
+                    for v in range(comp["v"]):
+                        for hh in range(comp["h"]):
+                            u.append(
+                                (ci, my * comp["v"] + v, mx * comp["h"] + hh)
+                            )
+                units.append(u)
+    else:
+        comp = scan[0][0]
+        cw = -(-frame["w"] * comp["h"] // hmax)
+        ch_ = -(-frame["h"] * comp["v"] // vmax)
+        bw, bh = -(-cw // 8), -(-ch_ // 8)
+        units = [[(0, by, bx)] for by in range(bh) for bx in range(bw)]
+
+    readers = _split_restarts(data, restart_interval)
+    reader_idx = 0
+    reader = readers[0]
+    pred = [0] * len(scan)
+    eobrun = 0
+    n_in_interval = 0
+    for u in units:
+        if restart_interval and n_in_interval == restart_interval:
+            reader_idx += 1
+            if reader_idx >= len(readers):
+                raise ValueError("JPEG missing restart marker")
+            reader = readers[reader_idx]
+            pred = [0] * len(scan)
+            eobrun = 0
+            n_in_interval = 0
+        n_in_interval += 1
+        for ci, by, bx in u:
+            comp, td, ta = scan[ci]
+            cz = coefs[comp_idx[ci]][by, bx]
+            if ss == 0:
+                if ah == 0:  # DC first (G.2.1)
+                    dct = dc_tables.get(td)
+                    if dct is None:
+                        raise ValueError("JPEG scan references missing DHT")
+                    s = reader.decode(dct)
+                    if s > 15:
+                        raise ValueError("invalid DC category")
+                    pred[ci] += _extend(reader.read(s), s)
+                    cz[0] = pred[ci] << al
+                else:  # DC refinement: one bit per block
+                    if reader.read(1):
+                        cz[0] |= 1 << al
+            else:
+                act = ac_tables.get(ta)
+                if act is None:
+                    raise ValueError("JPEG scan references missing DHT")
+                if ah == 0:
+                    eobrun = _ac_first_block(reader, cz, ss, se, al, act,
+                                             eobrun)
+                else:
+                    eobrun = _ac_refine_block(reader, cz, ss, se, al, act,
+                                              eobrun)
+    if eobrun:
+        raise ValueError("JPEG EOB run past end of scan")
+
+
+def _ac_first_block(
+    reader: _BitReader, cz: np.ndarray, ss: int, se: int, al: int,
+    act: _HuffDecoder, eobrun: int,
+) -> int:
+    """First-approximation AC band decode for one block (T.81 G.2.2 /
+    F.2.2.2 with EOB runs).  Returns the updated EOB run counter."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                # EOBn: 2^r - 1 additional blocks end here too
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        cz[k] = _extend(reader.read(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(
+    reader: _BitReader, cz: np.ndarray, ss: int, se: int, al: int,
+    act: _HuffDecoder, eobrun: int,
+) -> int:
+    """Successive-approximation AC refinement for one block (T.81 G.2.2):
+    newly-nonzero coefficients carry a sign bit; every already-nonzero
+    coefficient passed over carries a correction bit."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode(act)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read(r)
+                    break
+                # ZRL: pass over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid AC refinement magnitude")
+                newval = p1 if reader.read(1) else m1
+            while k <= se:
+                v = int(cz[k])
+                if v:
+                    # correction bit for an already-nonzero coefficient
+                    if reader.read(1) and (v & p1) == 0:
+                        cz[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                cz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = int(cz[k])
+            if v and reader.read(1) and (v & p1) == 0:
+                cz[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def _entropy_end(payload: bytes, pos: int) -> int:
@@ -364,25 +607,8 @@ def _decode_scan(
         for c, _, _ in scan
     ]
 
-    # restart intervals reset the bit reader and DC predictors; split the
-    # entropy stream on RSTn markers up front
-    intervals: list[bytes] = []
-    if restart_interval:
-        start = 0
-        p = 0
-        while p < len(data) - 1:
-            if data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7:
-                intervals.append(data[start:p])
-                start = p + 2
-                p += 2
-            else:
-                p += 1
-        intervals.append(data[start:])
-    else:
-        intervals = [data.replace(b"\xff\xd0", b"")]  # no DRI: no RSTn
-    readers = [
-        _BitReader(seg.replace(b"\xff\x00", b"\xff")) for seg in intervals
-    ]
+    # restart intervals reset the bit reader and DC predictors
+    readers = _split_restarts(data, restart_interval)
 
     pred = [0] * len(scan)
     reader_idx = 0
@@ -430,9 +656,23 @@ def _decode_scan(
                             blk.reshape(8, 8)
                         )
 
-    # dequantize + IDCT, batched per component with one einsum
+    return _reconstruct(frame, [c for c, _, _ in scan], planes, qtables)
+
+
+def _reconstruct(
+    frame: dict,
+    comps: list[dict],
+    planes: list[np.ndarray],
+    qtables: dict[int, np.ndarray],
+) -> np.ndarray:
+    """Dequantize + IDCT (batched einsum per component), crop, upsample,
+    color-convert.  ``planes[i]`` is comps[i]'s (by, bx, 8, 8) natural-order
+    quantized coefficients."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     out_planes = []
-    for ci, (comp, _, _) in enumerate(scan):
+    for ci, comp in enumerate(comps):
         q = qtables.get(comp["tq"])
         if q is None:
             raise ValueError("JPEG scan references missing DQT")
@@ -568,16 +808,13 @@ def _dqt_segment(tq: int, table: np.ndarray) -> bytes:
     return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
 
 
-def jpeg_encode(
-    arr: np.ndarray,
-    quality: int = 90,
-    subsampling: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode (H, W) / (H, W, 1) grayscale or (H, W, 3) RGB uint8 as a
-    baseline JFIF/JPEG.  ``subsampling``: '4:4:4' or '4:2:0' (mean-pooled
-    chroma; RGB only).  ``restart_interval``: emit a DRI segment and an
-    RSTn marker every N MCUs (0 = none)."""
+def _prepare_planes(
+    arr: np.ndarray, quality: int, subsampling: str
+) -> tuple[list[np.ndarray], list[tuple[int, int]], list[int],
+           np.ndarray, np.ndarray, int, int]:
+    """Shared encoder front half: color convert, subsample, forward DCT,
+    quantize, pad to MCU coverage.  Returns (coef_planes, hv, qsel, qy,
+    qc, h, w)."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -619,11 +856,6 @@ def jpeg_encode(
         for p, qs in zip(planes, qsel)
     ]
 
-    dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
-                _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
-    ac_codes = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
-                _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
-
     hmax = max(x for x, _ in hv)
     vmax = max(x for _, x in hv)
     mcux = -(-w // (8 * hmax))
@@ -639,9 +871,35 @@ def jpeg_encode(
                  (0, 0), (0, 0)),
                 "edge",
             )
+    return coef_planes, hv, qsel, qy, qc, h, w
+
+
+def jpeg_encode(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (H, W) / (H, W, 1) grayscale or (H, W, 3) RGB uint8 as a
+    baseline JFIF/JPEG.  ``subsampling``: '4:4:4' or '4:2:0' (mean-pooled
+    chroma; RGB only).  ``restart_interval``: emit a DRI segment and an
+    RSTn marker every N MCUs (0 = none)."""
+    coef_planes, hv, qsel, qy, qc, h, w = _prepare_planes(
+        arr, quality, subsampling
+    )
+
+    dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+                _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_codes = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+                _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+
+    hmax = max(x for x, _ in hv)
+    vmax = max(x for _, x in hv)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
 
     wtr = _BitWriter()
-    pred = [0] * len(planes)
+    pred = [0] * len(hv)
     mcu_count = 0
     rst = 0
     for my in range(mcuy):
@@ -651,7 +909,7 @@ def jpeg_encode(
             ):
                 wtr.restart(rst)
                 rst = (rst + 1) & 7
-                pred = [0] * len(planes)
+                pred = [0] * len(hv)
             mcu_count += 1
             for ci, (hh, vv) in enumerate(hv):
                 t = 0 if ci == 0 else 1
@@ -666,7 +924,7 @@ def jpeg_encode(
                         )
     entropy = wtr.flush()
 
-    ncomp = len(planes)
+    ncomp = len(hv)
     sof_body = struct.pack(">BHHB", 8, h, w, ncomp)
     for i, (hh, vv) in enumerate(hv):
         sof_body += bytes([i + 1, hh << 4 | vv, qsel[i]])
@@ -693,5 +951,204 @@ def jpeg_encode(
         out += _dht_segment(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
     out += b"\xff\xda" + struct.pack(">H", len(sos_body) + 2) + sos_body
     out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (T.81 Annex G.1): fixed four-phase scan script that
+# exercises every progressive decode path — DC first (Al=1), per-component
+# AC first (Al=1), DC refinement, AC refinement.  EOB runs flush per block
+# (plain EOB symbol 0x00): the Annex K tables define no EOBn>1 symbols.
+# ---------------------------------------------------------------------------
+
+def _zz_band(coefs: np.ndarray) -> np.ndarray:
+    """(…, 8, 8) natural-order block → (…, 64) zigzag-order vector."""
+    return coefs.reshape(*coefs.shape[:-2], 64)[..., ZIGZAG]
+
+
+def _encode_ac_first(
+    wtr: _BitWriter, zz: np.ndarray, ss: int, se: int, al: int,
+    ac_codes: dict[int, tuple[int, int]],
+) -> None:
+    """One block of a first-approximation AC scan (G.1.2.2): run-length
+    code the band of coef/2^Al (magnitude shift), EOB per block."""
+    run = 0
+    wrote_any = False
+    for k in range(ss, se + 1):
+        c = int(zz[k])
+        v = (abs(c) >> al) * (1 if c >= 0 else -1)
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            wtr.write(code, ln)
+            run -= 16
+        size = _category(v)
+        code, ln = ac_codes[(run << 4) | size]
+        wtr.write(code, ln)
+        wtr.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+        wrote_any = True
+    if run > 0 or not wrote_any:
+        code, ln = ac_codes[0x00]  # EOB (EOBRUN of exactly 1)
+        wtr.write(code, ln)
+
+
+def _encode_ac_refine(
+    wtr: _BitWriter, zz: np.ndarray, ss: int, se: int, al: int,
+    ac_codes: dict[int, tuple[int, int]],
+) -> None:
+    """One block of a successive-approximation AC refinement scan
+    (G.1.2.3): newly-nonzero coefficients get (run, 1) + sign bit;
+    already-nonzero coefficients passed over get buffered correction
+    bits, attached to the next emitted symbol (or the block's EOB)."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = ss - 1  # index of the last newly-nonzero coefficient
+    for i, a in enumerate(absv):
+        if a == 1:
+            eob = ss + i
+    run = 0
+    pending: list[int] = []  # correction bits awaiting a symbol
+    for k in range(ss, se + 1):
+        a = absv[k - ss]
+        if a == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            code, ln = ac_codes[0xF0]  # ZRL
+            wtr.write(code, ln)
+            run -= 16
+            for b in pending:
+                wtr.write(b, 1)
+            pending = []
+        if a > 1:
+            # history-nonzero: just the next magnitude bit
+            pending.append(a & 1)
+            continue
+        # newly-nonzero (|coef| >> Al == 1): (run, size=1) + sign bit
+        code, ln = ac_codes[(run << 4) | 1]
+        wtr.write(code, ln)
+        wtr.write(1 if int(zz[k]) >= 0 else 0, 1)
+        for b in pending:
+            wtr.write(b, 1)
+        pending = []
+        run = 0
+    if run > 0 or pending:
+        code, ln = ac_codes[0x00]  # EOB carrying the trailing corrections
+        wtr.write(code, ln)
+        for b in pending:
+            wtr.write(b, 1)
+
+
+def jpeg_encode_progressive(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    bands: tuple[tuple[int, int], ...] = ((1, 63),),
+) -> bytes:
+    """Encode (H, W[, C]) uint8 as a progressive (SOF2) JFIF/JPEG with a
+    four-phase scan script: interleaved DC first at Al=1, per-component
+    AC first at Al=1 (one scan per spectral band in ``bands``), interleaved
+    DC refinement, per-component AC refinement.  Decodes to the same pixels
+    as the baseline encoder at the same quality (identical quantized
+    coefficients, scan order aside).  ``bands`` must tile 1..63."""
+    if bands[0][0] != 1 or bands[-1][1] != 63 or any(
+        bands[i][1] + 1 != bands[i + 1][0] for i in range(len(bands) - 1)
+    ):
+        raise ValueError("bands must tile the AC range 1..63")
+    coef_planes, hv, qsel, qy, qc, h, w = _prepare_planes(
+        arr, quality, subsampling
+    )
+    ncomp = len(hv)
+    hmax = max(x for x, _ in hv)
+    vmax = max(x for _, x in hv)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+                _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_codes = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+                _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    zz_planes = [_zz_band(cp) for cp in coef_planes]
+
+    def dc_scan(al: int, refine: bool) -> bytes:
+        wtr = _BitWriter()
+        pred = [0] * ncomp
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (hh, vv) in enumerate(hv):
+                    t = 0 if ci == 0 else 1
+                    for v in range(vv):
+                        for hx in range(hh):
+                            dc = int(zz_planes[ci][my * vv + v, mx * hh + hx, 0])
+                            if refine:
+                                wtr.write((dc >> al) & 1, 1)
+                                continue
+                            val = dc >> al  # arithmetic shift (G.1.2.1)
+                            diff = val - pred[ci]
+                            pred[ci] = val
+                            s = _category(diff)
+                            code, ln = dc_codes[t][s]
+                            wtr.write(code, ln)
+                            if s:
+                                wtr.write(
+                                    diff if diff > 0 else diff + (1 << s) - 1,
+                                    s,
+                                )
+        return wtr.flush()
+
+    def ac_scan(ci: int, ss: int, se: int, al: int, refine: bool) -> bytes:
+        hh, vv = hv[ci]
+        cw = -(-w * hh // hmax)
+        ch_ = -(-h * vv // vmax)
+        bw, bh = -(-cw // 8), -(-ch_ // 8)
+        t = 0 if ci == 0 else 1
+        wtr = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw):
+                zz = zz_planes[ci][by, bx]
+                if refine:
+                    _encode_ac_refine(wtr, zz, ss, se, al, ac_codes[t])
+                else:
+                    _encode_ac_first(wtr, zz, ss, se, al, ac_codes[t])
+        return wtr.flush()
+
+    def sos(comps: list[int], dc_sel: bool, ss: int, se: int,
+            ah: int, al: int, entropy: bytes) -> bytes:
+        body = bytes([len(comps)])
+        for ci in comps:
+            t = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (t << 4) if dc_sel else t])
+        body += bytes([ss, se, (ah << 4) | al])
+        return (b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+                + entropy)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    app0 = b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+    out += _dqt_segment(0, qy)
+    if ncomp == 3:
+        out += _dqt_segment(1, qc)
+    sof_body = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i, (hh, vv) in enumerate(hv):
+        sof_body += bytes([i + 1, hh << 4 | vv, qsel[i]])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof_body) + 2) + sof_body
+    out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if ncomp == 3:
+        out += _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += _dht_segment(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    all_comps = list(range(ncomp))
+    out += sos(all_comps, True, 0, 0, 0, 1, dc_scan(1, False))
+    for ci in all_comps:
+        for ss, se in bands:
+            out += sos([ci], False, ss, se, 0, 1, ac_scan(ci, ss, se, 1, False))
+    out += sos(all_comps, True, 0, 0, 1, 0, dc_scan(0, True))
+    for ci in all_comps:
+        for ss, se in bands:
+            out += sos([ci], False, ss, se, 1, 0, ac_scan(ci, ss, se, 0, True))
     out += b"\xff\xd9"  # EOI
     return bytes(out)

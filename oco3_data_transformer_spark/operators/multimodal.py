@@ -179,12 +179,12 @@ def png_decode(payload: bytes) -> np.ndarray:
 
 
 def decode_image(codec: str, payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
-    """Decode one blob to (H, W, C) uint8. 'raw', 'png' and baseline
-    'jpeg' decode wheel-free ('png' via the from-spec codec above,
-    'jpeg' via operators/jpeglite.py; PIL preferred for jpeg when
-    importable); other codecs (webp, progressive jpeg) genuinely need an
-    image library and plug in behind the same signature when one is
-    importable."""
+    """Decode one blob to (H, W, C) uint8. 'raw', 'png', and 'jpeg'
+    (baseline SOF0 and progressive SOF2) decode wheel-free ('png' via
+    the from-spec codec above, 'jpeg' via operators/jpeglite.py; PIL
+    preferred for jpeg when importable); other codecs (webp,
+    arithmetic-coded jpeg) genuinely need an image library and plug in
+    behind the same signature when one is importable."""
     if codec == "raw":
         arr = np.frombuffer(payload, dtype=np.uint8)
         return arr.reshape(height, width, channels)

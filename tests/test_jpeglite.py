@@ -146,19 +146,192 @@ def test_restart_markers_roundtrip():
 
 
 # ---------------------------------------------------------------------------
+# progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_decode_equals_baseline_decode():
+    """The progressive script encodes the same quantized coefficients as
+    the baseline encoder, so the two decodes must be bit-identical."""
+    rng = _rng()
+    cases = [
+        ((16, 16), "4:4:4"),
+        ((33, 29, 3), "4:4:4"),
+        ((40, 24, 3), "4:2:0"),
+        ((8, 8), "4:4:4"),
+    ]
+    for shape, sub in cases:
+        a = rng.integers(0, 256, size=shape).astype(np.uint8)
+        for q in (50, 90, 100):
+            base = J.jpeg_decode(J.jpeg_encode(a, quality=q, subsampling=sub))
+            prog = J.jpeg_decode(
+                J.jpeg_encode_progressive(a, quality=q, subsampling=sub)
+            )
+            assert np.array_equal(base, prog), (shape, sub, q)
+
+
+def test_progressive_marker_structure():
+    """SOF2 frame, four scan phases (1 DC first + N AC first + 1 DC
+    refine + N AC refine), and the scan-header golden for each phase."""
+    a = _rng().integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    enc = J.jpeg_encode_progressive(a, quality=90)
+    assert enc.find(b"\xff\xc0") == -1 and enc.find(b"\xff\xc2") > 0
+    # collect every SOS header's (ns, Ss, Se, Ah, Al)
+    headers = []
+    p = 0
+    while True:
+        p = enc.find(b"\xff\xda", p)
+        if p < 0:
+            break
+        ns = enc[p + 4]
+        ss, se, aa = enc[p + 5 + 2 * ns : p + 8 + 2 * ns]
+        headers.append((ns, ss, se, aa >> 4, aa & 15))
+        p += 2
+    assert headers[0] == (3, 0, 0, 0, 1)       # DC first, interleaved
+    assert headers[1:4] == [(1, 1, 63, 0, 1)] * 3   # AC first per comp
+    assert headers[4] == (3, 0, 0, 1, 0)       # DC refinement
+    assert headers[5:8] == [(1, 1, 63, 1, 0)] * 3   # AC refinement
+
+
+def test_progressive_spectral_bands():
+    """Splitting the AC range over several scans changes the bitstream
+    but not the decode; non-tiling bands are rejected."""
+    a = _rng().integers(0, 256, size=(24, 31)).astype(np.uint8)
+    whole = J.jpeg_decode(J.jpeg_encode_progressive(a, quality=80))
+    split = J.jpeg_decode(
+        J.jpeg_encode_progressive(a, quality=80, bands=((1, 5), (6, 20), (21, 63)))
+    )
+    assert np.array_equal(whole, split)
+    with pytest.raises(ValueError, match="tile"):
+        J.jpeg_encode_progressive(a, bands=((1, 5), (7, 63)))
+    with pytest.raises(ValueError, match="tile"):
+        J.jpeg_encode_progressive(a, bands=((2, 63),))
+
+
+def _minimal_progressive(dc_vals, dri=0, eob_run=False):
+    """Handcraft a 1-component 8x(8*len(dc_vals)) SOF2 stream at Q=1
+    (all-ones DQT) whose blocks are DC-only: DC-first scan + AC-first
+    scan.  ``dri`` inserts RST0 every ``dri`` MCUs; ``eob_run`` codes
+    the AC scan's all-zero blocks as one EOBn>1 run via a custom DHT
+    (the Annex K tables carry no EOBn>1 symbols)."""
+    n = len(dc_vals)
+    dcc = J._canonical_codes(J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+    # custom AC table: symbols EOB0 (0x00) and EOB1 (0x10)
+    ac_bits = [2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_vals = [0x00, 0x10]
+    acc = J._canonical_codes(ac_bits, ac_vals)
+
+    def dc_scan_bits():
+        w = J._BitWriter()
+        pred = 0
+        for i, d in enumerate(dc_vals):
+            if dri and i and i % dri == 0:
+                w.restart((i // dri - 1) & 7)
+                pred = 0
+            diff = d - pred
+            pred = d
+            s = J._category(diff)
+            code, ln = dcc[s]
+            w.write(code, ln)
+            if s:
+                w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        return w.flush()
+
+    def ac_scan_bits():
+        w = J._BitWriter()
+        i = 0
+        while i < n:
+            if dri and i and i % dri == 0:
+                w.restart((i // dri - 1) & 7)
+            run = min(dri, n - i) if dri else n - i
+            if eob_run and run > 1:
+                # EOB1 covers 2 + (1 extra bit) = 2 or 3 blocks
+                cover = min(run, 3)
+                code, ln = acc[0x10]
+                w.write(code, ln)
+                w.write(cover - 2, 1)
+                i += cover
+                run -= cover
+            for _ in range(run):
+                code, ln = acc[0x00]
+                w.write(code, ln)
+                i += 1
+        return w.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += J._dqt_segment(0, np.ones((8, 8), np.int64))
+    sof = struct.pack(">BHHB", 8, 8, 8 * n, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += J._dht_segment(0, 0, J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+    out += J._dht_segment(1, 0, ac_bits, ac_vals)
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    sos1 = bytes([1, 1, 0x00, 0, 0, 0x00])
+    out += b"\xff\xda" + struct.pack(">H", len(sos1) + 2) + sos1
+    out += dc_scan_bits()
+    sos2 = bytes([1, 1, 0x00, 1, 63, 0x00])
+    out += b"\xff\xda" + struct.pack(">H", len(sos2) + 2) + sos2
+    out += ac_scan_bits()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_eob_run_and_restart_decode():
+    """Decode paths the in-repo encoder never emits: EOBn>1 runs (custom
+    DHT with the EOB1 symbol) and restart markers inside progressive
+    scans.  DC-only blocks at Q=1 decode exactly to clip(dc/8 + 128)."""
+    dc_vals = [80, -40, 160, 0]
+    expect = [np.clip(round(d / 8) + 128, 0, 255) for d in dc_vals]
+    for kwargs in (
+        {},                        # plain EOB per block
+        {"eob_run": True},         # one EOB1 run covering 4 blocks
+        {"dri": 2},                # RST0 between MCU pairs, both scans
+        {"dri": 2, "eob_run": True},
+    ):
+        got = J.jpeg_decode(_minimal_progressive(dc_vals, **kwargs))
+        assert got.shape == (8, 32, 1), kwargs
+        for i, e in enumerate(expect):
+            blk = got[:, 8 * i : 8 * (i + 1), 0]
+            assert np.all(blk == e), (kwargs, i)
+
+
+def test_progressive_differential_against_pil():
+    """Skip-gated: our decoder must match PIL's decode of PIL's own
+    progressive encode within 1 LSB, and PIL must accept our
+    progressive output."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    a = _rng().integers(0, 256, size=(32, 24, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(a).save(buf, format="JPEG", quality=90, progressive=True)
+    theirs = buf.getvalue()
+    got = J.jpeg_decode(theirs)
+    ref = np.asarray(PIL_Image.open(io.BytesIO(theirs)).convert("RGB"))
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+
+    ours = J.jpeg_encode_progressive(a, quality=90)
+    pil_dec = np.asarray(PIL_Image.open(io.BytesIO(ours)).convert("RGB"))
+    assert np.abs(pil_dec.astype(int) - a.astype(int)).mean() < 8
+
+
+# ---------------------------------------------------------------------------
 # rejects
 # ---------------------------------------------------------------------------
 
 
-def test_rejects_non_jpeg_progressive_and_truncated():
+def test_rejects_non_jpeg_arithmetic_and_truncated():
     with pytest.raises(ValueError, match="SOI"):
         J.jpeg_decode(b"not a jpeg")
     a = np.zeros((8, 8), np.uint8)
     enc = bytearray(J.jpeg_encode(a))
     sof = enc.index(b"\xff\xc0")
-    enc[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="0xC2"):
+    enc[sof + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic sequential)
+    with pytest.raises(ValueError, match="0xC9"):
         J.jpeg_decode(bytes(enc))
+    enc[sof + 1] = 0xC2  # SOF2 with a baseline full-band first scan:
+    with pytest.raises(ValueError, match="Se=0"):
+        J.jpeg_decode(bytes(enc))  # progressive DC scan must have Se=0
     with pytest.raises(ValueError, match="truncated"):
         J.jpeg_decode(J.jpeg_encode(a)[:30])  # cuts mid-DQT
     with pytest.raises(ValueError, match="no scan"):
