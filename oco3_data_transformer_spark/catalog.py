@@ -1198,6 +1198,67 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q131_zarr_roundtrip",
+    """
+    WITH cells AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS time,
+               CAST(o_orderkey % 8 AS INT) AS lat_idx,
+               CAST((o_orderkey // 8) % 8 AS INT) AS lon_idx,
+               max(o_totalprice) AS value
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1995-04-01'
+        GROUP BY 1, 2, 3)
+    SELECT time,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM cells GROUP BY time
+    """,
+    doc="S6/S3 Zarr v2 store round-trip: store rows -> distributed "
+    "from-spec Zarr export (sinks/zarr_store.export_zarr: one shuffle on "
+    "(variable, chunk), executors write chunk payloads) -> distributed "
+    "scan (one decode task per chunk) -> aggregate. The oracle computes "
+    "the same aggregate straight from parquet, so a hash match proves the "
+    "container round-trip is value-exact; ref writers/ZarrWriter.py:82-326, "
+    "utils/ZarrUtils.py:70-112. Per-cell max is order-independent and the "
+    "final sum is integer cents, so floats cross engines exactly.",
+)
+def q131(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from .sinks.zarr_store import export_zarr, scan_zarr
+
+    od = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp")
+    )
+    cells = (
+        od.groupBy(
+            F.date_trunc("day", "o_orderdate").alias("time"),
+            (F.col("o_orderkey") % 8).cast("int").alias("lat_idx"),
+            F.expr("(o_orderkey div 8) % 8").cast("int").alias("lon_idx"),
+        )
+        .agg(F.max("o_totalprice").alias("value"))
+        .select(
+            F.lit("oco3").alias("mission"),
+            F.lit("t1").alias("target_id"),
+            F.lit("post").alias("qf"),
+            "time",
+            "lat_idx",
+            "lon_idx",
+            F.lit("v").alias("variable"),
+            "value",
+        )
+    )
+    path = tempfile.mkdtemp(prefix="q131_zarr_")
+    export_zarr(cells, path, lat_res=8, lon_res=8, chunk_t=16,
+                chunk_lat=4, chunk_lon=4)
+    back = scan_zarr(spark, path)
+    return back.groupBy("time").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+    )
+
+
 # Parts 2 and 3 of the catalog (documents/embeddings: dedup, similarity
 # search, text analysis; pandas-UDF kernels: gridding, mission pipeline,
 # multimodal) register themselves into the same REGISTRY on import.

@@ -137,6 +137,14 @@ QUERY_GROUPS: dict[str, list[str]] = {
         "q117_transition_pagerank",
         "q124_seed_expansion_ppr",
     ],
+    "round8": [
+        "q131_zarr_roundtrip",
+        # round-8 plan changes to pre-existing queries, re-gated here:
+        # climatology_spans rewrote to a day-level pre-aggregate
+        "q20_climatology_monthly",
+        "q21_month_of_year",
+        "q47_climatology_seasonal",
+    ],
     # Correctness at the k=100 fixture (.bench_data/sf10): every family
     # whose DuckDB oracle is non-quadratic and tractable there — the
     # dedup-pair oracles (q31/q32/q33) are quadratic in DuckDB runtime and

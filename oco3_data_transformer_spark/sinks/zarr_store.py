@@ -1,0 +1,286 @@
+"""S6-family Zarr v2 store export / scan, Spark-side (distributed).
+
+The reference's primary sink is a Zarr group per (mission[, target], qf)
+with variables chunked ``(time, x, y)`` and coverage attrs maintained on
+write (ref writers/ZarrWriter.py:82-326, GROUP_KEYS sam_extract/
+__init__.py:43, TIME_CHUNKING writers/ZarrWriter.py:49); its readers
+open the store consolidated-first (ref utils/ZarrUtils.py:70-112).  The
+engine's own store stays the partitioned columnar table (sinks/store.py)
+— this module is the FORMAT bridge for downstream consumers:
+
+  export — long-format store rows → one Zarr v2 directory store.  Chunk
+    assembly is distributed: rows shuffle once on (variable, chunk
+    coordinate), one Arrow-batched group builds + compresses each chunk,
+    and executors write chunk payloads directly (``foreachPartition``;
+    on a cluster the same writer targets any shared/posix-mounted store
+    path).  Only metadata documents and the three coordinate arrays are
+    written from the driver — driver work is O(variables + days), never
+    O(data).  That inverts the reference's single-process ``to_zarr``
+    (every chunk serialized through one dask scheduler) and is the
+    100 TB property: export parallelism == chunk count.
+
+  scan — Zarr store → long-format DataFrame.  The driver reads only
+    metadata + coordinates; chunks are decoded in parallel with one task
+    per chunk file (mapInPandas over the chunk list).
+
+Container bytes come from sinks/zarrlite.py (from-spec v2 subset, zlib
+codec; see its module docstring for the documented blosc delta).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+from typing import Any, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import zarrlite
+from .export import GLOBAL_BBOX
+
+ISO_8601 = "%Y-%m-%dT%H:%M:%S%z"
+
+_CHUNK_ROW = T.StructType(
+    [
+        T.StructField("relpath", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _cell_centers(lo: float, hi: float, n: int) -> np.ndarray:
+    res = (hi - lo) / n
+    return lo + res / 2 + res * np.arange(n)
+
+
+def export_zarr(
+    store_rows: DataFrame,
+    path: str,
+    lat_res: int,
+    lon_res: int,
+    chunk_t: int = 64,
+    chunk_lat: int | None = None,
+    chunk_lon: int | None = None,
+    level: int = 9,
+    bbox: tuple[float, float, float, float] = GLOBAL_BBOX,
+    attrs: dict[str, Any] | None = None,
+    time_chunking: int = 4000,
+) -> dict[str, Any]:
+    """Export one logical store (a single (mission, target_id, qf)) of
+    long-format rows as a Zarr v2 directory store at ``path``.
+
+    Per variable: a (T, lat_res, lon_res) float64 array, fill NaN,
+    chunked (chunk_t, chunk_lat, chunk_lon), dims (time, lat, lon) with
+    cell-center coordinate arrays from ``bbox`` and int64 CF-encoded
+    seconds for time (chunked per the reference's TIME_CHUNKING).  Group
+    attrs carry the reference's dynamic set (date_created/date_updated/
+    coverage_start/coverage_end, ref writers/ZarrWriter.py:136-168) plus
+    identity and caller ``attrs``.  Returns a manifest dict.
+    """
+    ids = store_rows.select("mission", "target_id", "qf").distinct().collect()
+    if len(ids) != 1:
+        raise ValueError(
+            f"export_zarr writes ONE store; got {len(ids)} (mission, "
+            "target_id, qf) combinations — partition the rows and loop "
+            "(the reference writes one ZarrWriter per store too)"
+        )
+    mission, target_id, qf = ids[0]
+
+    # day axis: control-plane collect (|days|-sized, like the orchestrator)
+    days = [
+        r[0]
+        for r in store_rows.select("time").distinct().orderBy("time").collect()
+    ]
+    if not days:
+        raise ValueError("export_zarr: empty input")
+    t_secs = np.array(
+        [int(d.replace(tzinfo=dt.timezone.utc).timestamp()) for d in days],
+        np.int64,
+    )
+    n_t = len(days)
+    variables = sorted(
+        r[0] for r in store_rows.select("variable").distinct().collect()
+    )
+    cl = chunk_lat or lat_res
+    cw = chunk_lon or lon_res
+    ct = min(chunk_t, n_t)
+    chunks = (ct, cl, cw)
+
+    spark = store_rows.sparkSession
+    tidx = spark.createDataFrame(
+        [(d, i) for i, d in enumerate(days)], "time timestamp, __tidx int"
+    )
+    keyed = (
+        store_rows.join(F.broadcast(tidx), "time")
+        .select(
+            "variable",
+            (F.col("__tidx") / ct).cast("int").alias("__ci_t"),
+            (F.col("lat_idx") / cl).cast("int").alias("__ci_lat"),
+            (F.col("lon_idx") / cw).cast("int").alias("__ci_lon"),
+            (F.col("__tidx") % ct).alias("__o_t"),
+            (F.col("lat_idx") % cl).alias("__o_lat"),
+            (F.col("lon_idx") % cw).alias("__o_lon"),
+            "value",
+        )
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        var = pdf["variable"].iloc[0]
+        it, il, iw = (int(pdf[c].iloc[0]) for c in ("__ci_t", "__ci_lat", "__ci_lon"))
+        block = np.full(chunks, np.nan, np.float64)
+        block[
+            pdf["__o_t"].to_numpy(np.int64),
+            pdf["__o_lat"].to_numpy(np.int64),
+            pdf["__o_lon"].to_numpy(np.int64),
+        ] = pdf["value"].to_numpy(np.float64)
+        payload = zarrlite.encode_chunk(block, chunks, np.nan, level)
+        rel = f"{var}/{zarrlite.chunk_key((it, il, iw))}"
+        return pd.DataFrame({"relpath": [rel], "payload": [payload]})
+
+    chunk_rows = keyed.groupBy(
+        "variable", "__ci_t", "__ci_lat", "__ci_lon"
+    ).applyInPandas(build, _CHUNK_ROW)
+
+    # driver: metadata + coordinate arrays (O(vars + days))
+    os.makedirs(path, exist_ok=True)
+    now = dt.datetime.now(dt.timezone.utc).strftime(ISO_8601)
+    group_attrs = {
+        "date_created": now,
+        "date_updated": now,
+        "coverage_start": days[0].strftime("%Y-%m-%dT%H:%M:%SZ"),
+        "coverage_end": days[-1].strftime("%Y-%m-%dT%H:%M:%SZ"),
+        "mission": mission,
+        "target_id": target_id,
+        "qf": qf,
+        **(attrs or {}),
+    }
+    zarrlite.write_group(path, attrs=group_attrs)
+    min_lon, min_lat, max_lon, max_lat = bbox
+    zarrlite.write_array(
+        path, "time", t_secs, (min(time_chunking, n_t),), dims=["time"],
+        attrs={
+            "units": "seconds since 1970-01-01T00:00:00Z",
+            "calendar": "proleptic_gregorian",
+        },
+        level=level,
+    )
+    zarrlite.write_array(
+        path, "lat", _cell_centers(min_lat, max_lat, lat_res), None,
+        dims=["lat"], attrs={"units": "degrees_north"}, level=level,
+    )
+    zarrlite.write_array(
+        path, "lon", _cell_centers(min_lon, max_lon, lon_res), None,
+        dims=["lon"], attrs={"units": "degrees_east"}, level=level,
+    )
+    shape = (n_t, lat_res, lon_res)
+    for var in variables:
+        zarrlite._write_doc(
+            path, f"{var}/.zarray",
+            zarrlite.array_meta(shape, chunks, np.dtype("<f8"), np.nan, level),
+        )
+        zarrlite._write_doc(
+            path, f"{var}/.zattrs", {"_ARRAY_DIMENSIONS": ["time", "lat", "lon"]},
+        )
+
+    # executors: chunk payloads straight to the store path
+    def write_files(rows: Iterator) -> None:
+        for row in rows:
+            full = os.path.join(path, row.relpath)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            with open(full, "wb") as fh:
+                fh.write(bytes(row.payload))
+
+    chunk_rows.foreachPartition(write_files)
+    zarrlite.consolidate(path)
+    return {
+        "path": path,
+        "variables": variables,
+        "shape": list(shape),
+        "chunks": list(chunks),
+        "n_days": n_t,
+    }
+
+
+_SCAN_SCHEMA = T.StructType(
+    [
+        T.StructField("time", T.TimestampType()),
+        T.StructField("lat_idx", T.IntegerType()),
+        T.StructField("lon_idx", T.IntegerType()),
+        T.StructField("variable", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def scan_zarr(
+    spark: SparkSession, path: str, variables: list[str] | None = None,
+    dropna: bool = True,
+) -> DataFrame:
+    """S3: open a Zarr store as a long-format DataFrame — one decode task
+    per chunk file, driver touches only metadata + the time coordinate."""
+    names = variables or [
+        n for n in zarrlite.list_arrays(path)
+        if n not in ("time", "lat", "lon")
+    ]
+    t_secs, _ = zarrlite.read_array(path, "time")
+    work: list[tuple[str, str, str]] = []  # (variable, meta json, chunk file)
+    for var in names:
+        adir = os.path.join(path, var)
+        with open(os.path.join(adir, ".zarray")) as fh:
+            meta_s = fh.read()
+        for f in os.listdir(adir):
+            if not f.startswith("."):
+                work.append((var, meta_s, os.path.join(adir, f)))
+    if not work:
+        return spark.createDataFrame([], _SCAN_SCHEMA)
+    wdf = spark.createDataFrame(work, "variable string, meta string, file string")
+    times = pd.to_datetime(t_secs, unit="s")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                meta = json.loads(row["meta"])
+                chunks = tuple(meta["chunks"])
+                dtp = np.dtype(meta["dtype"])
+                idx = tuple(
+                    int(p) for p in os.path.basename(row["file"]).split(".")
+                )
+                with open(row["file"], "rb") as fh:
+                    block = zarrlite.decode_chunk(
+                        fh.read(), chunks, dtp, meta["compressor"] is not None
+                    )
+                # crop edge overhang to the logical shape
+                shape = meta["shape"]
+                lens = [
+                    min((i + 1) * c, s) - i * c
+                    for i, c, s in zip(idx, chunks, shape)
+                ]
+                block = block[tuple(slice(0, n) for n in lens)]
+                if dropna:
+                    tt, yy, xx = np.nonzero(~np.isnan(block))
+                else:
+                    tt, yy, xx = (
+                        a.ravel()
+                        for a in np.meshgrid(*[np.arange(n) for n in lens],
+                                             indexing="ij")
+                    )
+                vals = block[tt, yy, xx].astype(np.float64)
+                yield pd.DataFrame(
+                    {
+                        "time": times[idx[0] * chunks[0] + tt],
+                        "lat_idx": (idx[1] * chunks[1] + yy).astype(np.int32),
+                        "lon_idx": (idx[2] * chunks[2] + xx).astype(np.int32),
+                        "variable": row["variable"],
+                        "value": vals,
+                    }
+                )
+
+    # one chunk file per task: the decode cost is the partition grain
+    return wdf.repartition(max(1, min(len(work), 256))).mapInPandas(
+        decode, _SCAN_SCHEMA
+    )

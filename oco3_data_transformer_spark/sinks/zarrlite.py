@@ -1,0 +1,290 @@
+"""Pure-python Zarr v2 store format subset (writer + reader).
+
+The reference's PRIMARY sink is a Zarr group appended along ``time``
+(ref writers/ZarrWriter.py:82-326: per-group ``to_zarr`` with chunking
+``(t, x, y)``, coverage attrs; opened back via ``utils/ZarrUtils.py:70-112``).
+The engine's own store is a partitioned columnar table (sinks/store.py —
+the Spark-native mapping SURVEY §2.2 chose), but a reference user's
+*downstream* tooling consumes Zarr stores; this module implements the
+subset of the public Zarr v2 storage specification those stores use, so
+the engine can export one wheel-free — the same codec-from-public-spec
+pattern as sinks/containers.py (CDF/GeoTIFF), sources/hdf5lite.py (HDF5)
+and operators/jpeglite.py (JPEG):
+
+  - ``.zgroup`` / ``.zarray`` / ``.zattrs`` JSON metadata documents,
+    nested group paths, ``.zmetadata`` consolidated metadata
+    (``zarr_consolidated_format: 1``, what ``open_zarr_group``'s
+    consolidated open reads first);
+  - C-order chunks, all stored chunks full-size (the logical shape crops
+    edge overhang), dot-separated chunk keys, missing chunk == fill_value;
+  - the ``zlib`` numcodecs compressor (and ``null`` for uncompressed).
+    DELTA vs the reference: ZarrWriter compresses with
+    ``Blosc(cname='blosclz', clevel=9)`` (ref writers/ZarrWriter.py:205);
+    the blosc frame format needs the blosc library, so the wheel-free
+    writer emits the equally-standard registered ``zlib`` codec — every
+    zarr reader decodes it, byte layout differs. A skip-gated
+    differential (tests/test_zarrlite.py) validates against the real
+    ``zarr`` package when importable;
+  - ``_ARRAY_DIMENSIONS`` attrs (the xarray convention the reference's
+    stores carry, since they are written by ``Dataset.to_zarr``).
+
+Out of scope, raising clearly: filters, F-order, v3 stores, object/str
+dtypes, datetime64 re-encoding (timestamps are exported as int64 seconds
+with CF ``units`` attrs, exactly how the classic-NetCDF exporter models
+time).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import zlib
+from typing import Any, Iterator
+
+import numpy as np
+
+_SUPPORTED_KINDS = "fiub"  # float / int / uint / bool
+
+
+def dtype_str(dt: np.dtype) -> str:
+    """numpy dtype → zarr v2 dtype string ('<f8', '<i4', '|u1', ...)."""
+    dt = np.dtype(dt)
+    if dt.kind not in _SUPPORTED_KINDS:
+        raise ValueError(f"zarrlite: dtype {dt} outside the numeric subset")
+    return dt.str
+
+
+def _fill_json(fill: Any, dt: np.dtype) -> Any:
+    """fill_value JSON encoding per the v2 spec: NaN/Inf as strings."""
+    if fill is None:
+        return None
+    f = float(fill) if np.dtype(dt).kind == "f" else int(fill)
+    if isinstance(f, float):
+        if math.isnan(f):
+            return "NaN"
+        if math.isinf(f):
+            return "Infinity" if f > 0 else "-Infinity"
+    return f
+
+
+def _fill_value(meta_fill: Any, dt: np.dtype):
+    if meta_fill is None:
+        return np.zeros((), dt)[()]
+    if meta_fill == "NaN":
+        return np.dtype(dt).type("nan")
+    if meta_fill == "Infinity":
+        return np.dtype(dt).type("inf")
+    if meta_fill == "-Infinity":
+        return np.dtype(dt).type("-inf")
+    return np.dtype(dt).type(meta_fill)
+
+
+def array_meta(
+    shape: tuple[int, ...],
+    chunks: tuple[int, ...],
+    dt: np.dtype,
+    fill_value: Any = None,
+    level: int | None = 9,
+) -> dict:
+    """.zarray document (zarr v2 array metadata)."""
+    if len(chunks) != len(shape):
+        raise ValueError("chunks rank must match shape rank")
+    comp = None if level is None else {"id": "zlib", "level": int(level)}
+    return {
+        "zarr_format": 2,
+        "shape": list(int(s) for s in shape),
+        "chunks": list(int(c) for c in chunks),
+        "dtype": dtype_str(dt),
+        "compressor": comp,
+        "fill_value": _fill_json(fill_value, dt),
+        "order": "C",
+        "filters": None,
+    }
+
+
+def chunk_key(idx: tuple[int, ...]) -> str:
+    return ".".join(str(i) for i in idx)
+
+
+def encode_chunk(
+    block: np.ndarray, chunks: tuple[int, ...], fill_value: Any,
+    level: int | None = 9,
+) -> bytes:
+    """One stored chunk: pad ``block`` (an edge chunk may be smaller) to
+    the full chunk shape with fill_value, C-order bytes, zlib."""
+    if block.shape != tuple(chunks):
+        full = np.full(chunks, fill_value, dtype=block.dtype)
+        full[tuple(slice(0, s) for s in block.shape)] = block
+        block = full
+    raw = np.ascontiguousarray(block).tobytes(order="C")
+    return raw if level is None else zlib.compress(raw, level)
+
+
+def decode_chunk(payload: bytes, chunks: tuple[int, ...], dt: np.dtype,
+                 compressed: bool) -> np.ndarray:
+    raw = zlib.decompress(payload) if compressed else payload
+    n = int(np.prod(chunks))
+    arr = np.frombuffer(raw, dtype=dt, count=n)
+    return arr.reshape(chunks)
+
+
+def iter_chunks(
+    arr: np.ndarray, chunks: tuple[int, ...]
+) -> Iterator[tuple[tuple[int, ...], np.ndarray]]:
+    """Yield (chunk index, sub-block view) in C order."""
+    grid = [-(-s // c) for s, c in zip(arr.shape, chunks)]
+    for flat in range(int(np.prod(grid))):
+        idx = []
+        rem = flat
+        for g in reversed(grid):
+            idx.append(rem % g)
+            rem //= g
+        idx = tuple(reversed(idx))
+        sel = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(idx, chunks, arr.shape)
+        )
+        yield idx, arr[sel]
+
+
+# ---------------------------------------------------------------------------
+# directory-store writer (driver-side metadata; chunk payloads may come
+# from executors — see sinks/zarr_store.py for the distributed assembly)
+# ---------------------------------------------------------------------------
+
+def _write_doc(root: str, rel: str, doc: dict) -> None:
+    path = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+
+
+def write_group(root: str, group: str = "", attrs: dict | None = None) -> None:
+    base = os.path.join(group, "") if group else ""
+    _write_doc(root, base + ".zgroup", {"zarr_format": 2})
+    if attrs:
+        _write_doc(root, base + ".zattrs", attrs)
+
+
+def write_array(
+    root: str,
+    name: str,
+    arr: np.ndarray,
+    chunks: tuple[int, ...] | None = None,
+    attrs: dict | None = None,
+    dims: list[str] | None = None,
+    fill_value: Any = None,
+    level: int | None = 9,
+) -> None:
+    """Write one complete array (driver-side, for coords/small arrays)."""
+    chunks = tuple(chunks or arr.shape)
+    meta = array_meta(arr.shape, chunks, arr.dtype, fill_value, level)
+    _write_doc(root, f"{name}/.zarray", meta)
+    a = dict(attrs or {})
+    if dims is not None:
+        a["_ARRAY_DIMENSIONS"] = list(dims)
+    if a:
+        _write_doc(root, f"{name}/.zattrs", a)
+    fill = _fill_value(meta["fill_value"], arr.dtype)
+    for idx, block in iter_chunks(arr, chunks):
+        payload = encode_chunk(block, chunks, fill, level)
+        with open(os.path.join(root, name, chunk_key(idx)), "wb") as fh:
+            fh.write(payload)
+
+
+def consolidate(root: str) -> None:
+    """Build .zmetadata from every metadata document under root
+    (zarr_consolidated_format 1 — what consolidated opens read)."""
+    meta: dict[str, dict] = {}
+    for dirpath, _, files in os.walk(root):
+        rel = os.path.relpath(dirpath, root)
+        prefix = "" if rel == "." else rel.replace(os.sep, "/") + "/"
+        for f in files:
+            if f in (".zgroup", ".zarray", ".zattrs"):
+                with open(os.path.join(dirpath, f)) as fh:
+                    meta[prefix + f] = json.load(fh)
+    _write_doc(root, ".zmetadata", {
+        "zarr_consolidated_format": 1,
+        "metadata": meta,
+    })
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+def read_array(root: str, name: str) -> tuple[np.ndarray, dict]:
+    """Assemble one array from its chunks (missing chunk → fill_value).
+    Returns (array, attrs)."""
+    with open(os.path.join(root, name, ".zarray")) as fh:
+        meta = json.load(fh)
+    if meta.get("zarr_format") != 2:
+        raise ValueError("zarrlite: not a zarr v2 array")
+    if meta.get("order") != "C":
+        raise ValueError("zarrlite: F-order arrays unsupported")
+    if meta.get("filters"):
+        raise ValueError("zarrlite: filters unsupported")
+    comp = meta.get("compressor")
+    if comp is not None and comp.get("id") != "zlib":
+        raise ValueError(
+            f"zarrlite: compressor {comp.get('id')!r} unsupported (zlib/null"
+            " subset; the reference's blosc frames need the blosc library)"
+        )
+    dt = np.dtype(meta["dtype"])
+    shape = tuple(meta["shape"])
+    chunks = tuple(meta["chunks"])
+    fill = _fill_value(meta.get("fill_value"), dt)
+    out = np.full(shape, fill, dtype=dt)
+    grid = [-(-s // c) for s, c in zip(shape, chunks)]
+    for flat in range(int(np.prod(grid))):
+        idx = []
+        rem = flat
+        for g in reversed(grid):
+            idx.append(rem % g)
+            rem //= g
+        idx = tuple(reversed(idx))
+        cpath = os.path.join(root, name, chunk_key(idx))
+        if not os.path.exists(cpath):
+            continue
+        with open(cpath, "rb") as fh:
+            block = decode_chunk(fh.read(), chunks, dt, comp is not None)
+        sel = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(idx, chunks, shape)
+        )
+        out[sel] = block[tuple(slice(0, s.stop - s.start) for s in sel)]
+    attrs = {}
+    apath = os.path.join(root, name, ".zattrs")
+    if os.path.exists(apath):
+        with open(apath) as fh:
+            attrs = json.load(fh)
+    return out, attrs
+
+
+def list_arrays(root: str, group: str = "") -> list[str]:
+    """Array paths (relative to root) under a group, consolidated-first."""
+    zm = os.path.join(root, ".zmetadata")
+    names: list[str] = []
+    if os.path.exists(zm):
+        with open(zm) as fh:
+            meta = json.load(fh)["metadata"]
+        names = [k[: -len("/.zarray")] for k in meta if k.endswith("/.zarray")]
+    else:
+        for dirpath, _, files in os.walk(root):
+            if ".zarray" in files:
+                names.append(os.path.relpath(dirpath, root).replace(os.sep, "/"))
+    if group:
+        g = group.strip("/") + "/"
+        names = [n for n in names if n.startswith(g)]
+    return sorted(names)
+
+
+def group_attrs(root: str, group: str = "") -> dict:
+    path = os.path.join(root, group.strip("/"), ".zattrs") if group else (
+        os.path.join(root, ".zattrs")
+    )
+    if os.path.exists(path):
+        with open(path) as fh:
+            return json.load(fh)
+    return {}

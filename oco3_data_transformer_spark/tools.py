@@ -21,6 +21,14 @@
                                    near-dup components -> quality floor ->
                                    hash split -> sequence packing; engine
                                    addition, no reference analog)
+    python -m oco3_data_transformer_spark.tools export-zarr <store> <out.zarr> \\
+        --mission M --target T --qf pre|post --lat-res N --lon-res N \\
+        [--chunk-t N] [--bbox min_lon,min_lat,max_lon,max_lat]
+                                   (ref writers/ZarrWriter.py:82-326 — the
+                                   reference's primary output container,
+                                   written from-spec by sinks/zarrlite.py;
+                                   chunk assembly and writes run on the
+                                   executors, sinks/zarr_store.py)
 
 The deploy orchestrator has its own entry point
 (``python -m oco3_data_transformer_spark.orchestrator``, ref tools/deploy).
@@ -143,6 +151,34 @@ def _corpus_prep(args) -> int:
     return 0
 
 
+def _export_zarr(args) -> int:
+    from .session import get_spark
+    from .sinks.export import GLOBAL_BBOX
+    from .sinks.zarr_store import export_zarr
+
+    spark = get_spark("export-zarr-tool")
+    rows = spark.read.parquet(args.store).filter(
+        (F.col("mission") == args.mission)
+        & (F.col("target_id") == args.target)
+        & (F.col("qf") == args.qf)
+    )
+    bbox = (
+        tuple(float(x) for x in args.bbox.split(","))
+        if args.bbox
+        else GLOBAL_BBOX
+    )
+    manifest = export_zarr(
+        rows,
+        args.output,
+        lat_res=args.lat_res,
+        lon_res=args.lon_res,
+        chunk_t=args.chunk_t,
+        bbox=bbox,
+    )
+    print(json.dumps(manifest))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="oco3-spark-tools")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -184,6 +220,22 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--shards", type=int, default=64)
     cp.add_argument("--overwrite", action="store_true")
     cp.set_defaults(fn=_corpus_prep)
+
+    z = sub.add_parser(
+        "export-zarr",
+        help="export one (mission, target, qf) store slice as a Zarr v2 store",
+    )
+    z.add_argument("store")
+    z.add_argument("output")
+    z.add_argument("--mission", required=True)
+    z.add_argument("--target", required=True)
+    z.add_argument("--qf", choices=["pre", "post"], required=True)
+    z.add_argument("--lat-res", type=int, required=True)
+    z.add_argument("--lon-res", type=int, required=True)
+    z.add_argument("--chunk-t", type=int, default=64)
+    z.add_argument("--bbox", default=None,
+                   help="min_lon,min_lat,max_lon,max_lat (default global)")
+    z.set_defaults(fn=_export_zarr)
 
     args = ap.parse_args(argv)
     return args.fn(args)

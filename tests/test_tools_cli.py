@@ -52,6 +52,28 @@ def test_checksum_verify_repair_cli(spark, filled_store, capsys):
     assert tools.main(["repair", filled_store]) == 0
 
 
+def test_export_zarr_cli(spark, filled_store, tmp_path, capsys):
+    from oco3_data_transformer_spark.sinks import zarrlite
+
+    out = str(tmp_path / "out.zarr")
+    rc = tools.main([
+        "export-zarr", filled_store, out,
+        "--mission", "oco3", "--target", "t1", "--qf", "post",
+        "--lat-res", "4", "--lon-res", "4", "--chunk-t", "1",
+        "--bbox=-2,-2,2,2",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["shape"] == [2, 4, 4] and rep["variables"] == ["xco2"]
+    arr, attrs = zarrlite.read_array(out, "xco2")
+    assert attrs["_ARRAY_DIMENSIONS"] == ["time", "lat", "lon"]
+    # D1 diagonal 1,2,3; D2 diagonal 5,6; everything else fill
+    assert [arr[0, i, i] for i in range(3)] == [1.0, 2.0, 3.0]
+    assert [arr[1, i, i] for i in range(2)] == [5.0, 6.0]
+    ga = zarrlite.group_attrs(out)
+    assert ga["coverage_start"].startswith("2024-03-01")
+
+
 def test_compact_cli(spark, filled_store, capsys):
     assert tools.main(["compact", filled_store]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])

@@ -1,0 +1,233 @@
+"""From-spec Zarr v2 store (sinks/zarrlite.py + sinks/zarr_store.py):
+metadata-document goldens, chunk-byte goldens, round-trips (edge chunks,
+missing chunks, uncompressed), the distributed export/scan pair, and a
+skip-gated differential against the real ``zarr`` package."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+from oco3_data_transformer_spark.sinks import zarrlite as Z
+
+
+# ---------------------------------------------------------------------------
+# spec goldens
+# ---------------------------------------------------------------------------
+
+
+def test_zarray_document_golden():
+    meta = Z.array_meta((10, 6), (4, 6), np.dtype("float64"), np.nan, 9)
+    assert meta == {
+        "zarr_format": 2,
+        "shape": [10, 6],
+        "chunks": [4, 6],
+        "dtype": "<f8",
+        "compressor": {"id": "zlib", "level": 9},
+        "fill_value": "NaN",  # v2 spec: NaN serializes as the string
+        "order": "C",
+        "filters": None,
+    }
+    assert Z.array_meta((3,), (3,), np.dtype("int32"), 0, None)["compressor"] is None
+    assert Z.array_meta((3,), (3,), np.dtype("int32"), 0, None)["fill_value"] == 0
+
+
+def test_chunk_bytes_are_zlib_of_c_order():
+    a = np.arange(12, dtype="<f8").reshape(3, 4)
+    payload = Z.encode_chunk(a, (3, 4), np.nan, 6)
+    assert zlib.decompress(payload) == a.tobytes(order="C")
+    # edge chunk padded with fill to the FULL chunk size (v2 stores only
+    # full-size chunks; the logical shape crops)
+    edge = Z.encode_chunk(a[:2, :3], (3, 4), -1.0, None)
+    full = np.frombuffer(edge, "<f8").reshape(3, 4)
+    assert np.array_equal(full[:2, :3], a[:2, :3])
+    assert np.all(full[2, :] == -1.0) and np.all(full[:, 3] == -1.0)
+
+
+def test_chunk_keys_dot_separated():
+    assert Z.chunk_key((0, 2, 1)) == "0.2.1"
+    assert Z.chunk_key((7,)) == "7"
+
+
+# ---------------------------------------------------------------------------
+# round-trips
+# ---------------------------------------------------------------------------
+
+
+def test_array_roundtrip_with_edge_and_missing_chunks(tmp_path):
+    root = str(tmp_path / "store")
+    Z.write_group(root, attrs={"title": "t"})
+    a = np.arange(70, dtype=np.float64).reshape(10, 7)
+    Z.write_array(root, "v", a, (4, 3), dims=["y", "x"], fill_value=np.nan)
+    got, attrs = Z.read_array(root, "v")
+    assert np.array_equal(got, a)
+    assert attrs["_ARRAY_DIMENSIONS"] == ["y", "x"]
+    # deleting a chunk reads back as fill_value (spec: missing == fill)
+    os.remove(os.path.join(root, "v", "1.0"))
+    got, _ = Z.read_array(root, "v")
+    assert np.all(np.isnan(got[4:8, 0:3]))
+    assert np.array_equal(got[:4], a[:4])
+    assert Z.group_attrs(root) == {"title": "t"}
+
+
+def test_uncompressed_and_int_arrays(tmp_path):
+    root = str(tmp_path / "s")
+    a = np.arange(9, dtype=np.int32).reshape(3, 3)
+    Z.write_array(root, "i", a, (2, 2), fill_value=0, level=None)
+    meta = json.load(open(os.path.join(root, "i", ".zarray")))
+    assert meta["compressor"] is None and meta["dtype"] == "<i4"
+    got, _ = Z.read_array(root, "i")
+    assert np.array_equal(got, a)
+
+
+def test_consolidated_metadata(tmp_path):
+    root = str(tmp_path / "s")
+    Z.write_group(root, attrs={"a": 1})
+    Z.write_array(root, "v", np.zeros(3), None, dims=["t"])
+    Z.consolidate(root)
+    zm = json.load(open(os.path.join(root, ".zmetadata")))
+    assert zm["zarr_consolidated_format"] == 1
+    assert ".zgroup" in zm["metadata"] and "v/.zarray" in zm["metadata"]
+    assert zm["metadata"]["v/.zattrs"]["_ARRAY_DIMENSIONS"] == ["t"]
+    assert Z.list_arrays(root) == ["v"]
+
+
+def test_reader_rejects_unsupported(tmp_path):
+    root = str(tmp_path / "s")
+    Z.write_array(root, "v", np.zeros(3), None)
+    meta_path = os.path.join(root, "v", ".zarray")
+    meta = json.load(open(meta_path))
+    for patch, msg in [
+        ({"order": "F"}, "F-order"),
+        ({"compressor": {"id": "blosc"}}, "blosc"),
+        ({"filters": [{"id": "delta"}]}, "filters"),
+        ({"zarr_format": 3}, "v2"),
+    ]:
+        bad = {**meta, "order": "C", "filters": None, "zarr_format": 2}
+        bad.update(patch)
+        json.dump(bad, open(meta_path, "w"))
+        with pytest.raises(ValueError, match=msg):
+            Z.read_array(root, "v")
+    with pytest.raises(ValueError, match="subset"):
+        Z.dtype_str(np.dtype("U4"))
+
+
+# ---------------------------------------------------------------------------
+# distributed export / scan
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def small_store_rows(spark):
+    from oco3_data_transformer_spark.schemas import STORE_SLICE
+
+    rows = []
+    rng = np.random.default_rng(3)
+    days = [dt.datetime(2023, 5, d) for d in (1, 2, 4)]
+    for t in days:
+        for var in ("xco2", "xco2_uncert"):
+            for lat in range(4):
+                for lon in range(5):
+                    if rng.random() < 0.35:
+                        continue  # sparse: mask drops cells
+                    rows.append(
+                        ("oco3", "t1", "post", t, lat, lon, var,
+                         float(rng.normal()))
+                    )
+    return spark.createDataFrame(rows, STORE_SLICE), rows
+
+
+def test_export_zarr_roundtrip(spark, small_store_rows, tmp_path):
+    from oco3_data_transformer_spark.sinks.zarr_store import export_zarr, scan_zarr
+
+    df, rows = small_store_rows
+    path = str(tmp_path / "store.zarr")
+    manifest = export_zarr(
+        df, path, lat_res=4, lon_res=5, chunk_t=2, chunk_lat=2, chunk_lon=3,
+        bbox=(-10.0, -4.0, 10.0, 4.0), attrs={"title": "unit"},
+    )
+    assert manifest["shape"] == [3, 4, 5]
+    assert sorted(manifest["variables"]) == ["xco2", "xco2_uncert"]
+
+    # dense read-back matches the input rows exactly; unset cells are NaN
+    expect = {
+        v: np.full((3, 4, 5), np.nan) for v in ("xco2", "xco2_uncert")
+    }
+    day_ix = {dt.datetime(2023, 5, d): i for i, d in enumerate((1, 2, 4))}
+    for _, _, _, t, lat, lon, var, val in rows:
+        expect[var][day_ix[t], lat, lon] = val
+    for var in expect:
+        got, attrs = Z.read_array(path, var)
+        assert attrs["_ARRAY_DIMENSIONS"] == ["time", "lat", "lon"]
+        assert np.array_equal(np.isnan(got), np.isnan(expect[var]))
+        assert np.allclose(got, expect[var], equal_nan=True)
+
+    # coordinates + attrs follow the reference's store conventions
+    t_arr, t_attrs = Z.read_array(path, "time")
+    assert t_attrs["units"].startswith("seconds since 1970")
+    assert list(t_arr) == [
+        int(dt.datetime(2023, 5, d, tzinfo=dt.timezone.utc).timestamp())
+        for d in (1, 2, 4)
+    ]
+    lat_arr, _ = Z.read_array(path, "lat")
+    assert np.allclose(lat_arr, [-3, -1, 1, 3])
+    ga = Z.group_attrs(path)
+    assert ga["coverage_start"] == "2023-05-01T00:00:00Z"
+    assert ga["coverage_end"] == "2023-05-04T00:00:00Z"
+    assert (ga["mission"], ga["qf"], ga["title"]) == ("oco3", "post", "unit")
+    assert os.path.exists(os.path.join(path, ".zmetadata"))
+
+    # scan: one task per chunk, long rows == input rows
+    back = scan_zarr(spark, path).collect()
+    got_set = {
+        (r.time, r.lat_idx, r.lon_idx, r.variable, round(r.value, 9))
+        for r in back
+    }
+    want_set = {
+        (t, lat, lon, var, round(val, 9))
+        for _, _, _, t, lat, lon, var, val in rows
+    }
+    assert got_set == want_set
+
+
+def test_export_zarr_rejects_multiple_stores(spark, small_store_rows, tmp_path):
+    from oco3_data_transformer_spark.sinks.zarr_store import export_zarr
+    from pyspark.sql import functions as F
+
+    df, _ = small_store_rows
+    two = df.union(df.withColumn("qf", F.lit("pre")))
+    with pytest.raises(ValueError, match="ONE store"):
+        export_zarr(two, str(tmp_path / "x"), 4, 5)
+
+
+def test_differential_against_zarr_package(spark, small_store_rows, tmp_path):
+    """Skip-gated: the real zarr package must open our store (values,
+    coords, consolidated metadata), and our reader must read a store the
+    real package wrote with the zlib codec."""
+    zarr = pytest.importorskip("zarr")
+    from oco3_data_transformer_spark.sinks.zarr_store import export_zarr
+
+    df, rows = small_store_rows
+    path = str(tmp_path / "store.zarr")
+    export_zarr(df, path, lat_res=4, lon_res=5, chunk_t=2,
+                bbox=(-10.0, -4.0, 10.0, 4.0))
+    g = zarr.open_group(path, mode="r")
+    ours, _ = Z.read_array(path, "xco2")
+    assert np.allclose(np.asarray(g["xco2"]), ours, equal_nan=True)
+
+    theirs_dir = str(tmp_path / "theirs.zarr")
+    tg = zarr.open_group(theirs_dir, mode="w")
+    a = np.arange(24, dtype=np.float64).reshape(4, 6)
+    try:
+        from numcodecs import Zlib
+
+        tg.create_dataset("v", data=a, chunks=(2, 4), compressor=Zlib(5))
+    except Exception:
+        pytest.skip("zarr build without numcodecs zlib")
+    got, _ = Z.read_array(theirs_dir, "v")
+    assert np.array_equal(got, a)
