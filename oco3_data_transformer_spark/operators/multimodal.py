@@ -2,12 +2,13 @@
 opaque ``binary`` columns with typed metadata, processed with Arrow-batched
 ``mapInPandas`` kernels.
 
-Real image/audio codecs (PIL, ffmpeg, torchaudio) are not in this container,
-so the *codec step* is pluggable: ``codec='raw'`` is a fully-working
-deterministic codec for raw little-endian uint8 C-order arrays (enough to
-exercise every piece of Spark plumbing end-to-end — schema, batching,
-partition parallelism, binary round-trips); 'jpeg'/'png'/'wav' raise
-``NotImplementedError`` at the decode boundary, nothing else changes.
+Real image/audio libraries (PIL, ffmpeg, torchaudio) are not in this
+container, so codecs are implemented from their public specifications:
+'png' (this module), 'jpeg' baseline+progressive (operators/jpeglite.py),
+'wav' RIFF/WAVE PCM+float (this module), plus the trivially-deterministic
+'raw'/'pcm16'. Compressed audio ('mp3') and 'webp' raise
+``NotImplementedError`` at the decode boundary, nothing else changes;
+PIL is preferred for jpeg when importable.
 
 Design notes for 100 TB of blobs:
   - blobs never pass through a shuffle: decode → feature/resize → encode all
@@ -338,16 +339,119 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def wav_encode(
+    samples: np.ndarray, sample_rate: int, bits: int = 16
+) -> bytes:
+    """Encode (n_samples, channels) float64 in [-1, 1] as a canonical
+    RIFF/WAVE file (public RIFF + WAVE format spec): PCM uint8 / int16 /
+    int24 / int32 (``bits`` 8/16/24/32) or IEEE float32 (``bits`` -32)."""
+    x = np.asarray(samples, np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, ch = x.shape
+    if bits == -32:
+        fmt_code, bps = 3, 32
+        data = x.astype("<f4").tobytes()
+    elif bits == 8:
+        fmt_code, bps = 1, 8
+        data = (np.clip(np.rint(x * 128 + 128), 0, 255)).astype(np.uint8).tobytes()
+    elif bits in (16, 32):
+        fmt_code, bps = 1, bits
+        lim = float(1 << (bits - 1))
+        q = np.clip(np.rint(x * lim), -lim, lim - 1)
+        data = q.astype(f"<i{bits // 8}").tobytes()
+    elif bits == 24:
+        fmt_code, bps = 1, 24
+        q = np.clip(np.rint(x * 8388608.0), -8388608, 8388607).astype("<i4")
+        b = q.reshape(-1).view(np.uint8).reshape(-1, 4)[:, :3]  # LE low 3
+        data = b.tobytes()
+    else:
+        raise ValueError(f"wav_encode: bits {bits} unsupported (8/16/24/32/-32)")
+    block = ch * bps // 8
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, ch, sample_rate, sample_rate * block, block, bps
+    )
+    data_len = len(data)
+    if data_len % 2:
+        data += b"\x00"  # RIFF pad byte, NOT counted in the chunk size
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", data_len) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE payload → ((n_samples, channels) float64 in
+    [-1, 1], sample_rate). PCM 8 (unsigned) / 16 / 24 / 32-bit and IEEE
+    float32/float64, including WAVE_FORMAT_EXTENSIBLE wrappers; unknown
+    chunks (LIST, fact, cue, ...) are skipped per the RIFF rules."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("WAV truncated (chunk body past EOF)")
+        pos += 8 + ln + (ln & 1)  # word alignment
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    code, ch, rate, _, _, bps = struct.unpack_from("<HHIIHH", fmt, 0)
+    if code == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real code in the GUID
+        if len(fmt) < 40:
+            raise ValueError("WAV extensible fmt chunk too short")
+        (code,) = struct.unpack_from("<H", fmt, 24)
+    if code == 1:  # PCM
+        if bps == 8:
+            x = np.frombuffer(data, np.uint8).astype(np.float64)
+            x = (x - 128.0) / 128.0
+        elif bps in (16, 32):
+            x = np.frombuffer(data, f"<i{bps // 8}").astype(np.float64)
+            x /= float(1 << (bps - 1))
+        elif bps == 24:
+            raw = np.frombuffer(data, np.uint8)
+            raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3)
+            v = (
+                raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int32) << 16)
+            )
+            v = (v ^ 0x800000) - 0x800000  # sign-extend 24 bits
+            x = v.astype(np.float64) / 8388608.0
+        else:
+            raise ValueError(f"WAV PCM {bps}-bit unsupported")
+    elif code == 3:  # IEEE float
+        x = np.frombuffer(data, "<f4" if bps == 32 else "<f8").astype(np.float64)
+    else:
+        raise NotImplementedError(
+            f"WAV format code {code} (e.g. ADPCM/mp3-in-wav) needs an audio "
+            "library not present in this container"
+        )
+    return x[: len(x) - len(x) % ch].reshape(-1, ch), rate
+
+
 def decode_audio(codec: str, payload: bytes, channels: int) -> np.ndarray:
     """Decode one audio blob to (n_samples, channels) float64 in [-1, 1].
-    'pcm16' (raw little-endian int16, interleaved) is fully implemented;
-    container/compressed codecs plug in behind the same signature."""
+    'pcm16' (raw little-endian int16, interleaved) and 'wav' (RIFF
+    container, from spec) are fully implemented; compressed codecs plug
+    in behind the same signature."""
     if codec == "pcm16":
         arr = np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
         return arr.reshape(-1, channels)
+    if codec == "wav":
+        return wav_decode(payload)[0]
     raise NotImplementedError(
         f"codec {codec!r} needs an audio library not present in this "
-        "container; only raw 'pcm16' decodes here"
+        "container; 'pcm16' and 'wav' decode here"
     )
 
 

@@ -88,6 +88,84 @@ def test_audio_unknown_codec_raises(spark):
         M.audio_features(clips).collect()
 
 
+def test_wav_container_golden_and_roundtrips():
+    """RIFF/WAVE byte-level facts + round-trips at every supported PCM
+    width and IEEE float (public RIFF + WAVE format structure)."""
+    rng = np.random.default_rng(11)
+    x = np.clip(rng.normal(0, 0.3, size=(501, 2)), -1, 1)
+    wav = M.wav_encode(x, 8000, bits=16)
+    # container goldens: RIFF size, WAVE tag, fmt fields, data length
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    import struct as _s
+
+    assert _s.unpack_from("<I", wav, 4)[0] == len(wav) - 8
+    assert wav[12:16] == b"fmt "
+    code, ch, rate, byte_rate, block, bps = _s.unpack_from("<HHIIHH", wav, 20)
+    assert (code, ch, rate, byte_rate, block, bps) == (1, 2, 8000, 32000, 4, 16)
+
+    for bits, tol in ((8, 1 / 128), (16, 1 / 32768), (24, 1e-6), (32, 1e-9),
+                      (-32, 1e-7)):
+        got, rate = M.wav_decode(M.wav_encode(x, 44100, bits=bits))
+        assert rate == 44100 and got.shape == x.shape
+        assert np.abs(got - x).max() <= tol, bits
+
+    # odd-length 8-bit mono data chunk gets a pad byte not counted in size
+    mono = M.wav_encode(x[:501, :1], 8000, bits=8)
+    d = mono.index(b"data")
+    assert _s.unpack_from("<I", mono, d + 4)[0] == 501
+    assert len(mono) % 2 == 0
+    got, _ = M.wav_decode(mono)
+    assert got.shape == (501, 1)
+
+
+def test_wav_decode_skips_foreign_chunks_and_extensible():
+    import struct as _s
+
+    x = np.linspace(-0.5, 0.5, 64)[:, None]
+    wav = bytearray(M.wav_encode(x, 16000, bits=16))
+    # splice a LIST chunk between fmt and data (decoder must skip it)
+    d = wav.index(b"data")
+    junk = b"LIST" + _s.pack("<I", 6) + b"INFOab"
+    wav2 = bytes(wav[:d]) + junk + bytes(wav[d:])
+    wav2 = wav2[:4] + _s.pack("<I", len(wav2) - 8) + wav2[8:]
+    got, rate = M.wav_decode(wav2)
+    assert rate == 16000 and np.abs(got - x).max() <= 1 / 32768
+
+    # WAVE_FORMAT_EXTENSIBLE wrapper: code 0xFFFE, real code at offset 24
+    fmt_ext = _s.pack("<HHIIHH", 0xFFFE, 1, 16000, 32000, 2, 16)
+    # cbSize, valid bits, channel mask, then the 16-byte GUID whose first
+    # two bytes carry the real format code (1 = PCM)
+    fmt_ext += _s.pack("<HHI", 22, 16, 1) + _s.pack("<H", 1) + b"\x00" * 14
+    data = (np.clip(np.rint(x * 32768), -32768, 32767).astype("<i2")).tobytes()
+    body = (b"WAVE" + b"fmt " + _s.pack("<I", len(fmt_ext)) + fmt_ext
+            + b"data" + _s.pack("<I", len(data)) + data)
+    ext = b"RIFF" + _s.pack("<I", len(body)) + body
+    got, rate = M.wav_decode(ext)
+    assert rate == 16000 and got.shape == (64, 1)
+
+    with pytest.raises(ValueError, match="RIFF"):
+        M.wav_decode(b"not a wav")
+    with pytest.raises(NotImplementedError, match="format code"):
+        bad_fmt = _s.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)  # ADPCM
+        bb = (b"WAVE" + b"fmt " + _s.pack("<I", len(bad_fmt)) + bad_fmt
+              + b"data" + _s.pack("<I", 0))
+        M.wav_decode(b"RIFF" + _s.pack("<I", len(bb)) + bb)
+
+
+def test_audio_features_over_wav_codec(spark):
+    """The mapInPandas feature pass decodes codec='wav' blobs wheel-free."""
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(3):
+        x = np.clip(rng.normal(0, 0.25, size=(400, 1)), -1, 1)
+        rows.append((i, "wav", 8000, 1, bytearray(M.wav_encode(x, 8000))))
+    df = spark.createDataFrame(rows, M.AUDIO_SCHEMA)
+    out = {r.item_id: r for r in M.audio_features(df).collect()}
+    assert len(out) == 3
+    assert all(0.0 < out[i].rms < 0.5 for i in out)
+    assert all(out[i].duration_s == pytest.approx(0.05) for i in out)
+
+
 def test_png_codec_roundtrip_and_shapes():
     """From-spec PNG codec (public PNG spec / ISO 15948): 8-bit gray, RGB,
     RGBA round-trip; unsupported shapes fail loudly."""
