@@ -58,6 +58,80 @@ def _cell_centers(lo: float, hi: float, n: int) -> np.ndarray:
     return lo + res / 2 + res * np.arange(n)
 
 
+def _assemble_chunks(
+    store_rows: DataFrame,
+    day_index: list[tuple[int, Any]],
+    chunks: tuple[int, int, int],
+    level: int,
+    path: str,
+    boundary: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Distributed chunk assembly: rows shuffle once on (variable, chunk
+    coordinate); one Arrow-batched group builds + compresses each stored
+    chunk.  ``day_index`` maps day → GLOBAL time index (an append passes
+    offsets continuing the existing axis).  ``boundary=(ci_t, n_keep)``
+    marks the one time-chunk an append straddles: its first ``n_keep``
+    time offsets are taken from the existing chunk file (read inside the
+    task — the boundary chunk never moves through the driver)."""
+    ct, cl, cw = chunks
+
+    spark = store_rows.sparkSession
+    tidx = spark.createDataFrame(
+        [(d, i) for i, d in day_index], "time timestamp, __tidx int"
+    )
+    keyed = (
+        store_rows.join(F.broadcast(tidx), "time")
+        .select(
+            "variable",
+            (F.col("__tidx") / ct).cast("int").alias("__ci_t"),
+            (F.col("lat_idx") / cl).cast("int").alias("__ci_lat"),
+            (F.col("lon_idx") / cw).cast("int").alias("__ci_lon"),
+            (F.col("__tidx") % ct).alias("__o_t"),
+            (F.col("lat_idx") % cl).alias("__o_lat"),
+            (F.col("lon_idx") % cw).alias("__o_lon"),
+            "value",
+        )
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        var = pdf["variable"].iloc[0]
+        it, il, iw = (int(pdf[c].iloc[0]) for c in ("__ci_t", "__ci_lat", "__ci_lon"))
+        block = np.full(chunks, np.nan, np.float64)
+        block[
+            pdf["__o_t"].to_numpy(np.int64),
+            pdf["__o_lat"].to_numpy(np.int64),
+            pdf["__o_lon"].to_numpy(np.int64),
+        ] = pdf["value"].to_numpy(np.float64)
+        rel = f"{var}/{zarrlite.chunk_key((it, il, iw))}"
+        if boundary is not None and it == boundary[0]:
+            old_path = os.path.join(path, rel)
+            if os.path.exists(old_path):
+                with open(old_path, "rb") as fh:
+                    old = zarrlite.decode_chunk(
+                        fh.read(), chunks, np.dtype("<f8"), level is not None
+                    )
+                block[: boundary[1]] = old[: boundary[1]]
+        payload = zarrlite.encode_chunk(block, chunks, np.nan, level)
+        return pd.DataFrame({"relpath": [rel], "payload": [payload]})
+
+    return keyed.groupBy(
+        "variable", "__ci_t", "__ci_lat", "__ci_lon"
+    ).applyInPandas(build, _CHUNK_ROW)
+
+
+def _write_chunk_files(chunk_rows: DataFrame, path: str) -> None:
+    """Executors write chunk payloads straight to the store path."""
+
+    def write_files(rows: Iterator) -> None:
+        for row in rows:
+            full = os.path.join(path, row.relpath)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            with open(full, "wb") as fh:
+                fh.write(bytes(row.payload))
+
+    chunk_rows.foreachPartition(write_files)
+
+
 def export_zarr(
     store_rows: DataFrame,
     path: str,
@@ -111,40 +185,9 @@ def export_zarr(
     ct = min(chunk_t, n_t)
     chunks = (ct, cl, cw)
 
-    spark = store_rows.sparkSession
-    tidx = spark.createDataFrame(
-        [(d, i) for i, d in enumerate(days)], "time timestamp, __tidx int"
+    chunk_rows = _assemble_chunks(
+        store_rows, list(enumerate(days)), chunks, level, path
     )
-    keyed = (
-        store_rows.join(F.broadcast(tidx), "time")
-        .select(
-            "variable",
-            (F.col("__tidx") / ct).cast("int").alias("__ci_t"),
-            (F.col("lat_idx") / cl).cast("int").alias("__ci_lat"),
-            (F.col("lon_idx") / cw).cast("int").alias("__ci_lon"),
-            (F.col("__tidx") % ct).alias("__o_t"),
-            (F.col("lat_idx") % cl).alias("__o_lat"),
-            (F.col("lon_idx") % cw).alias("__o_lon"),
-            "value",
-        )
-    )
-
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        var = pdf["variable"].iloc[0]
-        it, il, iw = (int(pdf[c].iloc[0]) for c in ("__ci_t", "__ci_lat", "__ci_lon"))
-        block = np.full(chunks, np.nan, np.float64)
-        block[
-            pdf["__o_t"].to_numpy(np.int64),
-            pdf["__o_lat"].to_numpy(np.int64),
-            pdf["__o_lon"].to_numpy(np.int64),
-        ] = pdf["value"].to_numpy(np.float64)
-        payload = zarrlite.encode_chunk(block, chunks, np.nan, level)
-        rel = f"{var}/{zarrlite.chunk_key((it, il, iw))}"
-        return pd.DataFrame({"relpath": [rel], "payload": [payload]})
-
-    chunk_rows = keyed.groupBy(
-        "variable", "__ci_t", "__ci_lat", "__ci_lon"
-    ).applyInPandas(build, _CHUNK_ROW)
 
     # driver: metadata + coordinate arrays (O(vars + days))
     os.makedirs(path, exist_ok=True)
@@ -157,6 +200,10 @@ def export_zarr(
         "mission": mission,
         "target_id": target_id,
         "qf": qf,
+        # recorded so append_zarr's rewrite path can reproduce the store
+        # geometry without re-deriving it from the coordinate arrays
+        "bbox": list(bbox),
+        "chunking": [ct, cl, cw],
         **(attrs or {}),
     }
     zarrlite.write_group(path, attrs=group_attrs)
@@ -187,15 +234,7 @@ def export_zarr(
             path, f"{var}/.zattrs", {"_ARRAY_DIMENSIONS": ["time", "lat", "lon"]},
         )
 
-    # executors: chunk payloads straight to the store path
-    def write_files(rows: Iterator) -> None:
-        for row in rows:
-            full = os.path.join(path, row.relpath)
-            os.makedirs(os.path.dirname(full), exist_ok=True)
-            with open(full, "wb") as fh:
-                fh.write(bytes(row.payload))
-
-    chunk_rows.foreachPartition(write_files)
+    _write_chunk_files(chunk_rows, path)
     zarrlite.consolidate(path)
     return {
         "path": path,
@@ -204,6 +243,176 @@ def export_zarr(
         "chunks": list(chunks),
         "n_days": n_t,
     }
+
+
+def append_zarr(
+    store_rows: DataFrame, path: str, level: int = 9
+) -> dict[str, Any]:
+    """S6/S7 append along time (ref writers/ZarrWriter.py:82-408):
+
+    - days already present are SKIPPED — keep-first duplicate-slice
+      semantics, exactly the reference's post-append
+      ``drop_duplicates(dim='time', keep='first')``
+      (ref writers/ZarrWriter.py:374-378);
+    - strictly-later days take the fast path: only new time-chunks are
+      written; if the append straddles an existing partial chunk, that
+      one chunk is merged read-modify-write inside the executor task;
+    - an out-of-order day (earlier than the store's coverage_end) makes
+      a pure append impossible, so the store is REWRITTEN sorted via a
+      temp directory + swap — the same repair the reference's verify
+      step performs when it finds non-monotonic time
+      (ref writers/ZarrWriter.py:328-408);
+    - coverage_end / date_updated group attrs are maintained
+      (ref writers/ZarrWriter.py:140-167).
+
+    Returns a manifest: n_appended / n_skipped_duplicates / rewritten.
+    """
+    spark = store_rows.sparkSession
+    ga = zarrlite.group_attrs(path)
+    for k in ("mission", "target_id", "qf", "bbox", "chunking"):
+        if k not in ga:
+            raise ValueError(f"append_zarr: store missing group attr {k!r}")
+    ids = store_rows.select("mission", "target_id", "qf").distinct().collect()
+    if len(ids) != 1 or tuple(ids[0]) != (ga["mission"], ga["target_id"], ga["qf"]):
+        raise ValueError(
+            "append_zarr: rows' (mission, target_id, qf) must match the "
+            f"store's ({ga['mission']}, {ga['target_id']}, {ga['qf']})"
+        )
+    t_secs, _ = zarrlite.read_array(path, "time")
+    existing = {
+        dt.datetime.fromtimestamp(int(s), dt.timezone.utc).replace(tzinfo=None)
+        for s in t_secs
+    }
+    days = [
+        r[0]
+        for r in store_rows.select("time").distinct().orderBy("time").collect()
+    ]
+    new_days = [d for d in days if d not in existing]
+    n_skip = len(days) - len(new_days)
+    if not new_days:
+        return {"path": path, "n_appended": 0, "n_skipped_duplicates": n_skip,
+                "rewritten": False}
+    fresh = store_rows.filter(
+        ~F.col("time").isin([d for d in days if d in existing])
+        if n_skip
+        else F.lit(True)
+    )
+    ct, cl, cw = (int(c) for c in ga["chunking"])
+    old_vars = [
+        n for n in zarrlite.list_arrays(path) if n not in ("time", "lat", "lon")
+    ]
+    shape0 = json.load(
+        open(os.path.join(path, old_vars[0], ".zarray"))
+    )["shape"]
+    lat_res, lon_res = int(shape0[1]), int(shape0[2])
+    n_old = len(t_secs)
+
+    last_existing = max(existing) if existing else None
+    if last_existing is not None and new_days[0] < last_existing:
+        # out-of-order day: rewrite sorted via temp + swap (the
+        # reference's verify-failure repair path)
+        import shutil
+        import tempfile
+
+        old_rows = scan_zarr(spark, path).select(
+            F.lit(ga["mission"]).alias("mission"),
+            F.lit(ga["target_id"]).alias("target_id"),
+            F.lit(ga["qf"]).alias("qf"),
+            "time", "lat_idx", "lon_idx", "variable", "value",
+        )
+        combined = old_rows.unionByName(fresh)
+        tmp = tempfile.mkdtemp(
+            prefix=".zarr_rewrite_", dir=os.path.dirname(path) or "."
+        )
+        keep = {
+            k: v for k, v in ga.items()
+            if k not in ("date_created", "date_updated", "coverage_start",
+                         "coverage_end", "mission", "target_id", "qf",
+                         "bbox", "chunking")
+        }
+        export_zarr(
+            combined, tmp, lat_res, lon_res, chunk_t=ct, chunk_lat=cl,
+            chunk_lon=cw, level=level, bbox=tuple(ga["bbox"]), attrs=keep,
+        )
+        shutil.rmtree(path)
+        os.replace(tmp, path)
+        return {"path": path, "n_appended": len(new_days),
+                "n_skipped_duplicates": n_skip, "rewritten": True}
+
+    # fast path: strictly-later days extend the time axis
+    day_index = [(n_old + i, d) for i, d in enumerate(new_days)]
+    boundary = (n_old // ct, n_old % ct) if n_old % ct else None
+    chunks = (ct, cl, cw)
+    chunk_rows = _assemble_chunks(fresh, day_index, chunks, level, path,
+                                  boundary=boundary)
+    _write_chunk_files(chunk_rows, path)
+
+    # driver: grow the time axis + metadata (O(vars + days))
+    n_total = n_old + len(new_days)
+    new_secs = np.concatenate([
+        t_secs,
+        [int(d.replace(tzinfo=dt.timezone.utc).timestamp()) for d in new_days],
+    ]).astype(np.int64)
+    tmeta = json.load(open(os.path.join(path, "time", ".zarray")))
+    zarrlite.write_array(
+        path, "time", new_secs, (max(int(tmeta["chunks"][0]), 1),),
+        dims=["time"],
+        attrs={
+            "units": "seconds since 1970-01-01T00:00:00Z",
+            "calendar": "proleptic_gregorian",
+        },
+        level=None if tmeta["compressor"] is None else level,
+    )
+    new_vars = sorted(
+        r[0] for r in fresh.select("variable").distinct().collect()
+    )
+    shape = [n_total, lat_res, lon_res]
+    for var in sorted(set(old_vars) | set(new_vars)):
+        zarrlite._write_doc(
+            path, f"{var}/.zarray",
+            zarrlite.array_meta(tuple(shape), chunks, np.dtype("<f8"),
+                                np.nan, level),
+        )
+        if var not in old_vars:
+            zarrlite._write_doc(
+                path, f"{var}/.zattrs",
+                {"_ARRAY_DIMENSIONS": ["time", "lat", "lon"]},
+            )
+    now = dt.datetime.now(dt.timezone.utc).strftime(ISO_8601)
+    ga["date_updated"] = now
+    ga["coverage_end"] = new_days[-1].strftime("%Y-%m-%dT%H:%M:%SZ")
+    zarrlite.write_group(path, attrs=ga)
+    zarrlite.consolidate(path)
+    return {"path": path, "n_appended": len(new_days),
+            "n_skipped_duplicates": n_skip, "rewritten": False}
+
+
+def verify_zarr(path: str) -> dict[str, Any]:
+    """S7 store verification (ref writers/ZarrWriter.py:328-408): time
+    monotonic strictly increasing, no duplicate days, every variable's
+    shape consistent with the time axis, every chunk key within the
+    chunk grid.  Returns a report dict with ok=True/False."""
+    t_secs, _ = zarrlite.read_array(path, "time")
+    problems: list[str] = []
+    if len(t_secs) and np.any(np.diff(t_secs) <= 0):
+        problems.append("time axis not strictly increasing")
+    for var in zarrlite.list_arrays(path):
+        if var in ("time", "lat", "lon"):
+            continue
+        meta = json.load(open(os.path.join(path, var, ".zarray")))
+        if meta["shape"][0] != len(t_secs):
+            problems.append(
+                f"{var}: shape[0]={meta['shape'][0]} != time axis {len(t_secs)}"
+            )
+        grid = [-(-s // c) for s, c in zip(meta["shape"], meta["chunks"])]
+        for f in os.listdir(os.path.join(path, var)):
+            if f.startswith("."):
+                continue
+            idx = [int(p) for p in f.split(".")]
+            if any(i >= g for i, g in zip(idx, grid)):
+                problems.append(f"{var}: chunk {f} outside grid {grid}")
+    return {"path": path, "ok": not problems, "problems": problems,
+            "n_days": int(len(t_secs))}
 
 
 _SCAN_SCHEMA = T.StructType(

@@ -179,6 +179,24 @@ def _export_zarr(args) -> int:
     return 0
 
 
+def _append_zarr(args) -> int:
+    from .session import get_spark
+    from .sinks.zarr_store import append_zarr
+
+    spark = get_spark("append-zarr-tool")
+    rows = spark.read.parquet(args.store)
+    print(json.dumps(append_zarr(rows, args.zarr)))
+    return 0
+
+
+def _verify_zarr(args) -> int:
+    from .sinks.zarr_store import verify_zarr
+
+    rep = verify_zarr(args.zarr)
+    print(json.dumps(rep))
+    return 0 if rep["ok"] else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="oco3-spark-tools")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -236,6 +254,23 @@ def main(argv: list[str] | None = None) -> int:
     z.add_argument("--bbox", default=None,
                    help="min_lon,min_lat,max_lon,max_lat (default global)")
     z.set_defaults(fn=_export_zarr)
+
+    za = sub.add_parser(
+        "append-zarr",
+        help="append store-slice parquet rows along time to a Zarr store "
+        "(keep-first on duplicate days; out-of-order days rewrite sorted)",
+    )
+    za.add_argument("store", help="parquet of store-slice rows to append")
+    za.add_argument("zarr", help="existing Zarr store written by export-zarr")
+    za.set_defaults(fn=_append_zarr)
+
+    zv = sub.add_parser(
+        "verify-zarr",
+        help="S7 verification of a Zarr store: monotonic time, no "
+        "duplicate days, shape/chunk-grid consistency (exit 1 on problems)",
+    )
+    zv.add_argument("zarr")
+    zv.set_defaults(fn=_verify_zarr)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -74,6 +74,27 @@ def test_export_zarr_cli(spark, filled_store, tmp_path, capsys):
     assert ga["coverage_start"].startswith("2024-03-01")
 
 
+def test_append_and_verify_zarr_cli(spark, filled_store, tmp_path, capsys):
+    out = str(tmp_path / "out.zarr")
+    assert tools.main([
+        "export-zarr", filled_store, out,
+        "--mission", "oco3", "--target", "t1", "--qf", "post",
+        "--lat-res", "4", "--lon-res", "4", "--chunk-t", "4",
+        "--bbox=-2,-2,2,2",
+    ]) == 0
+    capsys.readouterr()
+    # later day appended from a parquet of store rows
+    later = str(tmp_path / "later.parquet")
+    rows = [("oco3", "t1", "post", dt.datetime(2024, 5, 1), 0, 0, "xco2", 9.0)]
+    spark.createDataFrame(rows, STORE_SLICE).write.parquet(later)
+    assert tools.main(["append-zarr", later, out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_appended"] == 1 and not rep["rewritten"]
+    assert tools.main(["verify-zarr", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["ok"] and rep["n_days"] == 3
+
+
 def test_compact_cli(spark, filled_store, capsys):
     assert tools.main(["compact", filled_store]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])

@@ -205,6 +205,126 @@ def test_export_zarr_rejects_multiple_stores(spark, small_store_rows, tmp_path):
         export_zarr(two, str(tmp_path / "x"), 4, 5)
 
 
+def _mk_rows(spark, days, variables=("xco2",), seed=0, h=4, w=5, sparsity=0.3):
+    from oco3_data_transformer_spark.schemas import STORE_SLICE
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for t in days:
+        for var in variables:
+            for lat in range(h):
+                for lon in range(w):
+                    if rng.random() < sparsity:
+                        continue
+                    rows.append(
+                        ("oco3", "t1", "post", t, lat, lon, var,
+                         float(rng.normal()))
+                    )
+    return spark.createDataFrame(rows, STORE_SLICE), rows
+
+
+def _dense(rows, days, var, h=4, w=5):
+    out = np.full((len(days), h, w), np.nan)
+    ix = {d: i for i, d in enumerate(days)}
+    for _, _, _, t, lat, lon, v, val in rows:
+        if v == var and t in ix:
+            out[ix[t], lat, lon] = val
+    return out
+
+
+def test_append_zarr_fast_path_and_boundary_merge(spark, tmp_path):
+    """Appending strictly-later days only writes new time-chunks; with
+    chunk_t=2 and 3 existing days the straddled chunk is merged
+    read-modify-write; coverage attrs update; verify stays green."""
+    from oco3_data_transformer_spark.sinks.zarr_store import (
+        append_zarr, export_zarr, verify_zarr)
+
+    d0 = [dt.datetime(2023, 5, d) for d in (1, 2, 3)]
+    d1 = [dt.datetime(2023, 5, d) for d in (5, 6)]
+    df0, rows0 = _mk_rows(spark, d0, seed=1)
+    df1, rows1 = _mk_rows(spark, d1, seed=2)
+    path = str(tmp_path / "s.zarr")
+    export_zarr(df0, path, 4, 5, chunk_t=2, bbox=(-10, -4, 10, 4))
+    rep = append_zarr(df1, path)
+    assert rep == {"path": path, "n_appended": 2,
+                   "n_skipped_duplicates": 0, "rewritten": False}
+    got, _ = Z.read_array(path, "xco2")
+    assert got.shape == (5, 4, 5)
+    want = _dense(rows0 + rows1, d0 + d1, "xco2")
+    assert np.allclose(got, want, equal_nan=True)
+    ga = Z.group_attrs(path)
+    assert ga["coverage_end"] == "2023-05-06T00:00:00Z"
+    assert ga["coverage_start"] == "2023-05-01T00:00:00Z"
+    v = verify_zarr(path)
+    assert v["ok"] and v["n_days"] == 5
+    t_arr, _ = Z.read_array(path, "time")
+    assert len(t_arr) == 5 and list(np.diff(t_arr) > 0) == [True] * 4
+
+
+def test_append_zarr_duplicate_days_keep_first(spark, tmp_path):
+    """A re-delivered day is skipped: the stored slice wins (the
+    reference's drop_duplicates keep='first' on verify)."""
+    from oco3_data_transformer_spark.sinks.zarr_store import (
+        append_zarr, export_zarr)
+
+    d0 = [dt.datetime(2023, 5, 1), dt.datetime(2023, 5, 2)]
+    df0, rows0 = _mk_rows(spark, d0, seed=3)
+    path = str(tmp_path / "s.zarr")
+    export_zarr(df0, path, 4, 5, chunk_t=2, bbox=(-10, -4, 10, 4))
+    # duplicate day 2 with DIFFERENT values + a genuinely new day 3
+    dup, _ = _mk_rows(spark, [dt.datetime(2023, 5, 2)], seed=9)
+    new, rows_new = _mk_rows(spark, [dt.datetime(2023, 5, 3)], seed=4)
+    rep = append_zarr(dup.unionByName(new), path)
+    assert rep["n_appended"] == 1 and rep["n_skipped_duplicates"] == 1
+    got, _ = Z.read_array(path, "xco2")
+    want = _dense(rows0 + rows_new, d0 + [dt.datetime(2023, 5, 3)], "xco2")
+    assert np.allclose(got, want, equal_nan=True)  # day-2 slice unchanged
+
+
+def test_append_zarr_out_of_order_rewrites_sorted(spark, tmp_path):
+    """A day earlier than coverage_end cannot pure-append: the store is
+    rewritten sorted via temp + swap (the reference's verify repair)."""
+    from oco3_data_transformer_spark.sinks.zarr_store import (
+        append_zarr, export_zarr, verify_zarr)
+
+    d0 = [dt.datetime(2023, 5, 2), dt.datetime(2023, 5, 6)]
+    late = [dt.datetime(2023, 5, 4)]
+    df0, rows0 = _mk_rows(spark, d0, seed=5)
+    dfl, rowsl = _mk_rows(spark, late, seed=6)
+    path = str(tmp_path / "s.zarr")
+    export_zarr(df0, path, 4, 5, chunk_t=2, bbox=(-10, -4, 10, 4))
+    rep = append_zarr(dfl, path)
+    assert rep["rewritten"] is True and rep["n_appended"] == 1
+    days = d0[:1] + late + d0[1:]
+    got, _ = Z.read_array(path, "xco2")
+    want = _dense(rows0 + rowsl, days, "xco2")
+    assert np.allclose(got, want, equal_nan=True)
+    t_arr, _ = Z.read_array(path, "time")
+    assert list(np.diff(t_arr) > 0) == [True] * 2
+    assert verify_zarr(path)["ok"]
+
+
+def test_append_zarr_new_variable_and_identity_guard(spark, tmp_path):
+    from oco3_data_transformer_spark.sinks.zarr_store import (
+        append_zarr, export_zarr)
+    from pyspark.sql import functions as F
+
+    d0 = [dt.datetime(2023, 5, 1)]
+    d1 = [dt.datetime(2023, 5, 2)]
+    df0, _ = _mk_rows(spark, d0, seed=7)
+    df1, rows1 = _mk_rows(spark, d1, variables=("xco2", "uncert"), seed=8)
+    path = str(tmp_path / "s.zarr")
+    export_zarr(df0, path, 4, 5, chunk_t=4, bbox=(-10, -4, 10, 4))
+    append_zarr(df1, path)
+    got, _ = Z.read_array(path, "uncert")
+    assert got.shape == (2, 4, 5)
+    assert np.all(np.isnan(got[0]))  # day 1 never had the variable
+    want = _dense(rows1, d0 + d1, "uncert")[1]
+    assert np.allclose(got[1], want, equal_nan=True)
+    with pytest.raises(ValueError, match="must match"):
+        append_zarr(df1.withColumn("qf", F.lit("pre")), path)
+
+
 def test_differential_against_zarr_package(spark, small_store_rows, tmp_path):
     """Skip-gated: the real zarr package must open our store (values,
     coords, consolidated metadata), and our reader must read a store the
