@@ -246,14 +246,19 @@ def export_zarr(
 
 
 def append_zarr(
-    store_rows: DataFrame, path: str, level: int = 9
+    store_rows: DataFrame, path: str, level: int = 9,
+    mode: str = "keep_first",
 ) -> dict[str, Any]:
     """S6/S7 append along time (ref writers/ZarrWriter.py:82-408):
 
-    - days already present are SKIPPED — keep-first duplicate-slice
-      semantics, exactly the reference's post-append
-      ``drop_duplicates(dim='time', keep='first')``
-      (ref writers/ZarrWriter.py:374-378);
+    - ``mode='keep_first'``: days already present are SKIPPED —
+      duplicate-slice semantics exactly matching the reference's
+      post-append ``drop_duplicates(dim='time', keep='first')``
+      (ref writers/ZarrWriter.py:374-378); ``mode='replace'``: incoming
+      cells of an already-present day WIN, cells the batch did not carry
+      survive — the late-granule repair path, the zarr analog of
+      sinks/store.merge; replacement forces the rewrite path below since
+      stored chunks are immutable per day range;
     - strictly-later days take the fast path: only new time-chunks are
       written; if the append straddles an existing partial chunk, that
       one chunk is merged read-modify-write inside the executor task;
@@ -265,8 +270,11 @@ def append_zarr(
     - coverage_end / date_updated group attrs are maintained
       (ref writers/ZarrWriter.py:140-167).
 
-    Returns a manifest: n_appended / n_skipped_duplicates / rewritten.
+    Returns a manifest: n_appended / n_skipped_duplicates (or
+    n_replaced) / rewritten.
     """
+    if mode not in ("keep_first", "replace"):
+        raise ValueError(f"append_zarr: unknown mode {mode!r}")
     spark = store_rows.sparkSession
     ga = zarrlite.group_attrs(path)
     for k in ("mission", "target_id", "qf", "bbox", "chunking"):
@@ -288,14 +296,16 @@ def append_zarr(
         for r in store_rows.select("time").distinct().orderBy("time").collect()
     ]
     new_days = [d for d in days if d not in existing]
-    n_skip = len(days) - len(new_days)
-    if not new_days:
+    dup_days = [d for d in days if d in existing]
+    n_skip = len(dup_days)
+    replacing = mode == "replace" and n_skip > 0
+    if not new_days and not replacing:
         return {"path": path, "n_appended": 0, "n_skipped_duplicates": n_skip,
                 "rewritten": False}
-    fresh = store_rows.filter(
-        ~F.col("time").isin([d for d in days if d in existing])
-        if n_skip
-        else F.lit(True)
+    fresh = (
+        store_rows
+        if replacing or not n_skip
+        else store_rows.filter(~F.col("time").isin(dup_days))
     )
     ct, cl, cw = (int(c) for c in ga["chunking"])
     old_vars = [
@@ -308,8 +318,12 @@ def append_zarr(
     n_old = len(t_secs)
 
     last_existing = max(existing) if existing else None
-    if last_existing is not None and new_days[0] < last_existing:
-        # out-of-order day: rewrite sorted via temp + swap (the
+    out_of_order = (
+        last_existing is not None and new_days and new_days[0] < last_existing
+    )
+    if out_of_order or replacing:
+        # out-of-order day, or day-replacement: a pure append cannot
+        # express either, so rewrite sorted via temp + swap (the
         # reference's verify-failure repair path)
         import shutil
         import tempfile
@@ -320,6 +334,14 @@ def append_zarr(
             F.lit(ga["qf"]).alias("qf"),
             "time", "lat_idx", "lon_idx", "variable", "value",
         )
+        if replacing:
+            # cell-level merge, matching sinks/store.merge: an incoming
+            # cell wins; cells of the day the batch did not carry survive
+            old_rows = old_rows.join(
+                fresh.select("time", "lat_idx", "lon_idx", "variable"),
+                ["time", "lat_idx", "lon_idx", "variable"],
+                "left_anti",
+            )
         combined = old_rows.unionByName(fresh)
         tmp = tempfile.mkdtemp(
             prefix=".zarr_rewrite_", dir=os.path.dirname(path) or "."
@@ -336,8 +358,13 @@ def append_zarr(
         )
         shutil.rmtree(path)
         os.replace(tmp, path)
-        return {"path": path, "n_appended": len(new_days),
-                "n_skipped_duplicates": n_skip, "rewritten": True}
+        out = {"path": path, "n_appended": len(new_days),
+               "rewritten": True}
+        if mode == "replace":
+            out["n_replaced"] = n_skip
+        else:
+            out["n_skipped_duplicates"] = n_skip
+        return out
 
     # fast path: strictly-later days extend the time axis
     day_index = [(n_old + i, d) for i, d in enumerate(new_days)]

@@ -52,6 +52,16 @@ class IngestConfig:
     # optional continuous aggregate: when set, every batch's writes also
     # refresh the monthly rollup for exactly the months they invalidated
     rollup_path: str | None = None
+    # optional Zarr mirror (the reference's queue mode writes Zarr directly,
+    # ref main.py:492-622): a root directory holding one Zarr v2 store per
+    # (mission, target, qf). Fresh days append (keep-first makes micro-batch
+    # REPLAYS idempotent); late-data repairs replace the day's slice.
+    # Requires the geometry below.
+    zarr_mirror_path: str | None = None
+    zarr_lat_res: int = 0
+    zarr_lon_res: int = 0
+    zarr_bbox: tuple[float, float, float, float] = (-180.0, -90.0, 180.0, 90.0)
+    zarr_chunk_t: int = 64
 
 
 def read_granule_stream(spark: SparkSession, cfg: IngestConfig, schema) -> DataFrame:
@@ -133,6 +143,37 @@ def mission_dispatch(
     return transform
 
 
+def _mirror_to_zarr(cfg: IngestConfig, slices: DataFrame, mode: str) -> None:
+    """Mirror a micro-batch's store-slice rows into per-identity Zarr v2
+    stores under ``cfg.zarr_mirror_path`` (the reference's queue mode
+    writes one Zarr store per mission x target x qf, ref main.py:492-622).
+    Identities per batch are few (control-plane loop); each store's chunk
+    assembly and writes stay distributed (sinks/zarr_store.py). keep_first
+    appends make checkpoint REPLAYS idempotent; 'replace' carries the
+    late-granule repair."""
+    import os
+
+    from ..sinks.zarr_store import append_zarr, export_zarr
+
+    ids = slices.select("mission", "target_id", "qf").distinct().collect()
+    for mission, target_id, qf in ids:
+        part = slices.filter(
+            (F.col("mission") == mission)
+            & (F.col("target_id") == target_id)
+            & (F.col("qf") == qf)
+        )
+        path = os.path.join(
+            cfg.zarr_mirror_path, f"{mission}_{target_id}_{qf}.zarr"
+        )
+        if os.path.exists(os.path.join(path, ".zgroup")):
+            append_zarr(part, path, mode=mode)
+        else:
+            export_zarr(
+                part, path, cfg.zarr_lat_res, cfg.zarr_lon_res,
+                chunk_t=cfg.zarr_chunk_t, bbox=cfg.zarr_bbox,
+            )
+
+
 def make_batch_processor(
     cfg: IngestConfig,
     transform: Callable[[DataFrame], DataFrame],
@@ -172,6 +213,10 @@ def make_batch_processor(
                 # stored slices (other granules/targets) the producer never
                 # re-dropped.
                 store_ops.merge(spark, redo, cfg.store_path)
+
+            if cfg.zarr_mirror_path is not None:
+                _mirror_to_zarr(cfg, fresh, mode="keep_first")
+                _mirror_to_zarr(cfg, redo, mode="replace")
 
             if cfg.rollup_path is not None:
                 # continuous aggregate: the batch knows its invalidation set

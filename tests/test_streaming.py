@@ -115,6 +115,54 @@ def test_holdback_then_complete_then_repair(spark, cfg, tmp_path):
     assert d2_vals == {7.0}
 
 
+def test_zarr_mirror_appends_and_repairs(spark, tmp_path):
+    """With zarr_mirror_path set, each micro-batch's writes also land in
+    a per-identity Zarr v2 store: fresh days append (keep-first makes
+    replays idempotent), late-data repairs replace the day's slice."""
+    import numpy as np
+
+    from oco3_data_transformer_spark.sinks import zarrlite
+
+    cfg = ingest.IngestConfig(
+        input_dir=str(tmp_path / "drop"),
+        store_path=str(tmp_path / "store"),
+        ledger_path=str(tmp_path / "ledger"),
+        dead_letter_path=str(tmp_path / "dead"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        expected_missions=("oco3",),
+        zarr_mirror_path=str(tmp_path / "zarr"),
+        zarr_lat_res=4,
+        zarr_lon_res=4,
+        zarr_bbox=(-2.0, -2.0, 2.0, 2.0),
+        zarr_chunk_t=4,
+    )
+    zpath = str(tmp_path / "zarr" / "oco3_t1_pre.zarr")
+
+    _drop(spark, cfg, [("g1", "oco3", 0, D1, 1.0), ("g1", "oco3", 1, D1, 2.0)], "b1")
+    _run(spark, cfg)
+    arr, _ = zarrlite.read_array(zpath, "xco2")
+    assert arr.shape == (1, 4, 4)
+    assert arr[0, 0, 0] == 1.0 and arr[0, 1, 1] == 2.0
+
+    # batch 2: a later day appends along time (two cells)
+    _drop(spark, cfg,
+          [("g2", "oco3", 2, D2, 5.0), ("g2", "oco3", 3, D2, 6.0)], "b2")
+    _run(spark, cfg)
+    arr, _ = zarrlite.read_array(zpath, "xco2")
+    assert arr.shape == (2, 4, 4) and arr[1, 2, 2] == 5.0 and arr[1, 3, 3] == 6.0
+
+    # batch 3: late data for processed D2 -> cell-level merge, matching
+    # the columnar store: the carried cell is replaced, the day's other
+    # cell survives
+    _drop(spark, cfg, [("g3", "oco3", 2, D2, 7.0)], "b3")
+    _run(spark, cfg)
+    arr, _ = zarrlite.read_array(zpath, "xco2")
+    assert arr.shape == (2, 4, 4) and arr[1, 2, 2] == 7.0
+    assert arr[1, 3, 3] == 6.0  # unreplaced cell of the repaired day
+    assert arr[0, 0, 0] == 1.0  # day 1 untouched
+    assert np.isnan(arr[1, 0, 0])
+
+
 def test_poison_rows_dead_lettered(spark, cfg):
     _drop(
         spark, cfg,
