@@ -449,9 +449,14 @@ def decode_audio(codec: str, payload: bytes, channels: int) -> np.ndarray:
         return arr.reshape(-1, channels)
     if codec == "wav":
         return wav_decode(payload)[0]
+    if codec == "flac":
+        from .flaclite import flac_decode
+
+        x, _, bps = flac_decode(payload)
+        return x.astype(np.float64) / float(1 << (bps - 1))
     raise NotImplementedError(
         f"codec {codec!r} needs an audio library not present in this "
-        "container; 'pcm16' and 'wav' decode here"
+        "container; 'pcm16', 'wav' and 'flac' decode here"
     )
 
 
