@@ -516,7 +516,8 @@ def scan_zarr(
                     }
                 )
 
-    # one chunk file per task: the decode cost is the partition grain
-    return wdf.repartition(max(1, min(len(work), 256))).mapInPandas(
-        decode, _SCAN_SCHEMA
-    )
+    # partition grain = chunk files; scale task count with the cluster
+    # (defaultParallelism), capped by the work list itself
+    n_parts = max(1, min(len(work),
+                         2 * spark.sparkContext.defaultParallelism))
+    return wdf.repartition(n_parts).mapInPandas(decode, _SCAN_SCHEMA)
