@@ -43,7 +43,20 @@ def main() -> int:
     both_engines = HEADLINE + SKETCH_DETAIL + ROUND6_DETAIL
     spark_only = KERNEL_DETAIL
 
-    dst = sys.argv[1] if len(sys.argv) > 1 else os.path.join(ROOT, ".bench_data", "sf10")
+    # --reuse-duck <prev BENCH_SF10.json>: re-measure ONLY the Spark legs
+    # and carry the DuckDB legs over from a previous artifact. Legitimate
+    # because the oracle timings are independent of repo code (same
+    # engine, fixture, box) and the q31/q32/q33 oracles cost tens of
+    # minutes EACH at 100x; the artifact records the provenance.
+    reuse_duck = None
+    argv = list(sys.argv[1:])
+    if "--reuse-duck" in argv:
+        i = argv.index("--reuse-duck")
+        with open(argv[i + 1]) as fh:
+            reuse_duck = json.load(fh)
+        del argv[i : i + 2]
+
+    dst = argv[0] if argv else os.path.join(ROOT, ".bench_data", "sf10")
     sf_dir = ensure("/root/testdata/sf0.1", dst, k=100)
     spark = get_spark("bench100")
     spark.sparkContext.setLogLevel("ERROR")
@@ -79,18 +92,22 @@ def main() -> int:
         out["spark"][name] = round(best, 2)
         print(f"# spark {name}: {best:.2f}s", file=sys.stderr, flush=True)
 
-    con = duck_connection(sf_dir)
-    con.execute("SELECT 1").fetchall()
-    for name in both_engines:
-        sql = REGISTRY[name].sql
-        if sql is None:
-            continue
-        con.execute(sql).fetchall()  # warm
-        t0 = time.perf_counter()
-        con.execute(sql).fetchall()
-        out["duckdb"][name] = round(time.perf_counter() - t0, 2)
-        print(f"# duckdb {name}: {out['duckdb'][name]}s", file=sys.stderr, flush=True)
-    con.close()
+    if reuse_duck is not None:
+        out["duckdb"] = dict(reuse_duck["duckdb"])
+        out["duckdb_reused_from_head"] = reuse_duck.get("head")
+    else:
+        con = duck_connection(sf_dir)
+        con.execute("SELECT 1").fetchall()
+        for name in both_engines:
+            sql = REGISTRY[name].sql
+            if sql is None:
+                continue
+            con.execute(sql).fetchall()  # warm
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            out["duckdb"][name] = round(time.perf_counter() - t0, 2)
+            print(f"# duckdb {name}: {out['duckdb'][name]}s", file=sys.stderr, flush=True)
+        con.close()
 
     out["per_query_ratio"] = {
         n: round(out["spark"][n] / d, 2) if d else None
