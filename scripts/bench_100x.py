@@ -43,11 +43,17 @@ def main() -> int:
     both_engines = HEADLINE + SKETCH_DETAIL + ROUND6_DETAIL
     spark_only = KERNEL_DETAIL
 
-    # --reuse-duck <prev BENCH_SF10.json>: re-measure ONLY the Spark legs
-    # and carry the DuckDB legs over from a previous artifact. Legitimate
-    # because the oracle timings are independent of repo code (same
-    # engine, fixture, box) and the q31/q32/q33 oracles cost tens of
-    # minutes EACH at 100x; the artifact records the provenance.
+    # --reuse-duck <prev BENCH_SF10.json>: carry over ONLY the
+    # pair-generating dedup oracles (q31/q32/q33), whose DuckDB legs cost
+    # tens of minutes EACH at 100x; every other DuckDB leg is cheap and
+    # re-measured fresh. Legitimate because oracle timings are
+    # independent of repo code (same engine, fixture, box); the artifact
+    # records the provenance head of the reused entries.
+    REUSABLE = {
+        "q31_ngram_jaccard_neardup",
+        "q32_minhash_lsh_neardup",
+        "q33_simhash_neardup",
+    }
     reuse_duck = None
     argv = list(sys.argv[1:])
     if "--reuse-duck" in argv:
@@ -92,22 +98,29 @@ def main() -> int:
         out["spark"][name] = round(best, 2)
         print(f"# spark {name}: {best:.2f}s", file=sys.stderr, flush=True)
 
+    reused = {}
     if reuse_duck is not None:
-        out["duckdb"] = dict(reuse_duck["duckdb"])
-        out["duckdb_reused_from_head"] = reuse_duck.get("head")
-    else:
-        con = duck_connection(sf_dir)
-        con.execute("SELECT 1").fetchall()
-        for name in both_engines:
-            sql = REGISTRY[name].sql
-            if sql is None:
-                continue
-            con.execute(sql).fetchall()  # warm
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            out["duckdb"][name] = round(time.perf_counter() - t0, 2)
-            print(f"# duckdb {name}: {out['duckdb'][name]}s", file=sys.stderr, flush=True)
-        con.close()
+        reused = {
+            n: v for n, v in reuse_duck["duckdb"].items() if n in REUSABLE
+        }
+        out["duckdb"].update(reused)
+        out["duckdb_reused"] = {
+            "head": reuse_duck.get("head"), "queries": sorted(reused),
+        }
+    con = duck_connection(sf_dir)
+    con.execute("SELECT 1").fetchall()
+    for name in both_engines:
+        if name in reused:
+            continue
+        sql = REGISTRY[name].sql
+        if sql is None:
+            continue
+        con.execute(sql).fetchall()  # warm
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        out["duckdb"][name] = round(time.perf_counter() - t0, 2)
+        print(f"# duckdb {name}: {out['duckdb'][name]}s", file=sys.stderr, flush=True)
+    con.close()
 
     out["per_query_ratio"] = {
         n: round(out["spark"][n] / d, 2) if d else None
