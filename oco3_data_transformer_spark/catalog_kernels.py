@@ -190,12 +190,15 @@ _Q130_SQL = _Q126_SQL.replace("TRUE AS lin_ok", "TRUE AS cubic_ok")
     "(tests/test_delaunay.py::test_nielson_gradients_exact_for_affine), so "
     "the cubic interpolant reproduces the plane exactly and the oracle "
     "predicts every |interp − plane| <= 1e-6 verdict true; non-affine "
-    "behaviour (C1 continuity, quadratic precision with exact gradients) "
-    "is pinned by the kernel property suite. Documented delta vs the "
-    "reference's scipy Clough-Tocher (global energy-minimized gradients): "
-    "interior values differ for non-affine data; allow_fallback=False "
-    "raises honestly. ref processors/OCO3SamProcessor.py:161-182 "
-    "(griddata method='cubic').",
+    "behaviour (global C1 continuity, linear perpendicular derivative "
+    "along outer edges, quadratic precision with exact gradients) is "
+    "pinned by the kernel property suite. Since round 8 the kernel IS "
+    "the reduced Clough-Tocher split element the reference's scipy path "
+    "evaluates (same Nielson gradients, centroid split, linear-normal-"
+    "derivative reduction — uniquely determined, so values match scipy "
+    "up to float rounding); bit-parity stays unverifiable without the "
+    "wheel, so allow_fallback=False still raises. "
+    "ref processors/OCO3SamProcessor.py:161-182 (griddata method='cubic').",
 )
 def q130(spark: SparkSession, sf: str) -> DataFrame:
     return _affine_grid_contract(spark, sf, method="cubic", verdict="cubic_ok")

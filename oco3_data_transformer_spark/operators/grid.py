@@ -106,10 +106,13 @@ def grid_points(
             )
         if not allow_fallback:
             raise NotImplementedError(
-                "exact scipy 'cubic' semantics (Clough-Tocher C1) need the "
-                "scipy wheel; pass allow_fallback=True for the numpy cubic "
-                "Bézier fallback (same Nielson gradients, C0 across edges "
-                "— operators/interp.cubic_griddata)"
+                "bit-verified scipy 'cubic' needs the scipy wheel; pass "
+                "allow_fallback=True for the numpy implementation of the "
+                "same reduced Clough-Tocher C1 element (Nielson gradients, "
+                "centroid split, linear-perpendicular-derivative reduction "
+                "— operators/interp.cubic_griddata; expected to match scipy "
+                "to float rounding, but parity is unverifiable without the "
+                "wheel: skip-gated differential in tests/test_ready_goldens)"
             )
         from .interp import cubic_griddata
 

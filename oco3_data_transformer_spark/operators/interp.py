@@ -382,18 +382,43 @@ def cubic_interpolate(
     qy: np.ndarray,
     gradients: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Piecewise-CUBIC interpolation of scattered data: per-triangle
-    cubic Bernstein-Bézier patch from vertex values + (Nielson-estimated
-    or supplied) gradients, with the quadratic-precision interior
-    ordinate b111 = ΣbEdge/4 − ΣbCorner/6. NaN outside the convex hull.
+    """Piecewise-CUBIC scattered-data interpolation: the reduced
+    Clough-Tocher (HCT) C1 element on the Delaunay triangulation, with
+    Nielson-estimated (or supplied) vertex gradients — the same element
+    scipy's CloughTocher2DInterpolator evaluates (ref
+    processors/OCO3SamProcessor.py:161-182 executes scipy's CT). NaN
+    outside the convex hull.
 
-    Semantics vs scipy's Clough-Tocher: both are cubic patches on the
-    same Delaunay structure with Nielson global gradients, reproduce
-    quadratics given exact gradients, and interpolate values+gradients at
-    the vertices; CT's centroid split makes it C1 across edges while this
-    patch is C0 across edges (C1 at vertices) — the documented delta of
-    the no-scipy fallback (the scipy path stays preferred when
-    importable, operators/grid.py)."""
+    Construction (Clough-Tocher 1965; Farin 1986, "Triangular
+    Bernstein-Bézier patches"): each macro-triangle (V1,V2,V3) is split
+    at the centroid Vc into three cubic Bézier mini-patches. The 12 dofs
+    are vertex values+gradients (9) plus one cross-derivative per outer
+    edge (3), fixed by the reduction condition that the derivative in
+    the direction PERPENDICULAR to each outer edge varies LINEARLY
+    along that edge. All control ordinates are then explicit:
+
+      e_ij = f_i + (V_j−V_i)·g_i/3              (outer-edge ring)
+      a_i  = f_i + (Vc −V_i)·g_i/3              (internal-edge ring 1)
+      s_k  = [δu(f_i−2e_ij+e_ji) + δv(e_ij−2e_ji+f_j) + δw(a_i+a_j)]
+             / (2 δw)                           (mini-k interior, from
+             the linear-⊥-derivative condition on edge V_iV_j, with
+             (δu,δv,δw) = ((Vc−V_j)·e, (V_i−Vc)·e, e·e), e = V_j−V_i
+             — the barycentric components of the edge perpendicular,
+             scale/sign-free because the formula is 0-homogeneous in δ)
+      q_i  = (a_i + s_j + s_k)/3                (internal-edge ring 2,
+             C1 across internal edge V_i–Vc)
+      c0   = (q1+q2+q3)/3                       (centroid ordinate)
+
+    Because the edge restriction (cubic Hermite in f,g of the two
+    endpoints) and the linear perpendicular derivative (endpoint values
+    n·g_i) are both determined by SHARED data, adjacent macro-triangles
+    agree to first order: the interpolant is globally C1
+    (test_delaunay asserts this numerically), reproduces quadratics
+    given exact gradients, and interpolates values and gradients at the
+    vertices. With the same Nielson gradients these properties determine
+    the element uniquely, so values match scipy's CT up to float
+    rounding; bit-level parity stays unverifiable without the wheel
+    (skip-gated differential in tests/test_ready_goldens.py)."""
     values = np.asarray(values, dtype=np.float64)
     qx = np.asarray(qx, dtype=np.float64)
     qy = np.asarray(qy, dtype=np.float64)
@@ -414,37 +439,79 @@ def cubic_interpolate(
         g = np.asarray(gradients, dtype=np.float64)[keep] * span
     qxn = (qx - lo[0]) / span
     qyn = (qy - lo[1]) / span
-    found, ti, l1, l2, l3 = _locate(p, tri, qxn, qyn)
-    i1, i2, i3 = tri[:, 0], tri[:, 1], tri[:, 2]
-    f1, f2, f3 = vals[i1], vals[i2], vals[i3]
-    P1, P2, P3 = p[i1], p[i2], p[i3]
-    g1, g2, g3 = g[i1], g[i2], g[i3]
-    b300, b030, b003 = f1, f2, f3
-    b210 = f1 + ((P2 - P1) * g1).sum(1) / 3.0
-    b201 = f1 + ((P3 - P1) * g1).sum(1) / 3.0
-    b120 = f2 + ((P1 - P2) * g2).sum(1) / 3.0
-    b021 = f2 + ((P3 - P2) * g2).sum(1) / 3.0
-    b102 = f3 + ((P1 - P3) * g3).sum(1) / 3.0
-    b012 = f3 + ((P2 - P3) * g3).sum(1) / 3.0
-    b111 = (b210 + b201 + b120 + b021 + b102 + b012) / 4.0 - (
-        b300 + b030 + b003
-    ) / 6.0
-    t = ti
-    u, v, w3 = l1, l2, l3
-    res = (
-        b300[t] * u**3
-        + b030[t] * v**3
-        + b003[t] * w3**3
-        + 3.0 * b210[t] * u**2 * v
-        + 3.0 * b201[t] * u**2 * w3
-        + 3.0 * b120[t] * u * v**2
-        + 3.0 * b021[t] * v**2 * w3
-        + 3.0 * b102[t] * u * w3**2
-        + 3.0 * b012[t] * v * w3**2
-        + 6.0 * b111[t] * u * v * w3
-    )
+    loc = _locate(p, tri, qxn, qyn)
+    found = loc[0]
+    res = _ct_eval(p, tri, vals, g, loc)
     out[found] = res[found]
     return out
+
+
+def _ct_eval(
+    p: np.ndarray,
+    tri: np.ndarray,
+    vals: np.ndarray,
+    g: np.ndarray,
+    loc: tuple,
+) -> np.ndarray:
+    """Evaluate the reduced Clough-Tocher element (see
+    :func:`cubic_interpolate` for the construction) at located queries.
+    `loc` is :func:`_locate` output; entries where found=False carry
+    garbage and must be masked by the caller."""
+    found, ti, l1, l2, l3 = loc
+    # --- per-triangle control net (vectorized over triangles) --------
+    P = p[tri]  # (nt, 3, 2) corner positions
+    F = vals[tri]  # (nt, 3) corner values
+    G = g[tri]  # (nt, 3, 2) corner gradients
+    Vc = P.mean(axis=1)  # (nt, 2) centroid split point
+    # outer-edge ring: E[t, i, j] = f_i + (V_j - V_i)·g_i / 3
+    E = F[:, :, None] + np.einsum(
+        "tijd,tid->tij", P[:, None, :, :] - P[:, :, None, :], G
+    ) / 3.0
+    # internal ring 1: a_i = f_i + (Vc - V_i)·g_i / 3
+    A = F + ((Vc[:, None, :] - P) * G).sum(-1) / 3.0
+    # mini-patch interiors s_k (k = 0,1,2 opposite vertex k; outer edge
+    # (i, j) = (k+1, k+2) mod 3) via the linear-⊥-derivative condition
+    S = np.empty((len(tri), 3))
+    for k in range(3):
+        i, j = (k + 1) % 3, (k + 2) % 3
+        e = P[:, j] - P[:, i]
+        du = ((Vc - P[:, j]) * e).sum(-1)
+        dv = ((P[:, i] - Vc) * e).sum(-1)
+        dw = (e * e).sum(-1)
+        S[:, k] = (
+            du * (F[:, i] - 2.0 * E[:, i, j] + E[:, j, i])
+            + dv * (E[:, i, j] - 2.0 * E[:, j, i] + F[:, j])
+            + dw * (A[:, i] + A[:, j])
+        ) / (2.0 * dw)
+    # internal ring 2 and centroid ordinate (C1 across internal edges)
+    Q = (A + S.sum(axis=1, keepdims=True) - S) / 3.0
+    c0 = Q.mean(axis=1)
+    # --- evaluation: pick the mini-triangle, gather its 10 controls ---
+    L = np.column_stack([l1, l2, l3])
+    k = np.argmin(L, axis=1)  # query lies in mini opposite vertex k
+    i, j = (k + 1) % 3, (k + 2) % 3
+    rows = np.arange(len(k))
+    al = L[rows, i] - L[rows, k]
+    be = L[rows, j] - L[rows, k]
+    ga = 3.0 * L[rows, k]
+    t = ti
+    b300, b030, b003 = F[t, i], F[t, j], c0[t]
+    b210, b120 = E[t, i, j], E[t, j, i]
+    b201, b021 = A[t, i], A[t, j]
+    b102, b012 = Q[t, i], Q[t, j]
+    b111 = S[t, k]
+    return (
+        b300 * al**3
+        + b030 * be**3
+        + b003 * ga**3
+        + 3.0 * b210 * al**2 * be
+        + 3.0 * b120 * al * be**2
+        + 3.0 * b201 * al**2 * ga
+        + 3.0 * b021 * be**2 * ga
+        + 3.0 * b102 * al * ga**2
+        + 3.0 * b012 * be * ga**2
+        + 6.0 * b111 * al * be * ga
+    )
 
 
 def cubic_griddata(
@@ -537,30 +604,8 @@ class TriangulatedField:
     def cubic(self, values: np.ndarray) -> np.ndarray:
         vals = np.asarray(values, np.float64)[self.keep]
         g = estimate_gradients(self.p, self.tri, vals)
-        found, ti, l1, l2, l3 = self._loc
-        tri = self.tri
-        p = self.p
-        i1, i2, i3 = tri[:, 0], tri[:, 1], tri[:, 2]
-        f1, f2, f3 = vals[i1], vals[i2], vals[i3]
-        P1, P2, P3 = p[i1], p[i2], p[i3]
-        g1, g2, g3 = g[i1], g[i2], g[i3]
-        b210 = f1 + ((P2 - P1) * g1).sum(1) / 3.0
-        b201 = f1 + ((P3 - P1) * g1).sum(1) / 3.0
-        b120 = f2 + ((P1 - P2) * g2).sum(1) / 3.0
-        b021 = f2 + ((P3 - P2) * g2).sum(1) / 3.0
-        b102 = f3 + ((P1 - P3) * g3).sum(1) / 3.0
-        b012 = f3 + ((P2 - P3) * g3).sum(1) / 3.0
-        b111 = (b210 + b201 + b120 + b021 + b102 + b012) / 4.0 - (
-            f1 + f2 + f3
-        ) / 6.0
-        u, v, w3 = l1, l2, l3
-        res = (
-            f1[ti] * u**3 + f2[ti] * v**3 + f3[ti] * w3**3
-            + 3.0 * b210[ti] * u**2 * v + 3.0 * b201[ti] * u**2 * w3
-            + 3.0 * b120[ti] * u * v**2 + 3.0 * b021[ti] * v**2 * w3
-            + 3.0 * b102[ti] * u * w3**2 + 3.0 * b012[ti] * v * w3**2
-            + 6.0 * b111[ti] * u * v * w3
-        )
+        found = self._loc[0]
+        res = _ct_eval(self.p, self.tri, vals, g, self._loc)
         out = np.full(len(found), np.nan)
         out[found] = res[found]
         return out

@@ -222,6 +222,100 @@ def test_cubic_interpolates_vertex_values():
     np.testing.assert_allclose(got, vals, atol=1e-5)
 
 
+def test_cubic_c1_across_macro_edges():
+    """GLOBAL C1 (the Clough-Tocher property): the numerical gradient of
+    the interpolant, estimated by central differences at points ON shared
+    macro-triangle edges, must agree with the limit from either side.
+    Sample the gradient a hair inside each neighbour (offset h along the
+    edge normal) and compare the two one-sided gradients — for a C1
+    surface they differ by O(h·max|Hessian|); for the old single-patch
+    C0 scheme the normal-derivative jump is O(1) and this test fails."""
+    rng = np.random.default_rng(77)
+    pts = rng.uniform(0, 1, size=(25, 2))
+    vals = np.sin(3 * pts[:, 0]) + pts[:, 1] ** 2  # smooth, non-quadratic
+    p, keep, lo, span, init = I._prepare(pts)
+    tri = I._triangulate(p, init)
+    edges = np.unique(
+        np.sort(tri[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2), axis=1), axis=0
+    )
+    a = p[edges[:, 0]] * span + lo
+    b = p[edges[:, 1]] * span + lo
+    # probe at 2 interior stations per edge, away from vertices
+    h = 1e-5
+    for t in (0.35, 0.65):
+        mid = a + t * (b - a)
+        nrm = np.column_stack([-(b - a)[:, 1], (b - a)[:, 0]])
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        grads = []
+        for side in (+1.0, -1.0):
+            base = mid + side * h * nrm  # just inside one neighbour
+            gxy = []
+            for d in (np.array([h, 0.0]), np.array([0.0, h])):
+                vp = I.cubic_interpolate(
+                    pts, vals, (base + d)[:, 0], (base + d)[:, 1]
+                )
+                vm = I.cubic_interpolate(
+                    pts, vals, (base - d)[:, 0], (base - d)[:, 1]
+                )
+                gxy.append((vp - vm) / (2 * h))
+            grads.append(np.column_stack(gxy))
+        gu, gd = grads
+        ok = np.isfinite(gu).all(1) & np.isfinite(gd).all(1)
+        assert ok.sum() > len(edges) / 2  # hull edges have a NaN side
+        scale = 1.0 + np.abs(gu[ok]).max()
+        np.testing.assert_allclose(gu[ok], gd[ok], atol=5e-3 * scale)
+
+
+def test_cubic_perpendicular_derivative_linear_along_edge():
+    """The reduction condition that defines the element: along each outer
+    edge the derivative in the edge-perpendicular direction is LINEAR in
+    the edge parameter (zero second difference over equispaced stations)."""
+    rng = np.random.default_rng(78)
+    pts = rng.uniform(0, 2, size=(12, 2))
+    vals = rng.normal(size=12)
+    p, keep, lo, span, init = I._prepare(pts)
+    tri = I._triangulate(p, init)
+    edges = np.unique(
+        np.sort(tri[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2), axis=1), axis=0
+    )
+    a = p[edges[:, 0]] * span + lo
+    b = p[edges[:, 1]] * span + lo
+    nrm = np.column_stack([-(b - a)[:, 1], (b - a)[:, 0]])
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    h = 1e-5
+    ts = np.linspace(0.2, 0.8, 5)
+    dn = []  # one-sided perpendicular derivative per station
+    for t in ts:
+        mid = a + t * (b - a)
+        # one-sided difference into the +nrm neighbour (edge value is the
+        # shared C0 limit, so (f(mid + h n) - f(mid)) / h is D_n + O(h))
+        v0 = I.cubic_interpolate(pts, vals, mid[:, 0], mid[:, 1])
+        v1 = I.cubic_interpolate(
+            pts, vals, (mid + h * nrm)[:, 0], (mid + h * nrm)[:, 1]
+        )
+        dn.append((v1 - v0) / h)
+    dn = np.column_stack(dn)  # (n_edges, 5)
+    ok = np.isfinite(dn).all(1)
+    assert ok.sum() >= 1
+    second = dn[ok][:, :-2] - 2 * dn[ok][:, 1:-1] + dn[ok][:, 2:]
+    scale = 1.0 + np.abs(dn[ok]).max()
+    np.testing.assert_allclose(second, 0.0, atol=2e-4 * scale)
+
+
+def test_cubic_matches_class_interface():
+    """TriangulatedField.cubic and cubic_interpolate are the same element."""
+    rng = np.random.default_rng(79)
+    pts = rng.uniform(0, 1, size=(30, 2))
+    vals = rng.normal(size=30)
+    q = rng.uniform(0.1, 0.9, size=(100, 2))
+    tf = I.TriangulatedField(pts[:, 0], pts[:, 1])
+    assert tf.ok
+    tf.locate(q[:, 0], q[:, 1])
+    got_tf = tf.cubic(vals)
+    got_fn = I.cubic_interpolate(pts, vals, q[:, 0], q[:, 1])
+    np.testing.assert_allclose(got_tf, got_fn, atol=1e-12, equal_nan=True)
+
+
 def test_cubic_continuous_across_edges():
     """C0 across shared edges: evaluating at points ON internal edges must
     agree with the limit from either side (sample pairs straddling the

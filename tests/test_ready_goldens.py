@@ -45,6 +45,28 @@ def test_gridding_reproduces_plane(method):
     assert np.allclose(out, expect, atol=1e-6), f"{method} deviates from plane"
 
 
+def test_cubic_matches_scipy_clough_tocher_nonaffine():
+    """Direct differential (activates when scipy appears): the numpy
+    reduced-CT element with Nielson gradients vs
+    scipy.interpolate.CloughTocher2DInterpolator on a NON-affine field.
+    Both implement the same uniquely-determined element (centroid split,
+    linear perpendicular derivative along outer edges, Nielson 1983
+    global gradients), so values must agree to iteration tolerance; in
+    general position the Delaunay triangulation is unique, so the
+    patches live on the same triangles."""
+    scipy_interp = pytest.importorskip("scipy.interpolate")
+    from oco3_data_transformer_spark.operators import interp as I
+
+    rng = np.random.default_rng(42)
+    pts = rng.uniform(0, 4, size=(60, 2))
+    v = np.sin(pts[:, 0]) * np.cos(0.7 * pts[:, 1]) + 0.1 * pts[:, 0] ** 2
+    q = rng.uniform(0.5, 3.5, size=(400, 2))
+    want = scipy_interp.CloughTocher2DInterpolator(pts, v)(q)
+    got = I.cubic_interpolate(pts, v, q[:, 0], q[:, 1])
+    assert np.isfinite(want).all() and np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
 def test_gridding_nan_outside_hull():
     # points confined to the lower-left quadrant; far corner is outside hull
     lon = np.array([0.0, 4.0, 0.0, 4.0, 2.0])
