@@ -5,10 +5,11 @@ opaque ``binary`` columns with typed metadata, processed with Arrow-batched
 Real image/audio libraries (PIL, ffmpeg, torchaudio) are not in this
 container, so codecs are implemented from their public specifications:
 'png' (this module), 'jpeg' baseline+progressive (operators/jpeglite.py),
-'wav' RIFF/WAVE PCM+float (this module), plus the trivially-deterministic
-'raw'/'pcm16'. Compressed audio ('mp3') and 'webp' raise
-``NotImplementedError`` at the decode boundary, nothing else changes;
-PIL is preferred for jpeg when importable.
+'webp' lossless VP8L (operators/webplite.py), 'wav' RIFF/WAVE PCM+float
+(this module), plus the trivially-deterministic 'raw'/'pcm16'. Compressed
+audio ('mp3') and lossy WebP (VP8) raise ``NotImplementedError`` at the
+decode boundary, nothing else changes; PIL is preferred for jpeg/webp
+when importable.
 
 Design notes for 100 TB of blobs:
   - blobs never pass through a shuffle: decode → feature/resize → encode all
@@ -180,12 +181,14 @@ def png_decode(payload: bytes) -> np.ndarray:
 
 
 def decode_image(codec: str, payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
-    """Decode one blob to (H, W, C) uint8. 'raw', 'png', and 'jpeg'
-    (baseline SOF0 and progressive SOF2) decode wheel-free ('png' via
-    the from-spec codec above, 'jpeg' via operators/jpeglite.py; PIL
-    preferred for jpeg when importable); other codecs (webp,
-    arithmetic-coded jpeg) genuinely need an image library and plug in
-    behind the same signature when one is importable."""
+    """Decode one blob to (H, W, C) uint8. 'raw', 'png', 'jpeg'
+    (baseline SOF0 and progressive SOF2) and lossless 'webp' (VP8L)
+    decode wheel-free ('png' via the from-spec codec above, 'jpeg' via
+    operators/jpeglite.py, 'webp' via operators/webplite.py; PIL
+    preferred for jpeg/webp when importable); the remaining codecs
+    (lossy VP8 webp, arithmetic-coded jpeg) genuinely need an image
+    library and plug in behind the same signature when one is
+    importable."""
     if codec == "raw":
         arr = np.frombuffer(payload, dtype=np.uint8)
         return arr.reshape(height, width, channels)
@@ -203,9 +206,22 @@ def decode_image(codec: str, payload: bytes, width: int, height: int, channels: 
             from .jpeglite import jpeg_decode
 
             return jpeg_decode(payload)
+    if codec == "webp":
+        try:  # pragma: no cover - optional dependency preferred
+            import io as _io
+
+            from PIL import Image  # type: ignore
+
+            arr = np.asarray(Image.open(_io.BytesIO(payload)))
+            return arr[:, :, None] if arr.ndim == 2 else arr
+        except ImportError:
+            from .webplite import webp_decode
+
+            rgba = webp_decode(payload)
+            return rgba[:, :, :channels] if channels in (1, 3) else rgba
     raise NotImplementedError(
         f"codec {codec!r} needs an image library not present in this "
-        "container; 'raw', 'png' and baseline 'jpeg' decode here"
+        "container; 'raw', 'png', 'jpeg' and lossless 'webp' decode here"
     )
 
 
@@ -218,6 +234,10 @@ def encode_image(arr: np.ndarray, codec: str = "raw") -> bytes:
         from .jpeglite import jpeg_encode
 
         return jpeg_encode(arr)
+    if codec == "webp":
+        from .webplite import webp_encode
+
+        return webp_encode(arr)
     raise NotImplementedError(f"codec {codec!r} not available")
 
 

@@ -87,6 +87,27 @@ def test_wav_roundtrip_property(n, ch, bits, seed):
     assert np.abs(got - x).max() <= tol
 
 
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    ch=st.sampled_from([1, 3, 4]),
+    cardinality=st.sampled_from([2, 7, 256]),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_webp_lossless_roundtrip_property(h, w, ch, cardinality, seed):
+    """VP8L is lossless: decode(encode(x)) == x bit-exactly for any shape,
+    channel count, and value cardinality (low-cardinality images exercise
+    the simple-code and degenerate code-length-code paths)."""
+    from oco3_data_transformer_spark.operators import webplite as W
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, cardinality, size=(h, w, ch)).astype(np.uint8)
+    dec = W.webp_decode(W.webp_encode(a))
+    back = dec[:, :, :ch] if ch in (1, 3) else dec
+    assert np.array_equal(back, a)
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     h=st.integers(1, 40),
