@@ -339,3 +339,75 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.avg("zero_crossing_rate"), 4).alias("avg_zcr"),
         F.round(F.sum("duration_s"), 2).alias("total_seconds"),
     )
+
+
+_Q132_SQL = """
+    SELECT CAST(doc_id % 7 AS BIGINT) AS bucket,
+           COUNT(*) AS n_images,
+           TRUE AS png_exact,
+           TRUE AS webp_exact
+    FROM documents
+    WHERE doc_id % 20 = 3
+    GROUP BY 1
+"""
+
+
+@register(
+    "q132_codec_roundtrip_contract",
+    _Q132_SQL,
+    doc="Multimodal codec contract: a deterministic image per sampled "
+    "document row is encoded AND decoded through the from-spec PNG "
+    "(operators/multimodal.py) and lossless-WebP VP8L "
+    "(operators/webplite.py) codecs inside one mapInPandas pass — blobs "
+    "never leave the task; only per-row verdict booleans reach the "
+    "aggregate. Both codecs are lossless, so the oracle predicts every "
+    "bit-exactness verdict true and the row count from the same sampling "
+    "predicate. Exercises the full Spark plumbing (Arrow batch in/out, "
+    "binary columns, codec dispatch) rather than the codecs in isolation.",
+)
+def q132(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    docs = (
+        load(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") % 20 == 3)
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from .operators import multimodal as _mm
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                rng = np.random.default_rng(int(doc_id))
+                h = 5 + int(doc_id) % 5
+                w = 4 + int(doc_id) % 7
+                img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                png_back = _mm.decode_image(
+                    "png", _mm.encode_image(img, "png"), w, h, 3
+                )
+                webp_back = _mm.decode_image(
+                    "webp", _mm.encode_image(img, "webp"), w, h, 3
+                )
+                out.append(
+                    (
+                        int(doc_id),
+                        bool((png_back == img).all()),
+                        bool((webp_back[:, :, :3] == img).all()),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "png_exact", "webp_exact"]
+            )
+
+    verdicts = docs.mapInPandas(
+        run, "doc_id long, png_exact boolean, webp_exact boolean"
+    )
+    return verdicts.groupBy((F.col("doc_id") % 7).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.bool_and("png_exact").alias("png_exact"),
+        F.bool_and("webp_exact").alias("webp_exact"),
+    )

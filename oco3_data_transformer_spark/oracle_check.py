@@ -139,6 +139,12 @@ QUERY_GROUPS: dict[str, list[str]] = {
     ],
     "round8": [
         "q131_zarr_roundtrip",
+        "q132_codec_roundtrip_contract",
+        # round-8 kernel change: cubic is now the reduced Clough-Tocher
+        # element — re-gate the gridding contracts
+        "q126_grid_linear_kernel",
+        "q130_grid_cubic_kernel",
+        "q41_grid_kernel",
         # round-8 plan changes to pre-existing queries, re-gated here:
         # climatology_spans rewrote to a day-level pre-aggregate
         "q20_climatology_monthly",
