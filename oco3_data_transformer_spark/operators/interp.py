@@ -236,22 +236,30 @@ def delaunay(points: np.ndarray) -> np.ndarray:
 
 
 def _locate(p: np.ndarray, tri: np.ndarray, qxn: np.ndarray, qyn: np.ndarray):
-    """Chunked point location: for each query return (found, tri_index,
-    l1, l2, l3) — the containing triangle (first hit, with
-    ``_EPS_INSIDE`` slack) and its barycentric coordinates.
+    """Grid-bucketed point location: for each query return (found,
+    tri_index, l1, l2, l3) — the SMALLEST-INDEX containing triangle
+    (with ``_EPS_INSIDE`` slack) and its barycentric coordinates.
 
-    Mesh queries arrive row-major, so each chunk spans a narrow lat/lon
-    band — a per-chunk triangle BOUNDING-BOX prefilter cuts the
-    candidate set to the band's triangles (a large mesh over a large
-    triangulation otherwise costs |cells|·|tris| barycentric evals; with
-    the prefilter it is ~|cells|·|band|, the walk-free analog of a
-    spatial index)."""
+    Triangles are binned by bounding box into a ~sqrt(nt) x sqrt(nt)
+    uniform grid (CSR layout); each query tests only its own cell's
+    candidates, all in flat vectorized pair lists. For a Delaunay
+    triangulation of n near-uniform points the expected candidate count
+    per query is O(1), so total work is O(nt + nq) — versus the
+    O(nq·|band|) of the previous chunked bounding-box prefilter, which
+    made reference-scale global meshes (3600x1800 over large granule
+    clouds) location-bound. The winner rule (lowest triangle index among
+    containing triangles, identical eps and barycentric math) is
+    unchanged, so outputs are bit-identical to the previous
+    implementation."""
     nq = len(qxn)
+    nt = len(tri)
     found = np.zeros(nq, dtype=bool)
     ti_out = np.zeros(nq, dtype=np.int64)
     l1o = np.empty(nq)
     l2o = np.empty(nq)
     l3o = np.empty(nq)
+    if nt == 0 or nq == 0:
+        return found, ti_out, l1o, l2o, l3o
     A, B, C = p[tri[:, 0]], p[tri[:, 1]], p[tri[:, 2]]
     det_all = (B[:, 1] - C[:, 1]) * (A[:, 0] - C[:, 0]) + (C[:, 0] - B[:, 0]) * (
         A[:, 1] - C[:, 1]
@@ -261,34 +269,67 @@ def _locate(p: np.ndarray, tri: np.ndarray, qxn: np.ndarray, qyn: np.ndarray):
     tys = np.stack([A[:, 1], B[:, 1], C[:, 1]])
     tminx, tmaxx = txs.min(0) - _EPS_INSIDE, txs.max(0) + _EPS_INSIDE
     tminy, tmaxy = tys.min(0) - _EPS_INSIDE, tys.max(0) + _EPS_INSIDE
-    chunk = max(16, 4_000_000 // max(1, len(tri)))
-    for s in range(0, nq, chunk):
-        e = min(s + chunk, nq)
-        cqx, cqy = qxn[s:e], qyn[s:e]
-        cand = np.nonzero(
-            (tminx <= cqx.max()) & (tmaxx >= cqx.min())
-            & (tminy <= cqy.max()) & (tmaxy >= cqy.min())
-        )[0]
-        if len(cand) == 0:
-            continue
-        a, b, c = A[cand], B[cand], C[cand]
-        det = det_all[cand]
-        dx = cqx[:, None] - c[None, :, 0]
-        dy = cqy[:, None] - c[None, :, 1]
-        l1 = ((b[:, 1] - c[:, 1])[None, :] * dx + (c[:, 0] - b[:, 0])[None, :] * dy) / det
-        l2 = ((c[:, 1] - a[:, 1])[None, :] * dx + (a[:, 0] - c[:, 0])[None, :] * dy) / det
-        l3 = 1.0 - l1 - l2
-        inside = (
-            (l1 >= -_EPS_INSIDE) & (l2 >= -_EPS_INSIDE) & (l3 >= -_EPS_INSIDE)
-        )
-        has = inside.any(axis=1)
-        ti = inside.argmax(axis=1)
-        rows = np.arange(e - s)
-        found[s:e] = has
-        ti_out[s:e] = cand[ti]
-        l1o[s:e] = l1[rows, ti]
-        l2o[s:e] = l2[rows, ti]
-        l3o[s:e] = l3[rows, ti]
+    # --- build the uniform grid over the triangulation's bbox ---------
+    G = int(np.clip(np.sqrt(nt), 2, 512))
+    gx0, gx1 = float(tminx.min()), float(tmaxx.max())
+    gy0, gy1 = float(tminy.min()), float(tmaxy.max())
+    sx = G / max(gx1 - gx0, 1e-300)
+    sy = G / max(gy1 - gy0, 1e-300)
+    cx0 = np.clip(((tminx - gx0) * sx).astype(np.int64), 0, G - 1)
+    cx1 = np.clip(((tmaxx - gx0) * sx).astype(np.int64), 0, G - 1)
+    cy0 = np.clip(((tminy - gy0) * sy).astype(np.int64), 0, G - 1)
+    cy1 = np.clip(((tmaxy - gy0) * sy).astype(np.int64), 0, G - 1)
+    w = cx1 - cx0 + 1
+    hgt = cy1 - cy0 + 1
+    ncells = w * hgt  # cells each triangle's bbox spans
+    total = int(ncells.sum())
+    tri_rep = np.repeat(np.arange(nt), ncells)
+    k = np.arange(total) - np.repeat(np.concatenate([[0], np.cumsum(ncells)[:-1]]), ncells)
+    wk = np.repeat(w, ncells)
+    cell = (np.repeat(cx0, ncells) + k % wk) + G * (np.repeat(cy0, ncells) + k // wk)
+    order = np.argsort(cell, kind="stable")  # stable keeps tri index ascending
+    cell_sorted = cell[order]
+    tri_sorted = tri_rep[order]
+    counts = np.bincount(cell_sorted, minlength=G * G)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    # --- expand (query, candidate) pairs -------------------------------
+    qcx = np.clip(((qxn - gx0) * sx).astype(np.int64), 0, G - 1)
+    qcy = np.clip(((qyn - gy0) * sy).astype(np.int64), 0, G - 1)
+    qcell = qcx + G * qcy
+    qcounts = counts[qcell]
+    qtotal = int(qcounts.sum())
+    if qtotal == 0:
+        return found, ti_out, l1o, l2o, l3o
+    q_rep = np.repeat(np.arange(nq), qcounts)
+    within = np.arange(qtotal) - np.repeat(
+        np.concatenate([[0], np.cumsum(qcounts)[:-1]]), qcounts
+    )
+    t_idx = tri_sorted[np.repeat(offsets[qcell], qcounts) + within]
+    # --- barycentric test on the flat pair list ------------------------
+    a, b, c = A[t_idx], B[t_idx], C[t_idx]
+    det = det_all[t_idx]
+    dx = qxn[q_rep] - c[:, 0]
+    dy = qyn[q_rep] - c[:, 1]
+    l1 = ((b[:, 1] - c[:, 1]) * dx + (c[:, 0] - b[:, 0]) * dy) / det
+    l2 = ((c[:, 1] - a[:, 1]) * dx + (a[:, 0] - c[:, 0]) * dy) / det
+    l3 = 1.0 - l1 - l2
+    inside = (l1 >= -_EPS_INSIDE) & (l2 >= -_EPS_INSIDE) & (l3 >= -_EPS_INSIDE)
+    best = np.full(nq, nt, dtype=np.int64)
+    np.minimum.at(best, q_rep[inside], t_idx[inside])
+    found = best < nt
+    # recompute barycentrics for winners only (nq ops, avoids carrying
+    # per-pair results through the reduction)
+    wi = best[found]
+    a, b, c = A[wi], B[wi], C[wi]
+    det = det_all[wi]
+    dx = qxn[found] - c[:, 0]
+    dy = qyn[found] - c[:, 1]
+    w1 = ((b[:, 1] - c[:, 1]) * dx + (c[:, 0] - b[:, 0]) * dy) / det
+    w2 = ((c[:, 1] - a[:, 1]) * dx + (a[:, 0] - c[:, 0]) * dy) / det
+    ti_out[found] = wi
+    l1o[found] = w1
+    l2o[found] = w2
+    l3o[found] = 1.0 - w1 - w2
     return found, ti_out, l1o, l2o, l3o
 
 

@@ -222,6 +222,57 @@ def test_cubic_interpolates_vertex_values():
     np.testing.assert_allclose(got, vals, atol=1e-5)
 
 
+def _brute_locate(p, tri, qx, qy):
+    """Reference point location: test EVERY triangle per query, winner is
+    the smallest containing index — the contract _locate's grid index
+    must reproduce bit-for-bit (same eps, same barycentric formula)."""
+    A, B, C = p[tri[:, 0]], p[tri[:, 1]], p[tri[:, 2]]
+    det = (B[:, 1] - C[:, 1]) * (A[:, 0] - C[:, 0]) + (C[:, 0] - B[:, 0]) * (
+        A[:, 1] - C[:, 1]
+    )
+    det = np.where(det == 0.0, np.nan, det)
+    nq = len(qx)
+    found = np.zeros(nq, bool)
+    ti = np.zeros(nq, np.int64)
+    l1o, l2o, l3o = np.empty(nq), np.empty(nq), np.empty(nq)
+    for i in range(nq):
+        dx, dy = qx[i] - C[:, 0], qy[i] - C[:, 1]
+        l1 = ((B[:, 1] - C[:, 1]) * dx + (C[:, 0] - B[:, 0]) * dy) / det
+        l2 = ((C[:, 1] - A[:, 1]) * dx + (A[:, 0] - C[:, 0]) * dy) / det
+        l3 = 1.0 - l1 - l2
+        ok = (
+            (l1 >= -I._EPS_INSIDE) & (l2 >= -I._EPS_INSIDE) & (l3 >= -I._EPS_INSIDE)
+        )
+        idx = np.nonzero(ok)[0]
+        if len(idx):
+            t = idx.min()
+            found[i], ti[i] = True, t
+            l1o[i], l2o[i], l3o[i] = l1[t], l2[t], l3[t]
+    return found, ti, l1o, l2o, l3o
+
+
+def test_grid_bucketed_locate_matches_brute_force():
+    """The grid-bucketed _locate is an INDEX, not a new algorithm: found
+    mask, winning triangle, and barycentrics must all be bit-identical to
+    testing every triangle."""
+    rng = np.random.default_rng(31)
+    for _ in range(6):
+        n = int(rng.integers(5, 250))
+        pts = rng.uniform(0, 1, size=(n, 2))
+        p, keep, lo, span, init = I._prepare(pts)
+        tri = I._triangulate(p, init)
+        if len(tri) == 0:
+            continue
+        q = rng.uniform(-0.2, 1.2, size=(400, 2))
+        got = I._locate(p, tri, q[:, 0], q[:, 1])
+        want = _brute_locate(p, tri, q[:, 0], q[:, 1])
+        np.testing.assert_array_equal(got[0], want[0])
+        m = got[0]
+        np.testing.assert_array_equal(got[1][m], want[1][m])
+        for k in (2, 3, 4):
+            np.testing.assert_array_equal(got[k][m], want[k][m])
+
+
 def test_cubic_c1_across_macro_edges():
     """GLOBAL C1 (the Clough-Tocher property): the numerical gradient of
     the interpolant, estimated by central differences at points ON shared
