@@ -90,6 +90,8 @@ SF1_GATE_EXEMPT = {
     "+0.06 s across a 10x data growth (r6 BENCH_DETAIL)",
     "q115_ivfpq_knn": "PQ/ADC scan is Arrow-batched numpy kernels vs "
     "DuckDB's native columnar loop at a fixture that still fits its "
-    "cache; sf1 ratio ~2.2x with a falling trajectory at the 100x leg "
-    "(BENCH_SF10.json) — same inversion family as q40",
+    "cache; sf1 ratio ~2.2x, and the 100x leg PROVES the inversion: the "
+    "oracle leg was aborted after 5100 s wall vs spark's 121 s "
+    "(BENCH_SF10.json duckdb_skipped → ratio < 0.024 as a bound) — same "
+    "inversion family as q40",
 }
