@@ -190,14 +190,16 @@ _Q130_SQL = _Q126_SQL.replace("TRUE AS lin_ok", "TRUE AS cubic_ok")
     "(tests/test_delaunay.py::test_nielson_gradients_exact_for_affine), so "
     "the cubic interpolant reproduces the plane exactly and the oracle "
     "predicts every |interp − plane| <= 1e-6 verdict true; non-affine "
-    "behaviour (global C1 continuity, linear perpendicular derivative "
-    "along outer edges, quadratic precision with exact gradients) is "
-    "pinned by the kernel property suite. Since round 8 the kernel IS "
-    "the reduced Clough-Tocher split element the reference's scipy path "
-    "evaluates (same Nielson gradients, centroid split, linear-normal-"
-    "derivative reduction — uniquely determined, so values match scipy "
-    "up to float rounding); bit-parity stays unverifiable without the "
-    "wheel, so allow_fallback=False still raises. "
+    "behaviour (affine invariance, median-transversal linear derivative, "
+    "quadratic precision with exact gradients, C1 at vertices/internal "
+    "edges) is pinned by the kernel property suite. Since round 9 the "
+    "kernel evaluates Powell's affine-invariant g=-1/2 reduced CT "
+    "element with scipy's exact interpnd formulas (round 8 had used the "
+    "edge-perpendicular reduction, which is globally C1 but NOT "
+    "affine-invariant and hence NOT scipy's element — ADVICE r8 high); "
+    "values match scipy to float rounding, bit-parity stays "
+    "unverifiable without the wheel, so allow_fallback=False still "
+    "raises. "
     "ref processors/OCO3SamProcessor.py:161-182 (griddata method='cubic').",
 )
 def q130(spark: SparkSession, sf: str) -> DataFrame:

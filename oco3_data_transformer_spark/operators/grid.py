@@ -15,9 +15,10 @@ Spark-first design:
     distance in lon/lat space, matching scipy's KD-tree result up to ties).
   - 'linear' runs a pure-numpy Delaunay + barycentric kernel
     (operators/interp.py) that reproduces scipy.griddata(method='linear')
-    semantics — no scipy needed. 'cubic' (Clough-Tocher C1) still needs
-    scipy; absent here it falls back to 'linear' when ``allow_fallback``
-    else raises NotImplementedError.
+    semantics — no scipy needed. 'cubic' uses scipy's Clough-Tocher when
+    importable, else the pure-numpy implementation of the same element
+    (Powell's affine-invariant reduction, interp.cubic_griddata) when
+    ``allow_fallback`` else raises NotImplementedError.
   - the footprint mask (G6/J4) is a bbox range-join prefilter in pure
     DataFrame ops + an exact numpy refine (operators/geometry.py) in an
     Arrow-batched pandas UDF.
@@ -108,10 +109,11 @@ def grid_points(
             raise NotImplementedError(
                 "bit-verified scipy 'cubic' needs the scipy wheel; pass "
                 "allow_fallback=True for the numpy implementation of the "
-                "same reduced Clough-Tocher C1 element (Nielson gradients, "
-                "centroid split, linear-perpendicular-derivative reduction "
-                "— operators/interp.cubic_griddata; expected to match scipy "
-                "to float rounding, but parity is unverifiable without the "
+                "same reduced Clough-Tocher element (Nielson gradients, "
+                "centroid split, Powell's affine-invariant g=-1/2 "
+                "reduction — scipy's exact interpnd formulas, "
+                "operators/interp.cubic_griddata; matches scipy to float "
+                "rounding, but bit-parity is unverifiable without the "
                 "wheel: skip-gated differential in tests/test_ready_goldens)"
             )
         from .interp import cubic_griddata

@@ -56,6 +56,7 @@ _EPS_ORIENT = 1e-12  # on-line band for visibility tests (normalized coords)
 _JITTER = 1e-9  # symbolic-style perturbation (normalized coords)
 _EPS_COLLINEAR = 1e-9  # pre-jitter degenerate-input gate (normalized)
 _EPS_INSIDE = 1e-6  # barycentric inside-slack (normalized; covers jitter)
+_LOCATE_PAIR_CAP = 4_000_000  # max (query, candidate) pairs per _locate block
 
 
 def _circumcircles(a: np.ndarray, b: np.ndarray, c: np.ndarray):
@@ -297,25 +298,42 @@ def _locate(p: np.ndarray, tri: np.ndarray, qxn: np.ndarray, qyn: np.ndarray):
     qcy = np.clip(((qyn - gy0) * sy).astype(np.int64), 0, G - 1)
     qcell = qcx + G * qcy
     qcounts = counts[qcell]
-    qtotal = int(qcounts.sum())
+    cum = np.concatenate([[0], np.cumsum(qcounts)])
+    qtotal = int(cum[-1])
     if qtotal == 0:
         return found, ti_out, l1o, l2o, l3o
-    q_rep = np.repeat(np.arange(nq), qcounts)
-    within = np.arange(qtotal) - np.repeat(
-        np.concatenate([[0], np.cumsum(qcounts)[:-1]]), qcounts
-    )
-    t_idx = tri_sorted[np.repeat(offsets[qcell], qcounts) + within]
-    # --- barycentric test on the flat pair list ------------------------
-    a, b, c = A[t_idx], B[t_idx], C[t_idx]
-    det = det_all[t_idx]
-    dx = qxn[q_rep] - c[:, 0]
-    dy = qyn[q_rep] - c[:, 1]
-    l1 = ((b[:, 1] - c[:, 1]) * dx + (c[:, 0] - b[:, 0]) * dy) / det
-    l2 = ((c[:, 1] - a[:, 1]) * dx + (a[:, 0] - c[:, 0]) * dy) / det
-    l3 = 1.0 - l1 - l2
-    inside = (l1 >= -_EPS_INSIDE) & (l2 >= -_EPS_INSIDE) & (l3 >= -_EPS_INSIDE)
+    # --- barycentric test, chunked over the query axis -----------------
+    # The flat pair list costs ~7 float64 temporaries per pair; capping
+    # each block at _LOCATE_PAIR_CAP pairs bounds peak memory (~250 MB)
+    # independent of mesh size or triangulation skew (sliver-heavy
+    # clouds can push pairs-per-query far above the O(1) expectation).
+    # Results are bit-identical to one flat pass: the winner rule is a
+    # per-query minimum and blocks never split a query's candidates.
     best = np.full(nq, nt, dtype=np.int64)
-    np.minimum.at(best, q_rep[inside], t_idx[inside])
+    start = 0
+    while start < nq:
+        end = int(np.searchsorted(cum, cum[start] + _LOCATE_PAIR_CAP, "right")) - 1
+        end = min(max(end, start + 1), nq)
+        qc = qcounts[start:end]
+        tot = int(cum[end] - cum[start])
+        start0 = start
+        start = end
+        if tot == 0:
+            continue
+        q_rep = np.repeat(np.arange(start0, end), qc)
+        within = np.arange(tot) - np.repeat(cum[start0:end] - cum[start0], qc)
+        t_idx = tri_sorted[np.repeat(offsets[qcell[start0:end]], qc) + within]
+        a, b, c = A[t_idx], B[t_idx], C[t_idx]
+        det = det_all[t_idx]
+        dx = qxn[q_rep] - c[:, 0]
+        dy = qyn[q_rep] - c[:, 1]
+        l1 = ((b[:, 1] - c[:, 1]) * dx + (c[:, 0] - b[:, 0]) * dy) / det
+        l2 = ((c[:, 1] - a[:, 1]) * dx + (a[:, 0] - c[:, 0]) * dy) / det
+        l3 = 1.0 - l1 - l2
+        inside = (
+            (l1 >= -_EPS_INSIDE) & (l2 >= -_EPS_INSIDE) & (l3 >= -_EPS_INSIDE)
+        )
+        np.minimum.at(best, q_rep[inside], t_idx[inside])
     found = best < nt
     # recompute barycentrics for winners only (nq ops, avoids carrying
     # per-pair results through the reduction)
@@ -422,44 +440,47 @@ def cubic_interpolate(
     qx: np.ndarray,
     qy: np.ndarray,
     gradients: np.ndarray | None = None,
+    element: str = "scipy",
 ) -> np.ndarray:
-    """Piecewise-CUBIC scattered-data interpolation: the reduced
-    Clough-Tocher (HCT) C1 element on the Delaunay triangulation, with
-    Nielson-estimated (or supplied) vertex gradients — the same element
-    scipy's CloughTocher2DInterpolator evaluates (ref
-    processors/OCO3SamProcessor.py:161-182 executes scipy's CT). NaN
-    outside the convex hull.
+    """Piecewise-CUBIC scattered-data interpolation: a reduced
+    Clough-Tocher element on the Delaunay triangulation, with
+    Nielson-estimated (or supplied) vertex gradients. NaN outside the
+    convex hull. (Ref processors/OCO3SamProcessor.py:161-182 executes
+    scipy's griddata cubic = CloughTocher2DInterpolator.)
 
-    Construction (Clough-Tocher 1965; Farin 1986, "Triangular
+    Shared construction (Clough-Tocher 1965; Farin 1986, "Triangular
     Bernstein-Bézier patches"): each macro-triangle (V1,V2,V3) is split
     at the centroid Vc into three cubic Bézier mini-patches. The 12 dofs
     are vertex values+gradients (9) plus one cross-derivative per outer
-    edge (3), fixed by the reduction condition that the derivative in
-    the direction PERPENDICULAR to each outer edge varies LINEARLY
-    along that edge. All control ordinates are then explicit:
+    edge (3), fixed by a reduction condition: the derivative in a chosen
+    TRANSVERSAL direction w varies LINEARLY along each outer edge. The
+    reduced-CT family is parametrized by that direction, and the two
+    classically sensible choices trade off exact smoothness against
+    affine invariance — you cannot have both (within the affine-covariant
+    family w = median + g·edge, the cross-macro-edge normal-derivative
+    matching condition fails for every g; only the edge NORMAL satisfies
+    it, and the normal is not affine-covariant):
 
-      e_ij = f_i + (V_j−V_i)·g_i/3              (outer-edge ring)
-      a_i  = f_i + (Vc −V_i)·g_i/3              (internal-edge ring 1)
-      s_k  = [δu(f_i−2e_ij+e_ji) + δv(e_ij−2e_ji+f_j) + δw(a_i+a_j)]
-             / (2 δw)                           (mini-k interior, from
-             the linear-⊥-derivative condition on edge V_iV_j, with
-             (δu,δv,δw) = ((Vc−V_j)·e, (V_i−Vc)·e, e·e), e = V_j−V_i
-             — the barycentric components of the edge perpendicular,
-             scale/sign-free because the formula is 0-homogeneous in δ)
-      q_i  = (a_i + s_j + s_k)/3                (internal-edge ring 2,
-             C1 across internal edge V_i–Vc)
-      c0   = (q1+q2+q3)/3                       (centroid ordinate)
+    - ``element="scipy"`` (default — the reference-parity element):
+      Powell's affine-invariant choice, w = the median direction
+      (g1=g2=g3=-1/2 in scipy's ``interpnd.pyx _clough_tocher_2d_single``
+      parametrization). Identical formulas to scipy, so fallback output
+      matches scipy's CloughTocher2DInterpolator to float rounding
+      (skip-gated differential in tests/test_ready_goldens.py).
+      Affine-invariant (no oscillation blow-up on sliver triangles —
+      scipy's stated reason for rejecting the normal), C1 at vertices
+      and across the three internal edges, exactly C1 across macro
+      edges only where the edge restriction is quadratic (e.g. global
+      quadratic fields); elsewhere the cross-edge normal derivative has
+      a bounded O(h·curvature) jump — a property scipy's element shares
+      by construction even though its docstring says "C1".
+    - ``element="c1"``: the textbook reduced-HCT choice, w = edge
+      perpendicular. Globally exactly C1 (test_delaunay pins it), but
+      NOT affine-invariant and known to oscillate on high-aspect
+      slivers; diverges from scipy on non-quadratic data.
 
-    Because the edge restriction (cubic Hermite in f,g of the two
-    endpoints) and the linear perpendicular derivative (endpoint values
-    n·g_i) are both determined by SHARED data, adjacent macro-triangles
-    agree to first order: the interpolant is globally C1
-    (test_delaunay asserts this numerically), reproduces quadratics
-    given exact gradients, and interpolates values and gradients at the
-    vertices. With the same Nielson gradients these properties determine
-    the element uniquely, so values match scipy's CT up to float
-    rounding; bit-level parity stays unverifiable without the wheel
-    (skip-gated differential in tests/test_ready_goldens.py)."""
+    Both reproduce quadratics exactly given exact gradients and
+    interpolate values and gradients at the vertices."""
     values = np.asarray(values, dtype=np.float64)
     qx = np.asarray(qx, dtype=np.float64)
     qy = np.asarray(qy, dtype=np.float64)
@@ -482,7 +503,7 @@ def cubic_interpolate(
     qyn = (qy - lo[1]) / span
     loc = _locate(p, tri, qxn, qyn)
     found = loc[0]
-    res = _ct_eval(p, tri, vals, g, loc)
+    res = _ct_eval(p, tri, vals, g, loc, element)
     out[found] = res[found]
     return out
 
@@ -493,11 +514,17 @@ def _ct_eval(
     vals: np.ndarray,
     g: np.ndarray,
     loc: tuple,
+    element: str = "scipy",
 ) -> np.ndarray:
-    """Evaluate the reduced Clough-Tocher element (see
-    :func:`cubic_interpolate` for the construction) at located queries.
+    """Evaluate a reduced Clough-Tocher element (see
+    :func:`cubic_interpolate` for the construction and the
+    scipy-vs-c1 element choice) at located queries.
     `loc` is :func:`_locate` output; entries where found=False carry
     garbage and must be masked by the caller."""
+    if element == "scipy":
+        return _ct_eval_scipy(p, tri, vals, g, loc)
+    if element != "c1":
+        raise ValueError(f"unknown CT element {element!r}")
     found, ti, l1, l2, l3 = loc
     # --- per-triangle control net (vectorized over triangles) --------
     P = p[tri]  # (nt, 3, 2) corner positions
@@ -555,16 +582,111 @@ def _ct_eval(
     )
 
 
+def _ct_eval_scipy(
+    p: np.ndarray,
+    tri: np.ndarray,
+    vals: np.ndarray,
+    g: np.ndarray,
+    loc: tuple,
+) -> np.ndarray:
+    """Powell's affine-invariant reduced CT element — the element scipy's
+    ``interpnd.pyx _clough_tocher_2d_single`` evaluates, vectorized over
+    the located (query, triangle) pairs. Same arithmetic as scipy:
+    condensed 4-index Bernstein coefficients c_{ijkl} (l ↔ the centroid
+    split vertex), interior coefficients from the g=-1/2 linearity
+    condition (derivative along the MEDIAN direction linear along each
+    outer edge — re-derived independently in round 9 and confirmed
+    identical to scipy's published formulas), evaluation via the
+    extended-barycentric trick b'=(b−min(b), 3·min(b)) which selects the
+    containing mini-patch implicitly."""
+    found, ti, l1, l2, l3 = loc
+    P = p[tri]  # (nt, 3, 2)
+    F = vals[tri]  # (nt, 3)
+    G = g[tri]  # (nt, 3, 2)
+    f1, f2, f3 = F[:, 0], F[:, 1], F[:, 2]
+    e12 = P[:, 1] - P[:, 0]
+    e23 = P[:, 2] - P[:, 1]
+    e31 = P[:, 0] - P[:, 2]
+    df12 = (G[:, 0] * e12).sum(-1)
+    df21 = -(G[:, 1] * e12).sum(-1)
+    df23 = (G[:, 1] * e23).sum(-1)
+    df32 = -(G[:, 2] * e23).sum(-1)
+    df31 = (G[:, 2] * e31).sum(-1)
+    df13 = -(G[:, 0] * e31).sum(-1)
+    c3000 = f1
+    c2100 = (df12 + 3.0 * f1) / 3.0
+    c2010 = (df13 + 3.0 * f1) / 3.0
+    c0300 = f2
+    c1200 = (df21 + 3.0 * f2) / 3.0
+    c0210 = (df23 + 3.0 * f2) / 3.0
+    c0030 = f3
+    c1020 = (df31 + 3.0 * f3) / 3.0
+    c0120 = (df32 + 3.0 * f3) / 3.0
+    c2001 = (c2100 + c2010 + c3000) / 3.0
+    c0201 = (c1200 + c0300 + c0210) / 3.0
+    c0021 = (c1020 + c0120 + c0030) / 3.0
+    # interior coefficients: D_w u linear along each outer edge, with
+    # w = e_toward_centroid + g·e_edge and g = -1/2 (the median) — the
+    # affine-invariant choice (scipy's comment rejects the edge normal
+    # as oscillation-prone on narrow triangles)
+    gg = -0.5
+    c0111 = (
+        gg * (-c0300 + 3.0 * c0210 - 3.0 * c0120 + c0030)
+        + (-c0300 + 2.0 * c0210 - c0120 + c0021 + c0201)
+    ) / 2.0
+    c1011 = (
+        gg * (-c0030 + 3.0 * c1020 - 3.0 * c2010 + c3000)
+        + (-c0030 + 2.0 * c1020 - c2010 + c2001 + c0021)
+    ) / 2.0
+    c1101 = (
+        gg * (-c3000 + 3.0 * c2100 - 3.0 * c1200 + c0300)
+        + (-c3000 + 2.0 * c2100 - c1200 + c2001 + c0201)
+    ) / 2.0
+    c1002 = (c2001 + c1101 + c1011) / 3.0
+    c0102 = (c1101 + c0201 + c0111) / 3.0
+    c0012 = (c1011 + c0111 + c0021) / 3.0
+    c0003 = (c1002 + c0102 + c0012) / 3.0
+    # extended barycentric coordinates pick the mini-patch implicitly
+    mn = np.minimum(np.minimum(l1, l2), l3)
+    b1 = l1 - mn
+    b2 = l2 - mn
+    b3 = l3 - mn
+    b4 = 3.0 * mn
+    t = ti
+    return (
+        b1**3 * c3000[t]
+        + 3.0 * b1**2 * b2 * c2100[t]
+        + 3.0 * b1**2 * b3 * c2010[t]
+        + 3.0 * b1**2 * b4 * c2001[t]
+        + 3.0 * b1 * b2**2 * c1200[t]
+        + 6.0 * b1 * b2 * b4 * c1101[t]
+        + 3.0 * b1 * b3**2 * c1020[t]
+        + 6.0 * b1 * b3 * b4 * c1011[t]
+        + 3.0 * b1 * b4**2 * c1002[t]
+        + b2**3 * c0300[t]
+        + 3.0 * b2**2 * b3 * c0210[t]
+        + 3.0 * b2**2 * b4 * c0201[t]
+        + 3.0 * b2 * b3**2 * c0120[t]
+        + 6.0 * b2 * b3 * b4 * c0111[t]
+        + 3.0 * b2 * b4**2 * c0102[t]
+        + b3**3 * c0030[t]
+        + 3.0 * b3**2 * b4 * c0021[t]
+        + 3.0 * b3 * b4**2 * c0012[t]
+        + b4**3 * c0003[t]
+    )
+
+
 def cubic_griddata(
     pts_lon: np.ndarray,
     pts_lat: np.ndarray,
     values: np.ndarray,
     mesh_lon: np.ndarray,
     mesh_lat: np.ndarray,
+    element: str = "scipy",
 ) -> np.ndarray:
     """griddata(method='cubic')-shaped fallback over a rectangular mesh
-    (see :func:`cubic_interpolate` for the semantics delta vs scipy's
-    Clough-Tocher): (n_lat, n_lon), NaN outside the convex hull."""
+    (see :func:`cubic_interpolate` for the scipy-vs-c1 element choice):
+    (n_lat, n_lon), NaN outside the convex hull."""
     glon, glat = np.meshgrid(
         np.asarray(mesh_lon, dtype=np.float64),
         np.asarray(mesh_lat, dtype=np.float64),
@@ -576,6 +698,7 @@ def cubic_griddata(
         values,
         glon.ravel(),
         glat.ravel(),
+        element=element,
     )
     return flat.reshape(glat.shape)
 
@@ -642,11 +765,11 @@ class TriangulatedField:
         out[found] = res[found]
         return out
 
-    def cubic(self, values: np.ndarray) -> np.ndarray:
+    def cubic(self, values: np.ndarray, element: str = "scipy") -> np.ndarray:
         vals = np.asarray(values, np.float64)[self.keep]
         g = estimate_gradients(self.p, self.tri, vals)
         found = self._loc[0]
-        res = _ct_eval(self.p, self.tri, vals, g, self._loc)
+        res = _ct_eval(self.p, self.tri, vals, g, self._loc, element)
         out = np.full(len(found), np.nan)
         out[found] = res[found]
         return out

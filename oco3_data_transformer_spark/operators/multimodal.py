@@ -180,6 +180,26 @@ def png_decode(payload: bytes) -> np.ndarray:
     return out.astype(np.uint8).reshape(h, w, ch)
 
 
+def _pil_decode(payload: bytes) -> np.ndarray | None:
+    """Decode via PIL when importable AND capable, else None — never
+    raises. Feature-absence (a PIL built without WEBP support) and
+    per-stream failures (UnidentifiedImageError on a VP8L file PIL
+    doesn't recognize) both fall back to the from-spec decoders, which
+    keeps decode availability independent of how the wheel was built
+    (ADVICE r8 low). Output normalized to (H, W, C) uint8."""
+    try:  # pragma: no cover - optional dependency preferred
+        import io as _io
+
+        from PIL import Image  # type: ignore
+    except ImportError:
+        return None
+    try:  # pragma: no cover - optional dependency preferred
+        arr = np.asarray(Image.open(_io.BytesIO(payload)))
+    except Exception:
+        return None
+    return arr[:, :, None] if arr.ndim == 2 else arr
+
+
 def decode_image(codec: str, payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
     """Decode one blob to (H, W, C) uint8. 'raw', 'png', 'jpeg'
     (baseline SOF0 and progressive SOF2) and lossless 'webp' (VP8L)
@@ -195,30 +215,29 @@ def decode_image(codec: str, payload: bytes, width: int, height: int, channels: 
     if codec == "png":
         return png_decode(payload)
     if codec == "jpeg":
-        try:  # pragma: no cover - optional dependency preferred
-            import io as _io
-
-            from PIL import Image  # type: ignore
-
-            arr = np.asarray(Image.open(_io.BytesIO(payload)))
-            return arr[:, :, None] if arr.ndim == 2 else arr
-        except ImportError:
+        arr = _pil_decode(payload)  # pragma-free: None when PIL can't
+        if arr is None:
             from .jpeglite import jpeg_decode
 
-            return jpeg_decode(payload)
+            arr = jpeg_decode(payload)
+        return arr
     if codec == "webp":
-        try:  # pragma: no cover - optional dependency preferred
-            import io as _io
-
-            from PIL import Image  # type: ignore
-
-            arr = np.asarray(Image.open(_io.BytesIO(payload)))
-            return arr[:, :, None] if arr.ndim == 2 else arr
-        except ImportError:
+        # PIL preferred when importable AND able (a PIL built without
+        # WEBP support, or choking on a VP8L stream, must fall through
+        # to the from-spec decoder instead of crashing — ADVICE r8);
+        # both paths then honor the same `channels` slicing contract.
+        rgba = _pil_decode(payload)
+        if rgba is None:
             from .webplite import webp_decode
 
             rgba = webp_decode(payload)
-            return rgba[:, :, :channels] if channels in (1, 3) else rgba
+        if rgba.shape[2] == 1:  # PIL 'L' mode: replicate to RGB
+            rgba = np.repeat(rgba, 3, axis=2)
+        if rgba.shape[2] == 3:  # pad opaque alpha (webplite always RGBA)
+            rgba = np.concatenate(
+                [rgba, np.full(rgba.shape[:2] + (1,), 255, np.uint8)], axis=2
+            )
+        return rgba[:, :, :channels] if channels in (1, 3) else rgba
     raise NotImplementedError(
         f"codec {codec!r} needs an image library not present in this "
         "container; 'raw', 'png', 'jpeg' and lossless 'webp' decode here"

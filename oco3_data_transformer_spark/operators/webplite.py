@@ -57,8 +57,9 @@ class BitReader:
         while self._n < nbits:
             if self._pos >= len(self._data):
                 # spec allows reading past the end as zeros (the final
-                # byte may be partially used); cap at 32 refills
-                self._acc |= 0 << self._n
+                # byte may be partially used); termination is guaranteed
+                # because each refill adds 8 accumulator bits toward the
+                # caller's fixed nbits
                 self._n += 8
             else:
                 self._acc |= self._data[self._pos] << self._n
@@ -91,6 +92,39 @@ class BitWriter:
         """Emit a canonical prefix code MSB-first (DEFLATE convention)."""
         for i in range(length - 1, -1, -1):
             self.write((code >> i) & 1, 1)
+
+    def write_vector(self, vals: np.ndarray, lens: np.ndarray) -> None:
+        """Append many LSB-first (value, nbits) fields in one vectorized
+        pass. Because consecutive fields tile the output bit range
+        exactly, the bit sequence can be BUILT IN ORDER (repeat each
+        value by its length, shift by the within-field index) and packed
+        with np.packbits(bitorder='little') — no scatter at all, every
+        step a contiguous C-speed pass. Bit-identical to calling write()
+        per field (ADVICE r8 low: the per-pixel Python data pass made a
+        2048x2048 encode take minutes). Fields are processed in ~4M
+        blocks so temporaries stay bounded (~10 bytes per field bit)."""
+        vals = np.asarray(vals, dtype=np.int32)  # prefix codes <= 15 bits
+        lens = np.asarray(lens, dtype=np.int64)
+        _BLOCK = 4_000_000
+        for s in range(0, len(lens), _BLOCK):
+            v = vals[s : s + _BLOCK]
+            ln = lens[s : s + _BLOCK]
+            nbits = int(ln.sum())
+            if nbits == 0:
+                continue
+            start = np.repeat(np.cumsum(ln) - ln, ln)
+            within = (np.arange(nbits, dtype=np.int64) - start).astype(np.int32)
+            bits = ((np.repeat(v, ln) >> within) & 1).astype(np.uint8)
+            if self._n:  # pending partial byte joins the front
+                head = ((self._acc >> np.arange(self._n)) & 1).astype(np.uint8)
+                bits = np.concatenate([head, bits])
+            total = self._n + nbits
+            packed = np.packbits(bits, bitorder="little")
+            rem = total & 7
+            nfull = total >> 3
+            self._out += packed[:nfull].tobytes()
+            self._acc = int(packed[nfull]) if rem else 0
+            self._n = rem
 
     def getvalue(self) -> bytes:
         out = bytes(self._out)
@@ -688,11 +722,29 @@ def webp_encode(arr: np.ndarray) -> bytes:
     blue_codes = _write_prefix_code(bw, _channel_lengths(bv, _NUM_LITERAL))
     alpha_codes = _write_prefix_code(bw, _channel_lengths(av, _NUM_LITERAL))
     _write_prefix_code(bw, [1] + [0] * (_NUM_DISTANCE - 1))  # unused distances
-    for i in range(h * w):
-        bw.write_code(*green_codes[int(gv[i])])
-        bw.write_code(*red_codes[int(rv[i])])
-        bw.write_code(*blue_codes[int(bv[i])])
-        bw.write_code(*alpha_codes[int(av[i])])
+
+    def _lut(codes: dict[int, tuple[int, int]], size: int):
+        # symbol -> (bit-reversed code, length): write_code emits the
+        # canonical code MSB-first, which equals write()-ing its
+        # bit-reversal LSB-first — the form write_vector packs
+        rev = np.zeros(size, np.int64)
+        ln = np.zeros(size, np.int64)
+        for s, (code, length) in codes.items():
+            ln[s] = length
+            r = 0
+            for i in range(length):
+                r |= ((code >> i) & 1) << (length - 1 - i)
+            rev[s] = r
+        return rev, ln
+
+    grev, glen = _lut(green_codes, _NUM_LITERAL + _NUM_LENGTH)
+    rrev, rlen = _lut(red_codes, _NUM_LITERAL)
+    brev, blen = _lut(blue_codes, _NUM_LITERAL)
+    arev, alen = _lut(alpha_codes, _NUM_LITERAL)
+    gi, ri, bi, ai = (x.astype(np.int64) for x in (gv, rv, bv, av))
+    vals = np.column_stack([grev[gi], rrev[ri], brev[bi], arev[ai]]).ravel()
+    lens = np.column_stack([glen[gi], rlen[ri], blen[bi], alen[ai]]).ravel()
+    bw.write_vector(vals, lens)
     stream = b"\x2f" + bw.getvalue()
     chunk = b"VP8L" + struct.pack("<I", len(stream)) + stream
     if len(stream) & 1:

@@ -151,6 +151,20 @@ QUERY_GROUPS: dict[str, list[str]] = {
         "q21_month_of_year",
         "q47_climatology_seasonal",
     ],
+    "round9": [
+        # round-9 kernel change: the cubic element is now Powell's
+        # affine-invariant g=-1/2 reduction (scipy's exact interpnd
+        # formulas — ADVICE r8 high found the round-8 edge-perpendicular
+        # element was NOT scipy's); _locate pair expansion chunked for
+        # bounded memory (bit-identical) — re-gate the gridding contracts
+        "q126_grid_linear_kernel",
+        "q130_grid_cubic_kernel",
+        "q41_grid_kernel",
+        # webp encoder data pass vectorized + PIL fallback hardened —
+        # re-gate the codec contracts
+        "q132_codec_roundtrip_contract",
+        "q43_image_features",
+    ],
     # Correctness at the k=100 fixture (.bench_data/sf10): every family
     # whose DuckDB oracle is non-quadratic and tractable there — the
     # dedup-pair oracles (q31/q32/q33) are quadratic in DuckDB runtime and

@@ -192,10 +192,11 @@ def test_cubic_reproduces_affine():
     pts = rng.uniform(-2, 4, size=(60, 2))
     vals = 1.0 - 2.5 * pts[:, 0] + 0.75 * pts[:, 1]
     q = rng.uniform(-0.5, 2.5, size=(300, 2))
-    got = I.cubic_interpolate(pts, vals, q[:, 0], q[:, 1])
-    np.testing.assert_allclose(
-        got, 1.0 - 2.5 * q[:, 0] + 0.75 * q[:, 1], atol=1e-4
-    )
+    for element in ("scipy", "c1"):
+        got = I.cubic_interpolate(pts, vals, q[:, 0], q[:, 1], element=element)
+        np.testing.assert_allclose(
+            got, 1.0 - 2.5 * q[:, 0] + 0.75 * q[:, 1], atol=1e-4
+        )
 
 
 def test_cubic_reproduces_quadratic_with_exact_gradients():
@@ -208,10 +209,13 @@ def test_cubic_reproduces_quadratic_with_exact_gradients():
     vals = 1.0 + x - 2 * y + 0.5 * x * x + x * y - 1.5 * y * y
     grads = np.column_stack([1.0 + x + y, -2.0 + x - 3.0 * y])
     q = rng.uniform(0.5, 1.5, size=(200, 2))
-    got = I.cubic_interpolate(pts, vals, q[:, 0], q[:, 1], gradients=grads)
     qx, qy = q[:, 0], q[:, 1]
     want = 1.0 + qx - 2 * qy + 0.5 * qx * qx + qx * qy - 1.5 * qy * qy
-    np.testing.assert_allclose(got, want, atol=1e-6)
+    for element in ("scipy", "c1"):
+        got = I.cubic_interpolate(
+            pts, vals, q[:, 0], q[:, 1], gradients=grads, element=element
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6)
 
 
 def test_cubic_interpolates_vertex_values():
@@ -273,17 +277,9 @@ def test_grid_bucketed_locate_matches_brute_force():
             np.testing.assert_array_equal(got[k][m], want[k][m])
 
 
-def test_cubic_c1_across_macro_edges():
-    """GLOBAL C1 (the Clough-Tocher property): the numerical gradient of
-    the interpolant, estimated by central differences at points ON shared
-    macro-triangle edges, must agree with the limit from either side.
-    Sample the gradient a hair inside each neighbour (offset h along the
-    edge normal) and compare the two one-sided gradients — for a C1
-    surface they differ by O(h·max|Hessian|); for the old single-patch
-    C0 scheme the normal-derivative jump is O(1) and this test fails."""
-    rng = np.random.default_rng(77)
-    pts = rng.uniform(0, 1, size=(25, 2))
-    vals = np.sin(3 * pts[:, 0]) + pts[:, 1] ** 2  # smooth, non-quadratic
+def _macro_edge_gradient_jumps(pts, vals, element, seedless_rng_unused=None):
+    """Max relative two-sided numerical-gradient mismatch over interior
+    stations of shared macro-triangle edges."""
     p, keep, lo, span, init = I._prepare(pts)
     tri = I._triangulate(p, init)
     edges = np.unique(
@@ -291,8 +287,8 @@ def test_cubic_c1_across_macro_edges():
     )
     a = p[edges[:, 0]] * span + lo
     b = p[edges[:, 1]] * span + lo
-    # probe at 2 interior stations per edge, away from vertices
     h = 1e-5
+    worst = 0.0
     for t in (0.35, 0.65):
         mid = a + t * (b - a)
         nrm = np.column_stack([-(b - a)[:, 1], (b - a)[:, 0]])
@@ -303,10 +299,12 @@ def test_cubic_c1_across_macro_edges():
             gxy = []
             for d in (np.array([h, 0.0]), np.array([0.0, h])):
                 vp = I.cubic_interpolate(
-                    pts, vals, (base + d)[:, 0], (base + d)[:, 1]
+                    pts, vals, (base + d)[:, 0], (base + d)[:, 1],
+                    element=element,
                 )
                 vm = I.cubic_interpolate(
-                    pts, vals, (base - d)[:, 0], (base - d)[:, 1]
+                    pts, vals, (base - d)[:, 0], (base - d)[:, 1],
+                    element=element,
                 )
                 gxy.append((vp - vm) / (2 * h))
             grads.append(np.column_stack(gxy))
@@ -314,16 +312,38 @@ def test_cubic_c1_across_macro_edges():
         ok = np.isfinite(gu).all(1) & np.isfinite(gd).all(1)
         assert ok.sum() > len(edges) / 2  # hull edges have a NaN side
         scale = 1.0 + np.abs(gu[ok]).max()
-        np.testing.assert_allclose(gu[ok], gd[ok], atol=5e-3 * scale)
+        worst = max(worst, np.abs(gu[ok] - gd[ok]).max() / scale)
+    return worst
 
 
-def test_cubic_perpendicular_derivative_linear_along_edge():
-    """The reduction condition that defines the element: along each outer
-    edge the derivative in the edge-perpendicular direction is LINEAR in
-    the edge parameter (zero second difference over equispaced stations)."""
-    rng = np.random.default_rng(78)
-    pts = rng.uniform(0, 2, size=(12, 2))
-    vals = rng.normal(size=12)
+def test_cubic_c1_across_macro_edges_c1_element():
+    """GLOBAL C1: with the edge-perpendicular reduction (element='c1')
+    the numerical gradient at shared macro-edge stations agrees from
+    both sides to O(h·|Hessian|). This is the property that element
+    trades affine invariance for."""
+    rng = np.random.default_rng(77)
+    pts = rng.uniform(0, 1, size=(25, 2))
+    vals = np.sin(3 * pts[:, 0]) + pts[:, 1] ** 2  # smooth, non-quadratic
+    assert _macro_edge_gradient_jumps(pts, vals, "c1") < 5e-3
+
+
+def test_cubic_scipy_element_c1_character():
+    """The scipy element (Powell g=-1/2, affine-invariant) is exactly C1
+    across macro edges only where the edge restriction is quadratic: a
+    global quadratic field shows no gradient jump, while a general
+    smooth field has a bounded O(1)·curvature jump — the same behaviour
+    scipy's CloughTocher2DInterpolator exhibits by construction (its
+    per-triangle median reduction directions disagree across shared
+    edges). Pinning BOTH sides keeps the parity claim honest: if the
+    jump vanished on the general field, we would have built the
+    edge-normal element, not scipy's."""
+    rng = np.random.default_rng(77)
+    pts = rng.uniform(0, 1, size=(25, 2))
+    x, y = pts[:, 0], pts[:, 1]
+    quad = 0.5 + x - y + 2 * x * x - x * y + 0.5 * y * y
+    # quadratic field: exact C1 (gradients est. are exact for quadratics?
+    # no — Nielson is exact for affine only; supply exact gradients)
+    grads = np.column_stack([1.0 + 4 * x - y, -1.0 - x + y])
     p, keep, lo, span, init = I._prepare(pts)
     tri = I._triangulate(p, init)
     edges = np.unique(
@@ -331,18 +351,93 @@ def test_cubic_perpendicular_derivative_linear_along_edge():
     )
     a = p[edges[:, 0]] * span + lo
     b = p[edges[:, 1]] * span + lo
+    h = 1e-5
+    mid = a + 0.4 * (b - a)
     nrm = np.column_stack([-(b - a)[:, 1], (b - a)[:, 0]])
     nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    grads2 = []
+    for side in (+1.0, -1.0):
+        base = mid + side * h * nrm
+        gxy = []
+        for d in (np.array([h, 0.0]), np.array([0.0, h])):
+            vp = I.cubic_interpolate(
+                pts, quad, (base + d)[:, 0], (base + d)[:, 1],
+                gradients=grads,
+            )
+            vm = I.cubic_interpolate(
+                pts, quad, (base - d)[:, 0], (base - d)[:, 1],
+                gradients=grads,
+            )
+            gxy.append((vp - vm) / (2 * h))
+        grads2.append(np.column_stack(gxy))
+    gu, gd = grads2
+    ok = np.isfinite(gu).all(1) & np.isfinite(gd).all(1)
+    scale = 1.0 + np.abs(gu[ok]).max()
+    np.testing.assert_allclose(gu[ok], gd[ok], atol=5e-3 * scale)
+    # general smooth field: a real (bounded, nonzero) jump exists
+    vals = np.sin(3 * pts[:, 0]) + pts[:, 1] ** 2
+    jump = _macro_edge_gradient_jumps(pts, vals, "scipy")
+    assert 1e-3 < jump < 1.0
+
+
+def test_cubic_scipy_element_affine_invariance():
+    """The property scipy chose the g=-1/2 reduction FOR (and the one
+    the edge-normal element lacks): with a fixed triangulation, affine
+    map A of the vertices and covariant gradients g·A^{-1}, the element
+    evaluates identically at corresponding points (barycentric coords
+    are affine-invariant, so the located loc tuple is shared)."""
+    rng = np.random.default_rng(91)
+    pts = rng.uniform(0, 1, size=(30, 2))
+    p, keep, lo, span, init = I._prepare(pts)
+    tri = I._triangulate(p, init)
+    vals = rng.normal(size=len(p))
+    g = rng.normal(size=(len(p), 2))
+    q = rng.uniform(0.2, 0.8, size=(500, 2))
+    loc = I._locate(p, tri, q[:, 0], q[:, 1])
+    found = loc[0]
+    A = np.array([[3.0, 1.7], [-0.4, 0.25]])  # skewed, anisotropic map
+    pm = p @ A.T + np.array([5.0, -2.0])
+    gm = g @ np.linalg.inv(A)
+    r0 = I._ct_eval(p, tri, vals, g, loc, "scipy")
+    r1 = I._ct_eval(pm, tri, vals, gm, loc, "scipy")
+    np.testing.assert_allclose(r0[found], r1[found], atol=1e-12)
+    # negative control: the c1 element is NOT affine-invariant
+    r0c = I._ct_eval(p, tri, vals, g, loc, "c1")
+    r1c = I._ct_eval(pm, tri, vals, gm, loc, "c1")
+    assert np.abs(r0c[found] - r1c[found]).max() > 1e-3
+
+
+def _transversal_derivative_linear(pts, vals, element, direction):
+    """Assert the element's defining reduction: along each outer edge the
+    one-sided derivative in `direction` ('perpendicular' or 'median')
+    is LINEAR in the edge parameter (zero second difference)."""
+    p, keep, lo, span, init = I._prepare(pts)
+    tri = I._triangulate(p, init)
+    if direction == "perpendicular":
+        edges = np.unique(
+            np.sort(tri[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2), axis=1), axis=0
+        )
+        a = p[edges[:, 0]] * span + lo
+        b = p[edges[:, 1]] * span + lo
+        w = np.column_stack([-(b - a)[:, 1], (b - a)[:, 0]])
+    else:  # median: centroid minus edge midpoint, probing into the macro
+        P = p[tri] * span + lo[None, None, :]
+        Vc = P.mean(axis=1)
+        a = np.vstack([P[:, 1], P[:, 2], P[:, 0]])
+        b = np.vstack([P[:, 2], P[:, 0], P[:, 1]])
+        w = np.tile(Vc, (3, 1)) - (a + b) / 2
+    w = w / np.linalg.norm(w, axis=1, keepdims=True)
     h = 1e-5
     ts = np.linspace(0.2, 0.8, 5)
-    dn = []  # one-sided perpendicular derivative per station
+    dn = []
     for t in ts:
         mid = a + t * (b - a)
-        # one-sided difference into the +nrm neighbour (edge value is the
-        # shared C0 limit, so (f(mid + h n) - f(mid)) / h is D_n + O(h))
-        v0 = I.cubic_interpolate(pts, vals, mid[:, 0], mid[:, 1])
+        v0 = I.cubic_interpolate(
+            pts, vals, mid[:, 0], mid[:, 1], element=element
+        )
         v1 = I.cubic_interpolate(
-            pts, vals, (mid + h * nrm)[:, 0], (mid + h * nrm)[:, 1]
+            pts, vals, (mid + h * w)[:, 0], (mid + h * w)[:, 1],
+            element=element,
         )
         dn.append((v1 - v0) / h)
     dn = np.column_stack(dn)  # (n_edges, 5)
@@ -351,6 +446,43 @@ def test_cubic_perpendicular_derivative_linear_along_edge():
     second = dn[ok][:, :-2] - 2 * dn[ok][:, 1:-1] + dn[ok][:, 2:]
     scale = 1.0 + np.abs(dn[ok]).max()
     np.testing.assert_allclose(second, 0.0, atol=2e-4 * scale)
+
+
+def test_cubic_perpendicular_derivative_linear_along_edge():
+    """element='c1' defining reduction: edge-PERPENDICULAR derivative
+    linear along each outer edge."""
+    rng = np.random.default_rng(78)
+    pts = rng.uniform(0, 2, size=(12, 2))
+    vals = rng.normal(size=12)
+    _transversal_derivative_linear(pts, vals, "c1", "perpendicular")
+
+
+def test_cubic_median_derivative_linear_along_edge():
+    """element='scipy' defining reduction (Powell g=-1/2): the derivative
+    in the MEDIAN direction (centroid minus edge midpoint — the
+    affine-covariant transversal) linear along each outer edge."""
+    rng = np.random.default_rng(78)
+    pts = rng.uniform(0, 2, size=(12, 2))
+    vals = rng.normal(size=12)
+    _transversal_derivative_linear(pts, vals, "scipy", "median")
+
+
+def test_locate_chunked_pair_expansion_bit_identical(monkeypatch):
+    """The _LOCATE_PAIR_CAP memory bound must not change results: force
+    many tiny blocks and compare against one flat pass."""
+    rng = np.random.default_rng(92)
+    pts = rng.uniform(0, 1, size=(120, 2))
+    p, keep, lo, span, init = I._prepare(pts)
+    tri = I._triangulate(p, init)
+    q = rng.uniform(-0.1, 1.1, size=(700, 2))
+    want = I._locate(p, tri, q[:, 0], q[:, 1])
+    monkeypatch.setattr(I, "_LOCATE_PAIR_CAP", 17)
+    got = I._locate(p, tri, q[:, 0], q[:, 1])
+    np.testing.assert_array_equal(got[0], want[0])
+    m = want[0]
+    assert m.any() and not m.all()
+    for k in range(1, 5):  # barycentrics carry garbage where not found
+        np.testing.assert_array_equal(got[k][m], want[k][m])
 
 
 def test_cubic_matches_class_interface():

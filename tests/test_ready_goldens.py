@@ -49,11 +49,12 @@ def test_cubic_matches_scipy_clough_tocher_nonaffine():
     """Direct differential (activates when scipy appears): the numpy
     reduced-CT element with Nielson gradients vs
     scipy.interpolate.CloughTocher2DInterpolator on a NON-affine field.
-    Both implement the same uniquely-determined element (centroid split,
-    linear perpendicular derivative along outer edges, Nielson 1983
-    global gradients), so values must agree to iteration tolerance; in
-    general position the Delaunay triangulation is unique, so the
-    patches live on the same triangles."""
+    Since round 9 the element uses scipy's exact interpnd formulas
+    (Powell's affine-invariant g=-1/2 reduction — NOT the
+    edge-perpendicular one, which ADVICE r8 proved diverges from scipy
+    on non-affine data), so values must agree to gradient-iteration
+    tolerance; in general position the Delaunay triangulation is
+    unique, so the patches live on the same triangles."""
     scipy_interp = pytest.importorskip("scipy.interpolate")
     from oco3_data_transformer_spark.operators import interp as I
 
