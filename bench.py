@@ -50,10 +50,12 @@ from oco3_data_transformer_spark.session import get_spark, tune_for_input
 from oco3_data_transformer_spark.sources.registry import TABLES
 
 
-def _settle(max_wait: int = 120, threshold: float = 4.0) -> None:
+def _settle(max_wait: int = 120, threshold: float = None) -> None:
     """Microbenchmark hygiene: measured totals inflate ~30% when the 1-min
     load average is still draining from a prior heavy step (test suite,
     other JVMs). Wait for it to drop below ``threshold`` (bounded)."""
+    if threshold is None:
+        threshold = _SETTLE_THRESHOLD
     waited = 0
     while waited < max_wait:
         try:
@@ -65,6 +67,35 @@ def _settle(max_wait: int = 120, threshold: float = 4.0) -> None:
         print(f"# settling: load {load1:.1f} >= {threshold}", file=sys.stderr, flush=True)
         time.sleep(10)
         waited += 10
+
+
+def _stamp() -> dict:
+    """Load provenance for one bench leg (VERDICT r08 item 2: the round-8
+    degraded-window drift had to be reconstructed forensically from log
+    timestamps; now every leg carries machine-readable evidence)."""
+    out = {"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+    try:
+        parts = open("/proc/loadavg").read().split()
+        out["load1"], out["load5"] = float(parts[0]), float(parts[1])
+    except OSError:
+        pass
+    return out
+
+
+_SETTLE_THRESHOLD = 4.0
+
+
+def _provenance(block: dict, before: dict) -> None:
+    """Attach before/after load stamps to a summary block and flag legs
+    measured above the _settle threshold — the gate report downgrades
+    flagged legs to 'measured-degraded' instead of trusting them."""
+    after = _stamp()
+    block["load_before"] = before
+    block["load_after"] = after
+    block["load_flag"] = bool(
+        max(before.get("load1", 0.0), after.get("load1", 0.0))
+        >= _SETTLE_THRESHOLD
+    )
 
 
 def _median(xs: list[float]) -> float:
@@ -234,6 +265,7 @@ def main() -> int:
     # JVM/codegen warmup on a trivial plan (excluded from timings).
     REGISTRY["q24_coverage_attrs"].fn(spark, sf_dir).collect()
 
+    pb = _stamp()
     timings = spark_leg(spark, sf_dir, reps=3, tag="sf0.1")
     try:
         duck = duckdb_leg(sf_dir, reps=3, tag="sf0.1")
@@ -241,31 +273,29 @@ def main() -> int:
         print(f"# duckdb leg failed: {exc}", file=sys.stderr, flush=True)
         duck = {}
     out = leg_summary(timings, duck, sf_dir)
+    _provenance(out, pb)
 
     # Round-4 sketch/ANN/LM operators: driver-recorded spark/duckdb pairs
     # (VERDICT r04 item 4), separate from the cross-round headline total.
     if os.environ.get("SPARK_GRAFT_R4_DETAIL", "1") != "0":
+        for key, nm, tg in (
+            ("round4_detail", SKETCH_DETAIL, "sf0.1-r4"),
+            ("round5_detail", GRAPH_DETAIL, "sf0.1-r5"),
+            ("round6_detail", ROUND6_DETAIL, "sf0.1-r6"),
+        ):
+            try:
+                pb = _stamp()
+                sl = spark_leg(spark, sf_dir, reps=2, tag=tg, names=nm)
+                dl = duckdb_leg(sf_dir, reps=2, tag=tg, names=nm)
+                out[key] = leg_summary(sl, dl, sf_dir)
+                _provenance(out[key], pb)
+            except Exception as exc:
+                print(f"# {key} leg failed: {exc}", file=sys.stderr, flush=True)
         try:
-            s4 = spark_leg(spark, sf_dir, reps=2, tag="sf0.1-r4", names=SKETCH_DETAIL)
-            d4 = duckdb_leg(sf_dir, reps=2, tag="sf0.1-r4", names=SKETCH_DETAIL)
-            out["round4_detail"] = leg_summary(s4, d4, sf_dir)
-        except Exception as exc:
-            print(f"# round4 detail leg failed: {exc}", file=sys.stderr, flush=True)
-        try:
-            s5 = spark_leg(spark, sf_dir, reps=2, tag="sf0.1-r5", names=GRAPH_DETAIL)
-            d5 = duckdb_leg(sf_dir, reps=2, tag="sf0.1-r5", names=GRAPH_DETAIL)
-            out["round5_detail"] = leg_summary(s5, d5, sf_dir)
-        except Exception as exc:
-            print(f"# round5 detail leg failed: {exc}", file=sys.stderr, flush=True)
-        try:
-            s6 = spark_leg(spark, sf_dir, reps=2, tag="sf0.1-r6", names=ROUND6_DETAIL)
-            d6 = duckdb_leg(sf_dir, reps=2, tag="sf0.1-r6", names=ROUND6_DETAIL)
-            out["round6_detail"] = leg_summary(s6, d6, sf_dir)
-        except Exception as exc:
-            print(f"# round6 detail leg failed: {exc}", file=sys.stderr, flush=True)
-        try:
+            pb = _stamp()
             sk = spark_leg(spark, sf_dir, reps=2, tag="sf0.1-kernels", names=KERNEL_DETAIL)
             out["kernel_detail"] = leg_summary(sk, {}, sf_dir)
+            _provenance(out["kernel_detail"], pb)
         except Exception as exc:
             print(f"# kernel detail leg failed: {exc}", file=sys.stderr, flush=True)
 
@@ -278,25 +308,28 @@ def main() -> int:
                 sf_dir,
                 os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data", "sf1"),
             )
+            pb = _stamp()
             t1 = spark_leg(spark, sf1_dir, reps=2, tag="sf1")
             d1 = duckdb_leg(sf1_dir, reps=2, tag="sf1")
             out["sf1"] = leg_summary(t1, d1, sf1_dir)
+            _provenance(out["sf1"], pb)
             gate_jobs = [(out["sf1"], t1)]
             if os.environ.get("SPARK_GRAFT_R4_DETAIL", "1") != "0":
-                s41 = spark_leg(spark, sf1_dir, reps=1, tag="sf1-r4", names=SKETCH_DETAIL)
-                d41 = duckdb_leg(sf1_dir, reps=1, tag="sf1-r4", names=SKETCH_DETAIL)
-                out["sf1"]["round4_detail"] = leg_summary(s41, d41, sf1_dir)
-                gate_jobs.append((out["sf1"]["round4_detail"], s41))
-                s51 = spark_leg(spark, sf1_dir, reps=1, tag="sf1-r5", names=GRAPH_DETAIL)
-                d51 = duckdb_leg(sf1_dir, reps=1, tag="sf1-r5", names=GRAPH_DETAIL)
-                out["sf1"]["round5_detail"] = leg_summary(s51, d51, sf1_dir)
-                gate_jobs.append((out["sf1"]["round5_detail"], s51))
-                s61 = spark_leg(spark, sf1_dir, reps=1, tag="sf1-r6", names=ROUND6_DETAIL)
-                d61 = duckdb_leg(sf1_dir, reps=1, tag="sf1-r6", names=ROUND6_DETAIL)
-                out["sf1"]["round6_detail"] = leg_summary(s61, d61, sf1_dir)
-                gate_jobs.append((out["sf1"]["round6_detail"], s61))
+                for key, nm, tg in (
+                    ("round4_detail", SKETCH_DETAIL, "sf1-r4"),
+                    ("round5_detail", GRAPH_DETAIL, "sf1-r5"),
+                    ("round6_detail", ROUND6_DETAIL, "sf1-r6"),
+                ):
+                    pb = _stamp()
+                    sl = spark_leg(spark, sf1_dir, reps=1, tag=tg, names=nm)
+                    dl = duckdb_leg(sf1_dir, reps=1, tag=tg, names=nm)
+                    out["sf1"][key] = leg_summary(sl, dl, sf1_dir)
+                    _provenance(out["sf1"][key], pb)
+                    gate_jobs.append((out["sf1"][key], sl))
+                pb = _stamp()
                 sk1 = spark_leg(spark, sf1_dir, reps=1, tag="sf1-kernels", names=KERNEL_DETAIL)
                 out["sf1"]["kernel_detail"] = leg_summary(sk1, {}, sf1_dir)
+                _provenance(out["sf1"]["kernel_detail"], pb)
             # per-query ratio gate at the 10x leg (VERDICT r06 item 4;
             # r07 item 5 extends it to every sub-block with a DuckDB
             # pairing — kernel_detail is spark-only, nothing to gate).
@@ -366,6 +399,16 @@ def main() -> int:
         headline["exempt_rising"] = len(
             out.get("exemption_check", {}).get("rising", {})
         )
+    # legs measured above the settle threshold (by their own provenance
+    # stamps) are untrustworthy; surface the count on the headline line
+    nflag = int(out.get("load_flag", False))
+    for blk in ("round4_detail", "round5_detail", "round6_detail", "kernel_detail"):
+        nflag += int(out.get(blk, {}).get("load_flag", False))
+    sf1b = out.get("sf1", {})
+    nflag += int(sf1b.get("load_flag", False))
+    for blk in ("round4_detail", "round5_detail", "round6_detail", "kernel_detail"):
+        nflag += int(sf1b.get(blk, {}).get("load_flag", False))
+    headline["degraded_legs"] = nflag
     print(json.dumps(headline), flush=True)
     return 0
 

@@ -556,6 +556,94 @@ def synthetic_audio(spark, n: int, sample_rate: int = 8000, seconds: float = 0.2
     return ids.mapInPandas(gen, AUDIO_SCHEMA)
 
 
+def gradient_images(
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 12,
+    channels: int = 3,
+) -> DataFrame:
+    """Closed-form image per id for CONTRACT-ORACLE queries (catalog q43,
+    the q132 pattern): pixel[r, c, ch] = (id % 251 + 7r + 3c + 11ch) % 256,
+    so the per-image intensity SUM has an exact closed form a DuckDB
+    oracle recomputes with three range() joins — the oracle numerically
+    checks the whole encode → decode → feature path, not just that it
+    ran. Codec alternates png (from-spec codec) / raw by id parity."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf[id_col]:
+                did = int(raw_id)
+                base = did % 251
+                r = np.arange(height)[:, None, None]
+                c = np.arange(width)[None, :, None]
+                ch = np.arange(channels)[None, None, :]
+                arr = ((base + 7 * r + 3 * c + 11 * ch) % 256).astype(np.uint8)
+                codec = "png" if did % 2 else "raw"
+                rows.append(
+                    {
+                        "item_id": did,
+                        "codec": codec,
+                        "width": width,
+                        "height": height,
+                        "channels": channels,
+                        "payload": encode_image(arr, codec),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_SCHEMA.fields])
+
+    return ids.mapInPandas(gen, IMAGE_SCHEMA)
+
+
+def square_wave_audio(
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    sample_rate: int = 8000,
+    n_samples: int = 2000,
+) -> DataFrame:
+    """Closed-form clip per id for CONTRACT-ORACLE queries (catalog q53):
+    a square wave of amplitude a = 1000 + (id % 10)·500 (int16-exact,
+    power-of-two normalization keeps decode values EXACT floats) with
+    half-period L = 4 + id % 4, so RMS = a/32768 exactly and the
+    zero-crossing count is floor((n_samples-1)/L) — both recomputable by
+    a DuckDB oracle in closed form. Codec alternates flac/wav by id
+    parity, driving both from-spec audio codecs through the feature
+    path."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .flaclite import flac_encode
+
+        i = np.arange(n_samples)
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf[id_col]:
+                did = int(raw_id)
+                a = 1000 + (did % 10) * 500
+                half = 4 + did % 4
+                pcm = np.where((i // half) % 2 == 0, a, -a).astype("<i2")
+                if did % 2:
+                    codec, payload = "flac", flac_encode(
+                        pcm.astype(np.int64), sample_rate, bps=16
+                    )
+                else:
+                    codec, payload = "wav", wav_encode(
+                        pcm.astype(np.float64) / 32768.0, sample_rate, bits=16
+                    )
+                rows.append(
+                    {
+                        "item_id": did,
+                        "codec": codec,
+                        "sample_rate": sample_rate,
+                        "channels": 1,
+                        "payload": payload,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    return ids.mapInPandas(gen, AUDIO_SCHEMA)
+
+
 def synthetic_images(spark, n: int, width: int = 8, height: int = 6, channels: int = 3):
     """Deterministic fake corpus for tests/benchmarks (seeded per item):
     payload bytes are a fixed function of item_id."""

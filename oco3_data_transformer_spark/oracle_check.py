@@ -163,7 +163,14 @@ QUERY_GROUPS: dict[str, list[str]] = {
         # webp encoder data pass vectorized + PIL fallback hardened —
         # re-gate the codec contracts
         "q132_codec_roundtrip_contract",
+        # the six formerly rows-only queries gained contract oracles
+        # (VERDICT r08 item 4) — gate them here so n_oracled stays 132
+        "q42_oco3_pipeline",
         "q43_image_features",
+        "q44_oco3_global_raster",
+        "q53_audio_features",
+        "q94_bpe_train",
+        "q112_bpe_apply",
     ],
     # Correctness at the k=100 fixture (.bench_data/sf10): every family
     # whose DuckDB oracle is non-quadratic and tractable there — the

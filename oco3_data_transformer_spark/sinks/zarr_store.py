@@ -407,22 +407,48 @@ def append_zarr(
             )
     now = dt.datetime.now(dt.timezone.utc).strftime(ISO_8601)
     ga["date_updated"] = now
-    ga["coverage_end"] = new_days[-1].strftime("%Y-%m-%dT%H:%M:%SZ")
+    # reconcile BOTH coverage attrs from the full (post-append) time axis
+    # (ref writers/ZarrWriter.py:140-167 maintains start and end): a store
+    # whose attrs went stale out-of-band is healed by the next append
+    ga["coverage_start"] = _iso_day(int(new_secs[0]))
+    ga["coverage_end"] = _iso_day(int(new_secs[-1]))
     zarrlite.write_group(path, attrs=ga)
     zarrlite.consolidate(path)
     return {"path": path, "n_appended": len(new_days),
             "n_skipped_duplicates": n_skip, "rewritten": False}
 
 
+def _iso_day(secs: int) -> str:
+    return dt.datetime.fromtimestamp(secs, dt.timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+
+
 def verify_zarr(path: str) -> dict[str, Any]:
     """S7 store verification (ref writers/ZarrWriter.py:328-408): time
     monotonic strictly increasing, no duplicate days, every variable's
     shape consistent with the time axis, every chunk key within the
-    chunk grid.  Returns a report dict with ok=True/False."""
+    chunk grid, and — VERDICT r08 item 7, matching the reference's
+    coverage reconciliation (ref writers/ZarrWriter.py:140-167) — the
+    coverage_start/coverage_end group attrs must agree with the actual
+    time axis (append_zarr re-derives both on every append, so a stale
+    attr means out-of-band tampering or a torn write).  Returns a report
+    dict with ok=True/False."""
     t_secs, _ = zarrlite.read_array(path, "time")
     problems: list[str] = []
     if len(t_secs) and np.any(np.diff(t_secs) <= 0):
         problems.append("time axis not strictly increasing")
+    ga = zarrlite.group_attrs(path)
+    if len(t_secs):
+        for key, want in (
+            ("coverage_start", _iso_day(int(t_secs[0]))),
+            ("coverage_end", _iso_day(int(t_secs[-1]))),
+        ):
+            got = ga.get(key)
+            if got != want:
+                problems.append(
+                    f"group attr {key}={got!r} stale (time axis says {want})"
+                )
     for var in zarrlite.list_arrays(path):
         if var in ("time", "lat", "lon"):
             continue

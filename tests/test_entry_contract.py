@@ -24,13 +24,10 @@ def test_queries_and_oracles_consistent():
     assert set(osql) <= set(qs)
     for name, sql in osql.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
-    # rows-only entries are the documented non-SQL-expressible kernels
+    # round 9 (VERDICT r08 item 4): the formerly rows-only kernels gained
+    # contract oracles — every registry query is now DuckDB-gated
     rows_only = set(qs) - set(osql)
-    assert rows_only == {
-        "q42_oco3_pipeline", "q43_image_features",
-        "q44_oco3_global_raster", "q53_audio_features",
-        "q94_bpe_train", "q112_bpe_apply",
-    }
+    assert rows_only == set()
 
 
 def test_sql_views_equal_dataframe_path(spark):
