@@ -1221,7 +1221,9 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
     "the same aggregate straight from parquet, so a hash match proves the "
     "container round-trip is value-exact; ref writers/ZarrWriter.py:82-326, "
     "utils/ZarrUtils.py:70-112. Per-cell max is order-independent and the "
-    "final sum is integer cents, so floats cross engines exactly.",
+    "final sum is integer cents, so floats cross engines exactly. Since "
+    "round 9 the store is written with the reference's exact Blosc "
+    "blosclz codec (sinks/blosclite.py, from spec).",
 )
 def q131(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
@@ -1250,8 +1252,11 @@ def q131(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     path = tempfile.mkdtemp(prefix="q131_zarr_")
+    # compressor='blosc' = the reference's exact chunk codec (blosclz
+    # clevel-9 byte-shuffle via sinks/blosclite.py, round 9) — the driver
+    # gate now exercises reference-shaped chunks end-to-end
     export_zarr(cells, path, lat_res=8, lon_res=8, chunk_t=16,
-                chunk_lat=4, chunk_lon=4)
+                chunk_lat=4, chunk_lon=4, compressor="blosc")
     back = scan_zarr(spark, path)
     return back.groupBy("time").agg(
         F.count(F.lit(1)).alias("n_cells"),

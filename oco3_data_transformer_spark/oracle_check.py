@@ -163,6 +163,8 @@ QUERY_GROUPS: dict[str, list[str]] = {
         # webp encoder data pass vectorized + PIL fallback hardened —
         # re-gate the codec contracts
         "q132_codec_roundtrip_contract",
+        # q131 now writes the reference's blosc chunk codec — re-gate
+        "q131_zarr_roundtrip",
         # the six formerly rows-only queries gained contract oracles
         # (VERDICT r08 item 4) — gate them here so n_oracled stays 132
         "q42_oco3_pipeline",

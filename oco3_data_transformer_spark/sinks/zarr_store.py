@@ -23,8 +23,10 @@ engine's own store stays the partitioned columnar table (sinks/store.py)
     metadata + coordinates; chunks are decoded in parallel with one task
     per chunk file (mapInPandas over the chunk list).
 
-Container bytes come from sinks/zarrlite.py (from-spec v2 subset, zlib
-codec; see its module docstring for the documented blosc delta).
+Container bytes come from sinks/zarrlite.py (from-spec v2 subset; zlib
+by default, and since round 9 the reference's exact Blosc blosclz codec
+via sinks/blosclite.py — pass ``compressor='blosc'`` to export for
+reference-shaped stores; append follows whatever the store carries).
 """
 
 from __future__ import annotations
@@ -65,6 +67,7 @@ def _assemble_chunks(
     level: int,
     path: str,
     boundary: tuple[int, int] | None = None,
+    compressor: str | None = "zlib",
 ) -> DataFrame:
     """Distributed chunk assembly: rows shuffle once on (variable, chunk
     coordinate); one Arrow-batched group builds + compresses each stored
@@ -74,6 +77,7 @@ def _assemble_chunks(
     time offsets are taken from the existing chunk file (read inside the
     task — the boundary chunk never moves through the driver)."""
     ct, cl, cw = chunks
+    comp_meta = zarrlite.compressor_meta(compressor, level)
 
     spark = store_rows.sparkSession
     tidx = spark.createDataFrame(
@@ -108,10 +112,10 @@ def _assemble_chunks(
             if os.path.exists(old_path):
                 with open(old_path, "rb") as fh:
                     old = zarrlite.decode_chunk(
-                        fh.read(), chunks, np.dtype("<f8"), level is not None
+                        fh.read(), chunks, np.dtype("<f8"), comp_meta
                     )
                 block[: boundary[1]] = old[: boundary[1]]
-        payload = zarrlite.encode_chunk(block, chunks, np.nan, level)
+        payload = zarrlite.encode_chunk(block, chunks, np.nan, level, compressor)
         return pd.DataFrame({"relpath": [rel], "payload": [payload]})
 
     return keyed.groupBy(
@@ -144,6 +148,7 @@ def export_zarr(
     bbox: tuple[float, float, float, float] = GLOBAL_BBOX,
     attrs: dict[str, Any] | None = None,
     time_chunking: int = 4000,
+    compressor: str | None = "zlib",
 ) -> dict[str, Any]:
     """Export one logical store (a single (mission, target_id, qf)) of
     long-format rows as a Zarr v2 directory store at ``path``.
@@ -155,6 +160,11 @@ def export_zarr(
     attrs carry the reference's dynamic set (date_created/date_updated/
     coverage_start/coverage_end, ref writers/ZarrWriter.py:136-168) plus
     identity and caller ``attrs``.  Returns a manifest dict.
+
+    ``compressor='blosc'`` writes the reference's exact chunk codec
+    (Blosc blosclz clevel-9 byte-shuffle, ref writers/ZarrWriter.py:205,
+    via sinks/blosclite.py); 'zlib' (default) stays the equally-standard
+    registered codec.  append_zarr follows whatever the store carries.
     """
     ids = store_rows.select("mission", "target_id", "qf").distinct().collect()
     if len(ids) != 1:
@@ -186,7 +196,8 @@ def export_zarr(
     chunks = (ct, cl, cw)
 
     chunk_rows = _assemble_chunks(
-        store_rows, list(enumerate(days)), chunks, level, path
+        store_rows, list(enumerate(days)), chunks, level, path,
+        compressor=compressor,
     )
 
     # driver: metadata + coordinate arrays (O(vars + days))
@@ -214,21 +225,24 @@ def export_zarr(
             "units": "seconds since 1970-01-01T00:00:00Z",
             "calendar": "proleptic_gregorian",
         },
-        level=level,
+        level=level, compressor=compressor,
     )
     zarrlite.write_array(
         path, "lat", _cell_centers(min_lat, max_lat, lat_res), None,
         dims=["lat"], attrs={"units": "degrees_north"}, level=level,
+        compressor=compressor,
     )
     zarrlite.write_array(
         path, "lon", _cell_centers(min_lon, max_lon, lon_res), None,
         dims=["lon"], attrs={"units": "degrees_east"}, level=level,
+        compressor=compressor,
     )
     shape = (n_t, lat_res, lon_res)
     for var in variables:
         zarrlite._write_doc(
             path, f"{var}/.zarray",
-            zarrlite.array_meta(shape, chunks, np.dtype("<f8"), np.nan, level),
+            zarrlite.array_meta(shape, chunks, np.dtype("<f8"), np.nan,
+                                level, compressor),
         )
         zarrlite._write_doc(
             path, f"{var}/.zattrs", {"_ARRAY_DIMENSIONS": ["time", "lat", "lon"]},
@@ -311,10 +325,15 @@ def append_zarr(
     old_vars = [
         n for n in zarrlite.list_arrays(path) if n not in ("time", "lat", "lon")
     ]
-    shape0 = json.load(
-        open(os.path.join(path, old_vars[0], ".zarray"))
-    )["shape"]
+    meta0 = json.load(open(os.path.join(path, old_vars[0], ".zarray")))
+    shape0 = meta0["shape"]
     lat_res, lon_res = int(shape0[1]), int(shape0[2])
+    # follow the store's own chunk codec (a blosc store keeps getting
+    # blosc chunks, a zlib store zlib, an uncompressed store raw)
+    comp0 = meta0.get("compressor")
+    compressor = comp0["id"] if comp0 else None
+    if comp0:
+        level = int(comp0.get("level", comp0.get("clevel", level)))
     n_old = len(t_secs)
 
     last_existing = max(existing) if existing else None
@@ -354,7 +373,8 @@ def append_zarr(
         }
         export_zarr(
             combined, tmp, lat_res, lon_res, chunk_t=ct, chunk_lat=cl,
-            chunk_lon=cw, level=level, bbox=tuple(ga["bbox"]), attrs=keep,
+            chunk_lon=cw, level=level if comp0 else None,
+            bbox=tuple(ga["bbox"]), attrs=keep, compressor=compressor,
         )
         shutil.rmtree(path)
         os.replace(tmp, path)
@@ -370,8 +390,9 @@ def append_zarr(
     day_index = [(n_old + i, d) for i, d in enumerate(new_days)]
     boundary = (n_old // ct, n_old % ct) if n_old % ct else None
     chunks = (ct, cl, cw)
-    chunk_rows = _assemble_chunks(fresh, day_index, chunks, level, path,
-                                  boundary=boundary)
+    chunk_rows = _assemble_chunks(fresh, day_index, chunks,
+                                  level if comp0 else None, path,
+                                  boundary=boundary, compressor=compressor)
     _write_chunk_files(chunk_rows, path)
 
     # driver: grow the time axis + metadata (O(vars + days))
@@ -389,6 +410,7 @@ def append_zarr(
             "calendar": "proleptic_gregorian",
         },
         level=None if tmeta["compressor"] is None else level,
+        compressor=(tmeta["compressor"] or {}).get("id"),
     )
     new_vars = sorted(
         r[0] for r in fresh.select("variable").distinct().collect()
@@ -398,7 +420,8 @@ def append_zarr(
         zarrlite._write_doc(
             path, f"{var}/.zarray",
             zarrlite.array_meta(tuple(shape), chunks, np.dtype("<f8"),
-                                np.nan, level),
+                                np.nan, level if comp0 else None,
+                                compressor),
         )
         if var not in old_vars:
             zarrlite._write_doc(
@@ -514,7 +537,7 @@ def scan_zarr(
                 )
                 with open(row["file"], "rb") as fh:
                     block = zarrlite.decode_chunk(
-                        fh.read(), chunks, dtp, meta["compressor"] is not None
+                        fh.read(), chunks, dtp, meta["compressor"]
                     )
                 # crop edge overhang to the logical shape
                 shape = meta["shape"]

@@ -17,14 +17,15 @@ and operators/jpeglite.py (JPEG):
     consolidated open reads first);
   - C-order chunks, all stored chunks full-size (the logical shape crops
     edge overhang), dot-separated chunk keys, missing chunk == fill_value;
-  - the ``zlib`` numcodecs compressor (and ``null`` for uncompressed).
-    DELTA vs the reference: ZarrWriter compresses with
-    ``Blosc(cname='blosclz', clevel=9)`` (ref writers/ZarrWriter.py:205);
-    the blosc frame format needs the blosc library, so the wheel-free
-    writer emits the equally-standard registered ``zlib`` codec — every
-    zarr reader decodes it, byte layout differs. A skip-gated
-    differential (tests/test_zarrlite.py) validates against the real
-    ``zarr`` package when importable;
+  - the ``zlib`` numcodecs compressor, ``null`` for uncompressed, and —
+    since round 9 (VERDICT r08 item 5) — the reference's own
+    ``Blosc(cname='blosclz', clevel=9, shuffle=SHUFFLE)`` codec
+    (ref writers/ZarrWriter.py:205) via the from-spec blosc frame +
+    blosclz implementation in sinks/blosclite.py, closing the last
+    byte-level container delta. ``compressor='zlib'`` stays the default;
+    pass ``compressor='blosc'`` for reference-shaped stores. Skip-gated
+    differentials (tests/test_zarrlite.py) validate against the real
+    ``zarr``/``numcodecs`` packages when importable;
   - ``_ARRAY_DIMENSIONS`` attrs (the xarray convention the reference's
     stores carry, since they are written by ``Dataset.to_zarr``).
 
@@ -80,17 +81,36 @@ def _fill_value(meta_fill: Any, dt: np.dtype):
     return np.dtype(dt).type(meta_fill)
 
 
+def compressor_meta(
+    compressor: str | None, level: int | None
+) -> dict | None:
+    """numcodecs-form compressor document for .zarray."""
+    if level is None or compressor is None:
+        return None
+    if compressor == "zlib":
+        return {"id": "zlib", "level": int(level)}
+    if compressor == "blosc":
+        # the reference's exact codec config (ref writers/ZarrWriter.py:205;
+        # shuffle=1 is numcodecs' byte-shuffle default, blocksize 0 = auto)
+        return {
+            "id": "blosc", "cname": "blosclz", "clevel": int(level),
+            "shuffle": 1, "blocksize": 0,
+        }
+    raise ValueError(f"zarrlite: unknown compressor {compressor!r}")
+
+
 def array_meta(
     shape: tuple[int, ...],
     chunks: tuple[int, ...],
     dt: np.dtype,
     fill_value: Any = None,
     level: int | None = 9,
+    compressor: str | None = "zlib",
 ) -> dict:
     """.zarray document (zarr v2 array metadata)."""
     if len(chunks) != len(shape):
         raise ValueError("chunks rank must match shape rank")
-    comp = None if level is None else {"id": "zlib", "level": int(level)}
+    comp = compressor_meta(compressor, level)
     return {
         "zarr_format": 2,
         "shape": list(int(s) for s in shape),
@@ -109,21 +129,48 @@ def chunk_key(idx: tuple[int, ...]) -> str:
 
 def encode_chunk(
     block: np.ndarray, chunks: tuple[int, ...], fill_value: Any,
-    level: int | None = 9,
+    level: int | None = 9, compressor: str | None = "zlib",
 ) -> bytes:
     """One stored chunk: pad ``block`` (an edge chunk may be smaller) to
-    the full chunk shape with fill_value, C-order bytes, zlib."""
+    the full chunk shape with fill_value, C-order bytes, compress."""
     if block.shape != tuple(chunks):
         full = np.full(chunks, fill_value, dtype=block.dtype)
         full[tuple(slice(0, s) for s in block.shape)] = block
         block = full
     raw = np.ascontiguousarray(block).tobytes(order="C")
-    return raw if level is None else zlib.compress(raw, level)
+    if level is None or compressor is None:
+        return raw
+    if compressor == "zlib":
+        return zlib.compress(raw, level)
+    if compressor == "blosc":
+        from .blosclite import blosc_encode
+
+        return blosc_encode(raw, block.dtype.itemsize, clevel=level)
+    raise ValueError(f"zarrlite: unknown compressor {compressor!r}")
 
 
 def decode_chunk(payload: bytes, chunks: tuple[int, ...], dt: np.dtype,
-                 compressed: bool) -> np.ndarray:
-    raw = zlib.decompress(payload) if compressed else payload
+                 comp: dict | bool | None) -> np.ndarray:
+    """``comp`` is the .zarray compressor document (None = uncompressed;
+    a bool is accepted for backward compatibility and means zlib)."""
+    if not comp:
+        raw = payload
+    elif comp is True or comp.get("id") == "zlib":
+        raw = zlib.decompress(payload)
+    elif comp.get("id") == "blosc":
+        if comp.get("cname", "blosclz") != "blosclz":
+            raise NotImplementedError(
+                f"zarrlite: blosc cname {comp.get('cname')!r} needs the "
+                "blosc library (blosclz decodes here)"
+            )
+        from .blosclite import blosc_decode
+
+        raw = blosc_decode(payload)
+    else:
+        raise ValueError(
+            f"zarrlite: compressor {comp.get('id')!r} unsupported "
+            "(zlib/blosc-blosclz/null subset)"
+        )
     n = int(np.prod(chunks))
     arr = np.frombuffer(raw, dtype=dt, count=n)
     return arr.reshape(chunks)
@@ -176,10 +223,12 @@ def write_array(
     dims: list[str] | None = None,
     fill_value: Any = None,
     level: int | None = 9,
+    compressor: str | None = "zlib",
 ) -> None:
     """Write one complete array (driver-side, for coords/small arrays)."""
     chunks = tuple(chunks or arr.shape)
-    meta = array_meta(arr.shape, chunks, arr.dtype, fill_value, level)
+    meta = array_meta(arr.shape, chunks, arr.dtype, fill_value, level,
+                      compressor)
     _write_doc(root, f"{name}/.zarray", meta)
     a = dict(attrs or {})
     if dims is not None:
@@ -188,7 +237,7 @@ def write_array(
         _write_doc(root, f"{name}/.zattrs", a)
     fill = _fill_value(meta["fill_value"], arr.dtype)
     for idx, block in iter_chunks(arr, chunks):
-        payload = encode_chunk(block, chunks, fill, level)
+        payload = encode_chunk(block, chunks, fill, level, compressor)
         with open(os.path.join(root, name, chunk_key(idx)), "wb") as fh:
             fh.write(payload)
 
@@ -226,10 +275,10 @@ def read_array(root: str, name: str) -> tuple[np.ndarray, dict]:
     if meta.get("filters"):
         raise ValueError("zarrlite: filters unsupported")
     comp = meta.get("compressor")
-    if comp is not None and comp.get("id") != "zlib":
+    if comp is not None and comp.get("id") not in ("zlib", "blosc"):
         raise ValueError(
-            f"zarrlite: compressor {comp.get('id')!r} unsupported (zlib/null"
-            " subset; the reference's blosc frames need the blosc library)"
+            f"zarrlite: compressor {comp.get('id')!r} unsupported "
+            "(zlib/blosc-blosclz/null subset)"
         )
     dt = np.dtype(meta["dtype"])
     shape = tuple(meta["shape"])
@@ -248,7 +297,7 @@ def read_array(root: str, name: str) -> tuple[np.ndarray, dict]:
         if not os.path.exists(cpath):
             continue
         with open(cpath, "rb") as fh:
-            block = decode_chunk(fh.read(), chunks, dt, comp is not None)
+            block = decode_chunk(fh.read(), chunks, dt, comp)
         sel = tuple(
             slice(i * c, min((i + 1) * c, s))
             for i, c, s in zip(idx, chunks, shape)
