@@ -70,31 +70,52 @@ def _settle(max_wait: int = 120, threshold: float = None) -> None:
 
 
 def _stamp() -> dict:
-    """Load provenance for one bench leg (VERDICT r08 item 2: the round-8
-    degraded-window drift had to be reconstructed forensically from log
-    timestamps; now every leg carries machine-readable evidence)."""
+    """Machine provenance for one bench leg (VERDICT r08 item 2: the
+    round-8 degraded-window drift had to be reconstructed forensically
+    from log timestamps; now every leg carries machine-readable
+    evidence). Two signals:
+
+    - loadavg: informative only — once the bench runs, its own 32-way
+      work dominates loadavg, so a threshold there would flag every leg.
+    - ``probe_sec``: a direct ~40 MB fresh-page allocate+touch+strided
+      copy, single-threaded. On this box the degraded windows show
+      100-1000x stalls on exactly this operation (measured: an identical
+      32 MB copy ranged 0.007 s → 4.6 s minutes apart), while steady
+      bench load barely moves it. This is the flag's basis.
+    """
     out = {"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
     try:
         parts = open("/proc/loadavg").read().split()
         out["load1"], out["load5"] = float(parts[0]), float(parts[1])
     except OSError:
         pass
+    import numpy as _np
+
+    t0 = time.perf_counter()
+    a = _np.empty(5_000_000)  # 40 MB of fresh pages
+    a[:] = 1.0
+    b = _np.empty((1_250_000, 4))
+    for k in range(4):
+        b[:, k] = a[:1_250_000]
+    out["probe_sec"] = round(time.perf_counter() - t0, 4)
     return out
 
 
 _SETTLE_THRESHOLD = 4.0
+_PROBE_DEGRADED_SEC = 0.5  # healthy boxes run the probe in ~0.02-0.06 s
 
 
 def _provenance(block: dict, before: dict) -> None:
-    """Attach before/after load stamps to a summary block and flag legs
-    measured above the _settle threshold — the gate report downgrades
-    flagged legs to 'measured-degraded' instead of trusting them."""
+    """Attach before/after stamps to a summary block and flag legs whose
+    memory probe shows the box's pathological fresh-page stalls — the
+    gate report downgrades flagged legs to 'measured-degraded' instead
+    of trusting them."""
     after = _stamp()
     block["load_before"] = before
     block["load_after"] = after
     block["load_flag"] = bool(
-        max(before.get("load1", 0.0), after.get("load1", 0.0))
-        >= _SETTLE_THRESHOLD
+        max(before.get("probe_sec", 0.0), after.get("probe_sec", 0.0))
+        >= _PROBE_DEGRADED_SEC
     )
 
 

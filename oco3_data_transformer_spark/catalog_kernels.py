@@ -497,7 +497,10 @@ _Q132_SQL = """
     "never leave the task; only per-row verdict booleans reach the "
     "aggregate. Both codecs are lossless, so the oracle predicts every "
     "bit-exactness verdict true and the row count from the same sampling "
-    "predicate. Exercises the full Spark plumbing (Arrow batch in/out, "
+    "predicate. In containers shipping libwebp.so the webp decode leg "
+    "routes through the SYSTEM library (operators/syscodecs.py), turning "
+    "this gate into a cross-implementation differential: webplite "
+    "encode -> reference-C decode must be bit-exact. Exercises the full Spark plumbing (Arrow batch in/out, "
     "binary columns, codec dispatch) rather than the codecs in isolation.",
 )
 def q132(spark: SparkSession, sf: str) -> DataFrame:

@@ -2,14 +2,17 @@
 opaque ``binary`` columns with typed metadata, processed with Arrow-batched
 ``mapInPandas`` kernels.
 
-Real image/audio libraries (PIL, ffmpeg, torchaudio) are not in this
+Real image/audio wheels (PIL, ffmpeg, torchaudio) are not in this
 container, so codecs are implemented from their public specifications:
 'png' (this module), 'jpeg' baseline+progressive (operators/jpeglite.py),
 'webp' lossless VP8L (operators/webplite.py), 'wav' RIFF/WAVE PCM+float
-(this module), plus the trivially-deterministic 'raw'/'pcm16'. Compressed
-audio ('mp3') and lossy WebP (VP8) raise ``NotImplementedError`` at the
-decode boundary, nothing else changes; PIL is preferred for jpeg/webp
-when importable.
+(this module), plus the trivially-deterministic 'raw'/'pcm16'.  LOSSY
+WebP (VP8) decodes through the system ``libwebp.so`` via ctypes
+(operators/syscodecs.py, feature-detected — also the live differential
+proving webplite's VP8L interop, tests/test_syscodecs.py); compressed
+audio ('mp3') still raises ``NotImplementedError`` at the decode
+boundary (no system codec library shipped), nothing else changes. PIL is
+preferred for jpeg/webp when importable.
 
 Design notes for 100 TB of blobs:
   - blobs never pass through a shuffle: decode → feature/resize → encode all
@@ -224,13 +227,21 @@ def decode_image(codec: str, payload: bytes, width: int, height: int, channels: 
     if codec == "webp":
         # PIL preferred when importable AND able (a PIL built without
         # WEBP support, or choking on a VP8L stream, must fall through
-        # to the from-spec decoder instead of crashing — ADVICE r8);
-        # both paths then honor the same `channels` slicing contract.
+        # instead of crashing — ADVICE r8); then the system libwebp via
+        # ctypes (operators/syscodecs.py — the only wheel-free path that
+        # decodes LOSSY VP8, the majority of real .webp blobs); then the
+        # from-spec VP8L decoder. All paths honor the same `channels`
+        # slicing contract.
         rgba = _pil_decode(payload)
         if rgba is None:
-            from .webplite import webp_decode
+            from . import syscodecs
 
-            rgba = webp_decode(payload)
+            if syscodecs.available():
+                rgba = syscodecs.webp_decode(payload)
+            else:
+                from .webplite import webp_decode
+
+                rgba = webp_decode(payload)
         if rgba.shape[2] == 1:  # PIL 'L' mode: replicate to RGB
             rgba = np.repeat(rgba, 3, axis=2)
         if rgba.shape[2] == 3:  # pad opaque alpha (webplite always RGBA)

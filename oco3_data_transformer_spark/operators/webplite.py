@@ -591,8 +591,10 @@ def webp_decode(payload: bytes) -> np.ndarray:
             break
         if tag == b"VP8 " or tag == b"VP8X":
             raise NotImplementedError(
-                "lossy/extended WebP (VP8/VP8X) needs an image library; "
-                "lossless VP8L decodes here"
+                "lossy/extended WebP (VP8/VP8X) needs an image library — "
+                "operators/syscodecs.py binds the system libwebp for it "
+                "when present (multimodal.decode_image routes there); "
+                "lossless VP8L decodes here from spec"
             )
         off += 8 + size + (size & 1)
     if vp8l is None:

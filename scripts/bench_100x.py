@@ -79,10 +79,13 @@ def main() -> int:
         ).stdout.strip()
     except OSError:
         head = "unknown"
+    from bench import _provenance, _stamp  # noqa: E402 (repo-root import)
+
     out: dict = {
         "sf": sf_dir, "k": 100, "head": head,
         "spark": {}, "spark_build": {}, "duckdb": {},
     }
+    pb = _stamp()
 
     REGISTRY["q24_coverage_attrs"].fn(spark, sf_dir).collect()  # warmup
     for name in both_engines + spark_only:
@@ -134,6 +137,7 @@ def main() -> int:
         if out["duckdb_total"]
         else None
     )
+    _provenance(out, pb)  # VERDICT r08 item 2: stamped like every leg
     with open(os.path.join(ROOT, "BENCH_SF10.json"), "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({k: out[k] for k in ("head", "spark_total", "duckdb_total", "ratio")}))

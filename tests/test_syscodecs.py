@@ -1,0 +1,115 @@
+"""System-libwebp binding (operators/syscodecs.py) + LIVE differentials
+for the from-spec VP8L codec (VERDICT r08 item 6).
+
+These tests upgrade webplite's interop claims from skip-gated (no PIL
+wheel) to verified-in-container: the reference C implementation decodes
+webplite's output bit-exactly and vice versa, on real libwebp streams
+that exercise decode paths (predictors, transforms, color cache, LZ77
+backrefs) the minimal from-spec encoder never emits. Lossy VP8 decode —
+the majority of real .webp blobs — is covered end-to-end through the
+multimodal dispatch. Everything here skips cleanly if the OS image ever
+drops libwebp.so; the from-spec NotImplementedError gates are asserted
+independently of it."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from oco3_data_transformer_spark.operators import syscodecs as S
+from oco3_data_transformer_spark.operators import multimodal as M
+from oco3_data_transformer_spark.operators.webplite import (
+    webp_decode, webp_encode)
+
+needs_libwebp = pytest.mark.skipif(
+    not S.available(), reason="system libwebp not present"
+)
+
+
+def _rgba(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    img[..., 3] = 255
+    return img
+
+
+@needs_libwebp
+def test_libwebp_decodes_webplite_vp8l_bit_exact():
+    for seed, (h, w) in enumerate([(1, 1), (7, 5), (37, 53), (64, 64)]):
+        img = _rgba(h, w, seed)
+        assert (S.webp_decode(webp_encode(img)) == img).all()
+
+
+@needs_libwebp
+def test_webplite_decodes_real_libwebp_vp8l_bit_exact():
+    """libwebp's lossless encoder uses predictors/transforms/color-cache/
+    real LZ77 — decode paths our encoder never emits."""
+    rng = np.random.default_rng(1)
+    # smooth gradient + flat regions + noise: drives different transforms
+    x = np.linspace(0, 255, 61)
+    img = np.empty((47, 61, 4), np.uint8)
+    img[..., 0] = x[None, :].astype(np.uint8)
+    img[..., 1] = np.linspace(0, 255, 47)[:, None].astype(np.uint8)
+    img[..., 2] = 77
+    img[..., 3] = 255
+    img[10:20, 10:30] = rng.integers(0, 256, (10, 20, 4), dtype=np.uint8)
+    img[..., 3] = 255
+    theirs = S.webp_encode_lossless(img)
+    assert (webp_decode(theirs) == img).all()
+
+
+@needs_libwebp
+def test_lossy_vp8_decode_through_dispatch_bounded_error():
+    """multimodal.decode_image('webp', ...) must handle LOSSY blobs via
+    the system library with bounded reconstruction error on smooth
+    content (the q132-family contract shape)."""
+    smooth = (
+        np.linspace(0, 255, 48)[None, :, None] * np.ones((32, 1, 3))
+    ).astype(np.uint8)
+    payload = S.webp_encode_lossy(smooth, quality=90.0)
+    out = M.decode_image("webp", payload, 48, 32, 3)
+    assert out.shape == (32, 48, 3)
+    err = np.abs(out.astype(int) - smooth.astype(int)).max()
+    assert err <= 12  # q90 on a smooth ramp stays tight
+
+
+@needs_libwebp
+def test_lossy_vp8_channels_contract():
+    img = _rgba(9, 11, 3)
+    payload = S.webp_encode_lossy(img, quality=100.0)
+    one = M.decode_image("webp", payload, 11, 9, 1)
+    assert one.shape == (9, 11, 1)
+    four = M.decode_image("webp", payload, 11, 9, 4)
+    assert four.shape == (9, 11, 4)
+    assert (four[..., 3] == 255).all()
+
+
+def test_from_spec_lossy_gate_still_honest():
+    """webplite itself (the wheel-free from-spec path) must keep refusing
+    VP8 clearly — the system library is a dispatch-level fallback, not a
+    silent change to the from-spec codec's contract."""
+    if S.available():
+        payload = S.webp_encode_lossy(_rgba(8, 8, 4), quality=80.0)
+    else:
+        # minimal VP8 container shell: enough for the chunk-tag gate
+        body = b"VP8 " + (12).to_bytes(4, "little") + bytes(12)
+        riff = b"WEBP" + body
+        payload = b"RIFF" + len(riff).to_bytes(4, "little") + riff
+    with pytest.raises(NotImplementedError, match="syscodecs"):
+        webp_decode(payload)
+
+
+@needs_libwebp
+def test_gradient_images_decode_identically_under_libwebp(spark):
+    """The q43 contract generator's png path is independent of which webp
+    backend exists — and webplite vs libwebp agree on every generated
+    image when re-encoded as VP8L (sanity against dispatch drift)."""
+    from pyspark.sql import functions as F
+
+    ids = spark.range(6).select(F.col("id").alias("doc_id"))
+    rows = M.gradient_images(ids).collect()
+    for r in rows:
+        arr = M.decode_image(r.codec, bytes(r.payload), r.width, r.height,
+                             r.channels)
+        again = webp_encode(arr)
+        assert (S.webp_decode(again)[:, :, :3] == arr[:, :, :3]).all()
