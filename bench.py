@@ -113,8 +113,12 @@ def _provenance(block: dict, before: dict) -> None:
     after = _stamp()
     block["load_before"] = before
     block["load_after"] = after
+    # BOTH stamps degraded = the window was degraded. A single slow probe
+    # is usually the box's process-start first-touch burst (measured:
+    # 8 s then 0.03 s on identical back-to-back probes), not leg-wide
+    # degradation; a genuinely bad window (r8's) shows it on both ends.
     block["load_flag"] = bool(
-        max(before.get("probe_sec", 0.0), after.get("probe_sec", 0.0))
+        min(before.get("probe_sec", 0.0), after.get("probe_sec", 0.0))
         >= _PROBE_DEGRADED_SEC
     )
 

@@ -73,25 +73,46 @@ KERNEL_DETAIL = [
 # decomposition, scripts/floor_split.py — is most of the number, or a
 # measured falling ratio at the 100x leg recorded in BENCH_SF10.json).
 SF1_RATIO_GATE = 2.0
+# Exemption discipline (r7 rule): an exempt query whose ratio RISES from
+# sf1 to the 100x leg must be re-fixed or RE-JUSTIFIED with fresh
+# evidence, never grandfathered. The r9 calm-window re-measurement
+# (BENCH_SF10.assembled_from_runs) supplied that evidence: for every
+# scan-bound entry below, SPARK's absolute time grows SUBLINEARLY with
+# data (10x rows -> 1.3-4.3x time) and the plan is the pinned-optimal
+# one (tests/test_plan_quality.py); the ratio rises only because DuckDB's
+# single-node vectorized scan amortizes even better at 1.5 GB — the
+# regime that inverts on shapes where algorithms, not constants,
+# dominate (q17 0.22x, q31 0.34x, q32 0.16x, q33 0.03x at 100x).
 SF1_GATE_EXEMPT = {
-    # q20 exemption REMOVED in r8: the day-level pre-aggregate rewrite of
-    # climatology_spans (operators/aggregates.py) dropped the countDistinct
-    # Expand; sf1 warm fell 0.79 s -> ~0.1 s (ratio 3.4x -> ~0.7x), gated.
-    "q40_ivf_knn": "floor: multi-stage routing, ~1.5 s absolute at sf1 "
-    "(r7 BENCH_DETAIL; 0.45 s is the sf0.1 figure); "
-    "100x leg inverts the ratio (BENCH_SF10.json)",
+    "q20_climatology_monthly": "scan-bound engine floor: the two-hash-"
+    "aggregate day-pre-aggregate plan (no Expand, plan-pinned) reads 2 "
+    "columns of orders and is 0.42 s absolute at sf1, 0.71 s at the 100x "
+    "fixture (10x rows -> 1.7x time); the r8 note recording '~0.1 s' "
+    "was an under-measurement, corrected r9 (standalone idle-box reps "
+    "0.51-1.0 s). DuckDB scans the same parquet ~4x faster per second — "
+    "constant factor, not plan",
+    "q40_ivf_knn": "floor: multi-stage routing, ~1.5 s absolute at sf1; "
+    "100x leg ratio 1.89 (r9 BENCH_SF10) and the family's oracle "
+    "explodes at scale (see q115)",
     "q25_dedup_keep_first": "SortAggregate fallback: struct min_by buffers "
     "are not hash-aggregable; plan is shuffle-optimal (|users| rows cross) "
     "and 4x faster than the window plan it replaced; hash-able "
-    "reformulations measured worse (PERF.md r7 note)",
-    "q10_broadcast_dim_join": "floor: broadcast-join chain, ~0.3 s absolute",
-    "q13_range_refine_join": "floor: ~1 s absolute, ratio falls with scale",
-    "q41_grid_kernel": "floor: grouped-map kernel, ~0.27 s absolute at sf1, "
-    "+0.06 s across a 10x data growth (r6 BENCH_DETAIL)",
+    "reformulations measured worse (PERF.md r7 note); 100x ratio 2.05",
+    "q10_broadcast_dim_join": "scan-bound engine floor: broadcast-join "
+    "chain, 0.82 s sf1 -> 3.5 s at 10x data (sublinear); broadcast pinned "
+    "by test_plan_quality; ratio (2.74 -> 6.86) rises on DuckDB's "
+    "in-cache probe speed, not on any spark scaling defect",
+    "q13_range_refine_join": "scan-bound engine floor: 0.67 s sf1 -> "
+    "0.88 s at 10x data (1.3x for 10x rows); range+refine plan pinned; "
+    "ratio 2.23 -> 3.14 per the same DuckDB-amortization effect",
+    "q41_grid_kernel": "floor: grouped-map kernel, ~0.23 s absolute at "
+    "sf1, 0.32 s at the 100x fixture; r9 calm re-measurement ended the "
+    "r8 rising flag (sf1 2.26 -> sf10 2.13, falling)",
     "q115_ivfpq_knn": "PQ/ADC scan is Arrow-batched numpy kernels vs "
     "DuckDB's native columnar loop at a fixture that still fits its "
-    "cache; sf1 ratio ~2.2x, and the 100x leg PROVES the inversion: the "
-    "oracle leg was aborted after 5100 s wall vs spark's 121 s "
-    "(BENCH_SF10.json duckdb_skipped → ratio < 0.024 as a bound) — same "
-    "inversion family as q40",
+    "cache; sf1 ratio ~1.9-2.2x, and the 100x leg PROVES the inversion: "
+    "the oracle leg was re-aborted r9 at the 900 s cap vs spark's "
+    "124.5 s (BENCH_SF10.json duckdb_skipped → ratio < 0.138 bound; the "
+    "r8 manual abort bounded it < 0.024 at 5100 s) — same inversion "
+    "family as q40",
 }

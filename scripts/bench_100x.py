@@ -11,6 +11,19 @@ every sf1 exemption against it (an exemption whose ratio RISES from sf1
 to 100× is flagged — VERDICT r07 item 2: exemptions must stay evidenced,
 not grandfathered).
 
+Oracle legs are wall-capped (default 900 s, --duck-cap N): a leg that
+exceeds the cap is interrupted (duckdb con.interrupt()) and recorded as
+``duckdb_skipped`` with the elapsed bound — r8's q115 oracle ran 5100 s
+before a manual abort; the bound itself is the evidence (spark/cap is an
+upper bound on the true ratio), so burning an hour-plus of calm-window
+time re-proving it is pure waste.
+
+--reuse-duck <file> carries over the quadratic dedup oracles only
+(whitelist); --reuse-duck-full <file> carries over EVERY duck entry in
+the file — for resuming an interrupted same-session run from its own
+measured legs (oracle timings are repo-code-independent; provenance of
+reused entries is recorded either way).
+
 Usage: python scripts/bench_100x.py [dst_dir]   (default .bench_data/sf10)
 """
 
@@ -55,11 +68,19 @@ def main() -> int:
         "q33_simhash_neardup",
     }
     reuse_duck = None
+    reuse_full = False
+    duck_cap = 900.0
     argv = list(sys.argv[1:])
-    if "--reuse-duck" in argv:
-        i = argv.index("--reuse-duck")
-        with open(argv[i + 1]) as fh:
-            reuse_duck = json.load(fh)
+    for flag in ("--reuse-duck", "--reuse-duck-full"):
+        if flag in argv:
+            i = argv.index(flag)
+            with open(argv[i + 1]) as fh:
+                reuse_duck = json.load(fh)
+            reuse_full = flag == "--reuse-duck-full"
+            del argv[i : i + 2]
+    if "--duck-cap" in argv:
+        i = argv.index("--duck-cap")
+        duck_cap = float(argv[i + 1])
         del argv[i : i + 2]
 
     dst = argv[0] if argv else os.path.join(ROOT, ".bench_data", "sf10")
@@ -88,40 +109,84 @@ def main() -> int:
     pb = _stamp()
 
     REGISTRY["q24_coverage_attrs"].fn(spark, sf_dir).collect()  # warmup
+    # TWO separated passes, min per query: the box reproducibly runs a
+    # degraded first ~minute per fresh process (probe_sec ~20x normal at
+    # start, normal later — see _stamp), so back-to-back reps alone let
+    # the start window contaminate whichever queries run first; the
+    # second pass re-measures every query outside that window.
+    dfs = {}
     for name in both_engines + spark_only:
-        # build once / execute twice (plan reuse) — bench.py's methodology
         t0 = time.perf_counter()
-        df = REGISTRY[name].fn(spark, sf_dir)
+        dfs[name] = REGISTRY[name].fn(spark, sf_dir)
         out["spark_build"][name] = round(time.perf_counter() - t0, 2)
-        best = float("inf")
-        for _ in range(2):
+    for pass_ in range(2):
+        for name in both_engines + spark_only:
             t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        out["spark"][name] = round(best, 2)
-        print(f"# spark {name}: {best:.2f}s", file=sys.stderr, flush=True)
+            dfs[name].write.format("noop").mode("overwrite").save()
+            took = time.perf_counter() - t0
+            prev = out["spark"].get(name, float("inf"))
+            out["spark"][name] = round(min(prev, took), 2)
+            print(f"# spark pass{pass_} {name}: {took:.2f}s",
+                  file=sys.stderr, flush=True)
 
     reused = {}
     if reuse_duck is not None:
         reused = {
-            n: v for n, v in reuse_duck["duckdb"].items() if n in REUSABLE
+            n: v for n, v in reuse_duck["duckdb"].items()
+            if reuse_full or n in REUSABLE
         }
         out["duckdb"].update(reused)
         out["duckdb_reused"] = {
             "head": reuse_duck.get("head"), "queries": sorted(reused),
         }
+        if reuse_full and reuse_duck.get("duckdb_skipped"):
+            out["duckdb_skipped"] = dict(reuse_duck["duckdb_skipped"])
     con = duck_connection(sf_dir)
     con.execute("SELECT 1").fetchall()
+
+    import threading
+
+    def timed_duck(sql: str) -> float | None:
+        """One capped oracle leg: None = interrupted at the cap."""
+        err: list = []
+
+        def run():
+            try:
+                con.execute(sql).fetchall()
+            except Exception as exc:  # interrupt surfaces as an exception
+                err.append(exc)
+
+        t0 = time.perf_counter()
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+        th.join(duck_cap)
+        if th.is_alive():
+            con.interrupt()
+            th.join()
+            return None
+        if err:
+            raise err[0]
+        return time.perf_counter() - t0
+
     for name in both_engines:
-        if name in reused:
+        if name in reused or name in out.get("duckdb_skipped", {}):
             continue
         sql = REGISTRY[name].sql
         if sql is None:
             continue
-        con.execute(sql).fetchall()  # warm
-        t0 = time.perf_counter()
-        con.execute(sql).fetchall()
-        out["duckdb"][name] = round(time.perf_counter() - t0, 2)
+        warm = timed_duck(sql)
+        if warm is None:
+            took = None
+        else:
+            took = timed_duck(sql)
+        if took is None:
+            bound = {"aborted_after_sec": duck_cap,
+                     "ratio_bound": round(out["spark"][name] / duck_cap, 4)}
+            out.setdefault("duckdb_skipped", {})[name] = bound
+            print(f"# duckdb {name}: ABORTED at {duck_cap}s "
+                  f"(ratio < {bound['ratio_bound']})", file=sys.stderr, flush=True)
+            continue
+        out["duckdb"][name] = round(took, 2)
         print(f"# duckdb {name}: {out['duckdb'][name]}s", file=sys.stderr, flush=True)
     con.close()
 
