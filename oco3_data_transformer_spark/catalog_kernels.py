@@ -406,7 +406,9 @@ _Q43_SQL = """
     "q43_image_features",
     _Q43_SQL,
     doc="Multimodal: closed-form gradient images derived from the "
-    "documents table (png / raw alternating) → mapInPandas decode + "
+    "documents table (png / raw alternating on (id // 20) % 2 — a bit "
+    "that varies WITHIN this doc_id % 20 sample, so both decode legs "
+    "run; ADVICE r9) → mapInPandas decode + "
     "intensity features → relational rollup. CONTRACT ORACLE (VERDICT "
     "r08 item 4, the q132 pattern): each image's pixel values are "
     "(base + 7r + 3c + 11ch) % 256, so the oracle recomputes every "
@@ -448,8 +450,10 @@ _Q53_SQL = """
     "q53_audio_features",
     _Q53_SQL,
     doc="Multimodal audio: closed-form square-wave clips derived from the "
-    "documents table (flac / wav alternating — both from-spec codecs in "
-    "the hot path) → mapInPandas decode + duration/RMS/zero-crossing "
+    "documents table (flac / wav alternating on (id // 20) % 2 — a bit "
+    "that varies WITHIN this doc_id % 20 sample, so both from-spec "
+    "codecs run in the hot path; ADVICE r9) → mapInPandas decode + "
+    "duration/RMS/zero-crossing "
     "features → rollup. CONTRACT ORACLE (VERDICT r08 item 4): amplitude "
     "and half-period are closed forms of doc_id, so the oracle recomputes "
     "each bucket's EXACT zero-crossing total (floor((n-1)/half) per clip) "

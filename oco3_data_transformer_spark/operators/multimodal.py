@@ -244,6 +244,12 @@ def decode_image(codec: str, payload: bytes, width: int, height: int, channels: 
                 rgba = webp_decode(payload)
         if rgba.shape[2] == 1:  # PIL 'L' mode: replicate to RGB
             rgba = np.repeat(rgba, 3, axis=2)
+        elif rgba.shape[2] == 2:  # PIL 'LA' mode: split luma/alpha
+            # (ADVICE r9: a 2-channel array passed both normalization
+            # branches untouched, breaking the channels contract)
+            rgba = np.concatenate(
+                [np.repeat(rgba[:, :, :1], 3, axis=2), rgba[:, :, 1:]], axis=2
+            )
         if rgba.shape[2] == 3:  # pad opaque alpha (webplite always RGBA)
             rgba = np.concatenate(
                 [rgba, np.full(rgba.shape[:2] + (1,), 255, np.uint8)], axis=2
@@ -579,7 +585,10 @@ def gradient_images(
     so the per-image intensity SUM has an exact closed form a DuckDB
     oracle recomputes with three range() joins — the oracle numerically
     checks the whole encode → decode → feature path, not just that it
-    ran. Codec alternates png (from-spec codec) / raw by id parity."""
+    ran. Codec alternates png (from-spec codec) / raw on (id // 20) % 2
+    — a bit that VARIES within a ``doc_id % 20 == r`` sample class, so
+    residue-sampled contract queries (catalog q43) exercise BOTH decode
+    legs (ADVICE r9: plain id parity is constant within such a class)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -591,7 +600,7 @@ def gradient_images(
                 c = np.arange(width)[None, :, None]
                 ch = np.arange(channels)[None, None, :]
                 arr = ((base + 7 * r + 3 * c + 11 * ch) % 256).astype(np.uint8)
-                codec = "png" if did % 2 else "raw"
+                codec = "png" if (did // 20) % 2 else "raw"
                 rows.append(
                     {
                         "item_id": did,
@@ -618,9 +627,11 @@ def square_wave_audio(
     power-of-two normalization keeps decode values EXACT floats) with
     half-period L = 4 + id % 4, so RMS = a/32768 exactly and the
     zero-crossing count is floor((n_samples-1)/L) — both recomputable by
-    a DuckDB oracle in closed form. Codec alternates flac/wav by id
-    parity, driving both from-spec audio codecs through the feature
-    path."""
+    a DuckDB oracle in closed form. Codec alternates flac/wav on
+    (id // 20) % 2 — a bit that VARIES within a ``doc_id % 20 == r``
+    sample class, so residue-sampled contract queries (catalog q53)
+    drive BOTH from-spec audio codecs through the feature path (ADVICE
+    r9: plain id parity is constant within such a class)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .flaclite import flac_encode
@@ -633,7 +644,7 @@ def square_wave_audio(
                 a = 1000 + (did % 10) * 500
                 half = 4 + did % 4
                 pcm = np.where((i // half) % 2 == 0, a, -a).astype("<i2")
-                if did % 2:
+                if (did // 20) % 2:
                     codec, payload = "flac", flac_encode(
                         pcm.astype(np.int64), sample_rate, bps=16
                     )

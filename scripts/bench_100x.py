@@ -141,13 +141,17 @@ def main() -> int:
         }
         if reuse_full and reuse_duck.get("duckdb_skipped"):
             out["duckdb_skipped"] = dict(reuse_duck["duckdb_skipped"])
-    con = duck_connection(sf_dir)
-    con.execute("SELECT 1").fetchall()
+    holder = {"con": duck_connection(sf_dir)}
+    holder["con"].execute("SELECT 1").fetchall()
 
     import threading
 
     def timed_duck(sql: str) -> float | None:
-        """One capped oracle leg: None = interrupted at the cap."""
+        """One capped oracle leg: None = interrupted at the cap.  After
+        an interrupt the join is BOUNDED and the shared connection is
+        replaced — a worker that ignores the interrupt can neither hang
+        the whole bench nor corrupt the next query's timing (ADVICE r9)."""
+        con = holder["con"]
         err: list = []
 
         def run():
@@ -162,7 +166,16 @@ def main() -> int:
         th.join(duck_cap)
         if th.is_alive():
             con.interrupt()
-            th.join()
+            th.join(30)  # bounded: a stuck worker must not hang the run
+            # the abandoned worker may still hold the old connection —
+            # never reuse it for timing (daemon thread dies with us)
+            holder["con"] = duck_connection(sf_dir)
+            holder["con"].execute("SELECT 1").fetchall()
+            if not th.is_alive():
+                try:
+                    con.close()
+                except Exception:
+                    pass
             return None
         if err:
             raise err[0]
@@ -188,7 +201,7 @@ def main() -> int:
             continue
         out["duckdb"][name] = round(took, 2)
         print(f"# duckdb {name}: {out['duckdb'][name]}s", file=sys.stderr, flush=True)
-    con.close()
+    holder["con"].close()
 
     out["per_query_ratio"] = {
         n: round(out["spark"][n] / d, 2) if d else None

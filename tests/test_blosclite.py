@@ -138,22 +138,175 @@ def test_clevel_zero_stores():
     assert f[2] == 0x2 and B.blosc_decode(f) == raw
 
 
-def test_bitshuffle_gate_honest():
-    raw = bytes(64)
-    f = bytearray(B.blosc_encode(raw, 8, clevel=0))
-    f[2] |= 0x4  # claim bit-shuffle
-    with pytest.raises(NotImplementedError, match="bit-shuffle"):
-        B.blosc_decode(bytes(f))
-
-
 def test_foreign_compressor_gate_honest():
     raw = bytes(64)
     f = bytearray(B.blosc_encode(raw, 8, clevel=9, shuffle=False))
-    # a compressible all-zero frame: flip compressor code to lz4 (1)
+    # a compressible all-zero frame: flip compressor code to snappy (2),
+    # the one common cname without a system library or a spec path here
     if not f[2] & 0x2:
-        f[2] |= 1 << 5
-        with pytest.raises(NotImplementedError, match="compressor code"):
+        f[2] = (f[2] & 0x1F) | (2 << 5)
+        with pytest.raises(NotImplementedError, match="snappy"):
             B.blosc_decode(bytes(f))
+
+
+def test_versionlz_gate_honest():
+    """ADVICE r9: a future lz stream-format version must gate, not be
+    mis-decoded with the v1 grammar."""
+    raw = np.arange(512, dtype=np.float64).tobytes()
+    f = bytearray(B.blosc_encode(raw, 8))
+    assert not f[2] & 0x2  # compressed frame — versionlz is live
+    f[1] = 2
+    with pytest.raises(NotImplementedError, match="stream format version 2"):
+        B.blosc_decode(bytes(f))
+    # memcpy frames carry no lz stream: versionlz is inert there
+    m = bytearray(B.blosc_encode(bytes(64), 8, clevel=0))
+    m[1] = 7
+    assert B.blosc_decode(bytes(m)) == bytes(64)
+
+
+# --- bit-shuffle decode (VERDICT r09 item 7) ------------------------------
+
+def _bitshuffle_fwd_scalar(buf: bytes, typesize: int) -> bytes:
+    """Independent scalar transcription of bitshuffle's published
+    ``bshuf_trans_bit_elem`` + c-blosc's leftover rule — a triple-loop
+    differential partner for the vectorized numpy inverse."""
+    nelem = (len(buf) // typesize) & ~7
+    nb = nelem * typesize
+    out = bytearray(nb)
+    rows = nelem // 8
+    for bb in range(typesize):
+        for j in range(8):
+            for t in range(rows):
+                v = 0
+                for m in range(8):
+                    v |= ((buf[(8 * t + m) * typesize + bb] >> j) & 1) << m
+                out[(bb * 8 + j) * rows + t] = v
+    return bytes(out) + buf[nb:]
+
+
+def test_bitunshuffle_hand_golden():
+    # 8 one-byte elements [1,0,0,0,0,0,0,0]: only bit-plane 0 has its
+    # element-0 bit set -> shuffled = 0x01 then zeros
+    assert B._bitunshuffle(bytes([1, 0, 0, 0, 0, 0, 0, 0]), 1) == (
+        bytes([1] + [0] * 7)
+    )
+    # element 5's bit 3 -> plane 3's byte 0, bit 5 (LSB-first packing)
+    sh = bytearray(8)
+    sh[3] = 1 << 5
+    want = bytearray(8)
+    want[5] = 1 << 3
+    assert B._bitunshuffle(bytes(sh), 1) == bytes(want)
+    # typesize 2, 8 elements: byte B=1, bit j=6 of element 2 lives in
+    # plane p = 1*8+6, packed bit 2
+    sh = bytearray(16)
+    sh[(1 * 8 + 6) * 1 + 0] = 1 << 2  # rows = 1 byte per plane
+    want = bytearray(16)
+    want[2 * 2 + 1] = 1 << 6
+    assert B._bitunshuffle(bytes(sh), 2) == bytes(want)
+
+
+@pytest.mark.parametrize("typesize", [1, 2, 4, 8])
+def test_bitunshuffle_inverts_published_transform(typesize):
+    rng = np.random.default_rng(typesize)
+    for n in (64, 100, 257, 4096):
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        sh = _bitshuffle_fwd_scalar(data, typesize)
+        assert B._bitunshuffle(sh, typesize) == data
+        # leftover rule: tail bytes beyond floor(n/ts)&~7 elements verbatim
+        nb = ((n // typesize) & ~7) * typesize
+        assert sh[nb:] == data[nb:]
+
+
+def _hand_frame(codec: int, flags_extra: int, typesize: int,
+                raw: bytes, streams_per_block, bsize: int) -> bytes:
+    """Assemble a blosc1 frame the way a third-party writer would."""
+    nbytes = len(raw)
+    nblocks = -(-nbytes // bsize)
+    blocks = []
+    for j in range(nblocks):
+        parts = b""
+        for comp, neblock in streams_per_block[j]:
+            parts += struct.pack("<i", len(comp)) + comp
+        blocks.append(parts)
+    total = 16 + 4 * nblocks + sum(len(b) for b in blocks)
+    hdr = struct.pack("<BBBBIII", 2, 1, flags_extra | (codec << 5),
+                      typesize, nbytes, bsize, total)
+    bstarts, pos = [], 16 + 4 * nblocks
+    for b in blocks:
+        bstarts.append(pos)
+        pos += len(b)
+    return hdr + struct.pack(f"<{nblocks}i", *bstarts) + b"".join(blocks)
+
+
+def test_zlib_frame_decode_multiblock_bitshuffle():
+    """cname=zlib (stdlib differential — the compressor is the real
+    zlib): 2 blocks + a short leftover block, bit-shuffled per block."""
+    import zlib
+
+    rng = np.random.default_rng(5)
+    raw = rng.integers(0, 4, 2100, dtype=np.uint8).astype("<u4").tobytes()
+    ts, bsize = 4, 4096  # blocks of 1024 elements, leftover 52 elems
+    streams = []
+    for j in range(-(-len(raw) // bsize)):
+        block = raw[j * bsize : (j + 1) * bsize]
+        sh = _bitshuffle_fwd_scalar(block, ts)
+        streams.append([(zlib.compress(sh, 9), len(block))])
+    f = _hand_frame(3, 0x4, ts, raw, streams, bsize)
+    assert B.blosc_decode(f) == raw
+
+
+def test_zlib_frame_decode_byteshuffle_and_plain():
+    import zlib
+
+    rng = np.random.default_rng(6)
+    raw = rng.integers(0, 3, 600, dtype=np.uint8).astype("<f8").tobytes()
+    for flags, xform in ((0x1, lambda b: B._shuffle(b, 8)), (0, lambda b: b)):
+        sh = xform(raw)
+        f = _hand_frame(3, flags, 8, raw, [[(zlib.compress(sh), len(raw))]],
+                        len(raw))
+        assert B.blosc_decode(f) == raw
+
+
+def test_lz4_frame_decode_live_differential():
+    """cname=lz4 — numcodecs' DEFAULT — with payloads produced by the
+    actual system liblz4 (differential-grade: the compressor is the
+    real library, only the frame walk + unshuffle are ours)."""
+    from oco3_data_transformer_spark.operators import syscodecs
+
+    if not syscodecs.lz4_available():
+        pytest.skip("system liblz4 absent (probe logged)")
+    rng = np.random.default_rng(7)
+    raw = np.repeat(rng.integers(0, 9, 700), 3).astype("<i8").tobytes()
+    sh = B._shuffle(raw, 8)
+    f = _hand_frame(1, 0x1, 8, raw, [[(syscodecs.lz4_compress(sh), len(raw))]],
+                    len(raw))
+    assert B.blosc_decode(f) == raw
+    # lz4 frames NEVER split under FORWARD_COMPAT even at small
+    # typesize/large block — the decoder must recompute nstreams=1
+    assert B._split_streams(8, len(raw), False, codec=1) == 1
+    assert B._split_streams(8, len(raw), False, codec=0) == 8
+
+
+def test_zstd_frame_decode_live_differential():
+    from oco3_data_transformer_spark.operators import syscodecs
+
+    if not syscodecs.zstd_available():
+        pytest.skip("system libzstd absent (probe logged)")
+    rng = np.random.default_rng(8)
+    a = np.full(3000, np.nan)
+    a[50:120] = rng.normal(size=70)
+    raw = a.tobytes()
+    sh = _bitshuffle_fwd_scalar(raw, 8)
+    f = _hand_frame(4, 0x4, 8, raw, [[(syscodecs.zstd_compress(sh), len(raw))]],
+                    len(raw))
+    assert B.blosc_decode(f) == raw
+
+
+def test_stored_stream_in_foreign_codec_frame():
+    """csize == neblock means stored-raw regardless of compressor code."""
+    raw = bytes(range(256))
+    f = _hand_frame(4, 0, 1, raw, [[(raw, len(raw))]], len(raw))
+    assert B.blosc_decode(f) == raw
 
 
 # --- differentials: activate when a real blosc build appears -------------

@@ -297,3 +297,52 @@ def test_png_decoder_validates_container():
     )
     with pytest.raises(ValueError, match="does not match IHDR"):
         M.png_decode(blob)
+
+
+def test_generator_codecs_alternate_within_residue_class(spark):
+    """ADVICE r9 (medium): the contract queries sample doc_id % 20 == r,
+    so the codec-alternation bit must VARY within such a class or one
+    decode leg is never exercised. Both generators alternate on
+    (id // 20) % 2 now — assert both codecs appear for the exact residue
+    classes q43/q53 sample."""
+    ids7 = spark.createDataFrame([(7 + 20 * k,) for k in range(6)], ["doc_id"])
+    imgs = {r.item_id: r.codec
+            for r in M.gradient_images(ids7).select("item_id", "codec").collect()}
+    assert set(imgs.values()) == {"png", "raw"}
+    assert imgs[7] == "raw" and imgs[27] == "png"  # //20 parity, not id parity
+
+    ids11 = spark.createDataFrame([(11 + 20 * k,) for k in range(6)], ["doc_id"])
+    clips = {r.item_id: r.codec
+             for r in M.square_wave_audio(ids11).select("item_id", "codec").collect()}
+    assert set(clips.values()) == {"flac", "wav"}
+    assert clips[11] == "wav" and clips[31] == "flac"
+
+
+def test_generator_codec_payloads_decode_on_both_legs(spark):
+    """The alternation fix is only meaningful if both legs really decode:
+    run the feature path over a residue-class sample and check every row
+    (png AND raw legs; flac AND wav legs) produced exact features."""
+    ids = spark.createDataFrame([(7 + 20 * k,) for k in range(4)], ["doc_id"])
+    feats = M.image_features(M.gradient_images(ids)).collect()
+    assert len(feats) == 4
+    for r in feats:
+        base = r.item_id % 251
+        tot = sum((base + 7 * rr + 3 * cc + 11 * ch) % 256
+                  for rr in range(12) for cc in range(16) for ch in range(3))
+        assert round(r.mean_intensity * 16 * 12 * 3) == tot
+
+
+def test_decode_image_la_mode_normalized(monkeypatch):
+    """ADVICE r9: a 2-channel 'LA' PIL decode must split luma/alpha, not
+    leak a 2-channel array through the channels contract."""
+    la = np.zeros((4, 5, 2), np.uint8)
+    la[..., 0] = np.arange(20, dtype=np.uint8).reshape(4, 5)  # luma
+    la[..., 1] = 200  # alpha
+    monkeypatch.setattr(M, "_pil_decode", lambda payload: la)
+    out3 = M.decode_image("webp", b"x", 5, 4, 3)
+    assert out3.shape == (4, 5, 3)
+    assert (out3 == la[..., :1]).all()  # luma replicated, no alpha leak
+    out1 = M.decode_image("webp", b"x", 5, 4, 1)
+    assert out1.shape == (4, 5, 1) and (out1[..., 0] == la[..., 0]).all()
+    out4 = M.decode_image("webp", b"x", 5, 4, 4)
+    assert out4.shape == (4, 5, 4) and (out4[..., 3] == 200).all()
