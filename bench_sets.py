@@ -98,10 +98,22 @@ SF1_GATE_EXEMPT = {
     "are not hash-aggregable; plan is shuffle-optimal (|users| rows cross) "
     "and 4x faster than the window plan it replaced; hash-able "
     "reformulations measured worse (PERF.md r7 note); 100x ratio 2.05",
-    "q10_broadcast_dim_join": "scan-bound engine floor: broadcast-join "
-    "chain, 0.82 s sf1 -> 3.5 s at 10x data (sublinear); broadcast pinned "
-    "by test_plan_quality; ratio (2.74 -> 6.86) rises on DuckDB's "
-    "in-cache probe speed, not on any spark scaling defect",
+    "q10_broadcast_dim_join": "broadcast-BUILD floor, decomposed r10 "
+    "(VERDICT r09 item 2, scripts/floor_split_q10.py at the 100x "
+    "fixture): full leg 2.75 s calm = 0.06 job floor + 0.49 lineitem "
+    "scan + 0.18 orders scan + ~1.6 BROADCAST BUILD (driver-side "
+    "single-thread collect+hash of the 2.28M filtered-orders rows — "
+    "measured in isolation: a 1-row probe against the same broadcast "
+    "costs 1.84 s) + ~0.7 probe/agg of 60M rows + 0.23 dim chain. The "
+    "build is once-per-query and independent of fact-side rows — the "
+    "definition of a floor; DuckDB builds the same hash table "
+    "multithreaded in native code, hence the ratio. The plan is "
+    "measured-optimal at BOTH the fixture and scale: shuffle_hash "
+    "3.16 s, sort-merge 4.73 s vs broadcast 2.52 s on the core join, "
+    "and broadcast is the only shape that survives a 100 TB fact side; "
+    "past the 64 MB threshold the engine flips to SMJ automatically. "
+    "r10 also recovered the probe-stage parallelism (tune_for_input "
+    "sizes splits to ~2 waves/core: 2.63 -> 2.28 s)",
     "q13_range_refine_join": "scan-bound engine floor: 0.67 s sf1 -> "
     "0.88 s at 10x data (1.3x for 10x rows); range+refine plan pinned; "
     "ratio 2.23 -> 3.14 per the same DuckDB-amortization effect",

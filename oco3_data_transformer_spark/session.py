@@ -106,10 +106,23 @@ def tune_for_input(spark, paths: list[str] | str) -> dict[str, str]:
         if fs.exists(jpath):
             total += fs.getContentSummary(jpath).getLength()
     if total >= SMALL_INPUT_BYTES:
+        # Large inputs keep cluster-default shuffle width + AQE, but the
+        # SPLIT size is still sized to the box: a single ~1 GiB fact
+        # table at the 128 MiB default is only ~9 scan tasks, so every
+        # pipelined stage rooted at that scan (scan -> broadcast-probe ->
+        # partial agg) runs on 9 of the 32 cores. Targeting ~2 waves of
+        # tasks per core (floor 16 MiB, cap 128 MiB) saturates the box:
+        # q10's sf10 leg measured 2.63 s @128 MiB -> 2.28 s @<=64 MiB,
+        # flat below (r10 decomposition, scripts/floor_split_q10.py).
+        # At cluster scale `total // (2*cores)` exceeds the 128 MiB cap,
+        # so this reduces to the canonical default there — no scale
+        # trade-off.
+        cores = max(1, spark.sparkContext.defaultParallelism)
+        split = max(16 << 20, min(128 << 20, total // (2 * cores)))
         applied = {
             "spark.sql.adaptive.enabled": "true",
             "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
-            "spark.sql.files.maxPartitionBytes": str(128 << 20),
+            "spark.sql.files.maxPartitionBytes": str(int(split)),
         }
     else:
         parts = max(8, min(DEFAULT_SHUFFLE_PARTITIONS, total // _PARTITION_TARGET_BYTES))
