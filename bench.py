@@ -123,6 +123,37 @@ def _provenance(block: dict, before: dict) -> None:
     )
 
 
+def _measured_leg(run, max_attempts: int = 3):
+    """Measure one leg with provenance and a bounded calm-window retry
+    (VERDICT r09 item 5: the r9 headline leg of record was load-flagged;
+    the provenance machinery should retry a flagged leg, not just stamp
+    it). ``run()`` returns (summary_block, extra); the block gets
+    provenance + a ``calm_retry`` record. The first calm attempt wins;
+    if no calm window occurs in ``max_attempts``, the fastest attempt is
+    kept with ``calm: false`` recorded — the artifact then says so
+    explicitly instead of silently trusting a degraded number."""
+    attempts = []
+    for i in range(max_attempts):
+        pb = _stamp()
+        block, extra = run()
+        _provenance(block, pb)
+        block["calm_retry"] = {"attempt": i + 1, "calm": not block["load_flag"]}
+        attempts.append((block, extra))
+        if not block["load_flag"]:
+            return block, extra
+        print(
+            f"# leg load-flagged (attempt {i + 1}/{max_attempts}) — settling",
+            file=sys.stderr, flush=True,
+        )
+        _settle(max_wait=180)
+    best = min(attempts, key=lambda be: be[0].get("value", float("inf")))
+    best[0]["calm_retry"] = {
+        "attempt": max_attempts, "calm": False,
+        "note": f"no calm window in {max_attempts} attempts; kept fastest",
+    }
+    return best
+
+
 def _median(xs: list[float]) -> float:
     s = sorted(xs)
     m = len(s) // 2
@@ -290,15 +321,16 @@ def main() -> int:
     # JVM/codegen warmup on a trivial plan (excluded from timings).
     REGISTRY["q24_coverage_attrs"].fn(spark, sf_dir).collect()
 
-    pb = _stamp()
-    timings = spark_leg(spark, sf_dir, reps=3, tag="sf0.1")
-    try:
-        duck = duckdb_leg(sf_dir, reps=3, tag="sf0.1")
-    except Exception as exc:  # bench must still emit the Spark leg
-        print(f"# duckdb leg failed: {exc}", file=sys.stderr, flush=True)
-        duck = {}
-    out = leg_summary(timings, duck, sf_dir)
-    _provenance(out, pb)
+    def _headline_run():
+        t = spark_leg(spark, sf_dir, reps=3, tag="sf0.1")
+        try:
+            d = duckdb_leg(sf_dir, reps=3, tag="sf0.1")
+        except Exception as exc:  # bench must still emit the Spark leg
+            print(f"# duckdb leg failed: {exc}", file=sys.stderr, flush=True)
+            d = {}
+        return leg_summary(t, d, sf_dir), t
+
+    out, timings = _measured_leg(_headline_run)
 
     # Round-4 sketch/ANN/LM operators: driver-recorded spark/duckdb pairs
     # (VERDICT r04 item 4), separate from the cross-round headline total.
@@ -333,11 +365,12 @@ def main() -> int:
                 sf_dir,
                 os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data", "sf1"),
             )
-            pb = _stamp()
-            t1 = spark_leg(spark, sf1_dir, reps=2, tag="sf1")
-            d1 = duckdb_leg(sf1_dir, reps=2, tag="sf1")
-            out["sf1"] = leg_summary(t1, d1, sf1_dir)
-            _provenance(out["sf1"], pb)
+            def _sf1_run():
+                t = spark_leg(spark, sf1_dir, reps=2, tag="sf1")
+                d = duckdb_leg(sf1_dir, reps=2, tag="sf1")
+                return leg_summary(t, d, sf1_dir), t
+
+            out["sf1"], t1 = _measured_leg(_sf1_run)
             gate_jobs = [(out["sf1"], t1)]
             if os.environ.get("SPARK_GRAFT_R4_DETAIL", "1") != "0":
                 for key, nm, tg in (

@@ -201,6 +201,32 @@ QUERY_GROUPS: dict[str, list[str]] = {
         "q128_price_percentiles_approx",
         "q129_repeated_window_spans",
         "q130_grid_cubic_kernel",
+        # VERDICT r09 item 3: the six r9 contract oracles are linear,
+        # closed-form recomputations — cheap at every fixture, so they
+        # ride the 100x lane too
+        "q42_oco3_pipeline",
+        "q43_image_features",
+        "q44_oco3_global_raster",
+        "q53_audio_features",
+        "q94_bpe_train",
+        "q112_bpe_apply",
+    ],
+    "round10": [
+        # round-10 re-gates: codec-alternation fix in the multimodal
+        # generators (both decode legs now exercised within the sampled
+        # residue class — ADVICE r9)
+        "q43_image_features",
+        "q53_audio_features",
+        # blosc decode extended (lz4/zlib/zstd + bitshuffle); encode path
+        # unchanged — re-gate the container round-trip anyway
+        "q131_zarr_roundtrip",
+        "q132_codec_roundtrip_contract",
+        # parallelism-aware split sizing (session.tune_for_input) touches
+        # every scan — re-gate the scan-heavy headline set
+        "q01_pricing_summary",
+        "q02_filter_pushdown_revenue",
+        "q10_broadcast_dim_join",
+        "q20_climatology_monthly",
     ],
     "graph": [
         "q117_transition_pagerank",
