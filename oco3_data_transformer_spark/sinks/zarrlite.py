@@ -23,8 +23,13 @@ and operators/jpeglite.py (JPEG):
     (ref writers/ZarrWriter.py:205) via the from-spec blosc frame +
     blosclz implementation in sinks/blosclite.py, closing the last
     byte-level container delta. ``compressor='zlib'`` stays the default;
-    pass ``compressor='blosc'`` for reference-shaped stores. Skip-gated
-    differentials (tests/test_zarrlite.py) validate against the real
+    pass ``compressor='blosc'`` for reference-shaped stores. Since
+    round 10 the READ side additionally accepts third-party blosc
+    stores with cname lz4/lz4hc (numcodecs' default), zlib and zstd,
+    byte- or BIT-shuffled — the frame's compressor-code byte
+    dispatches in sinks/blosclite.py (lz4/zstd via the system
+    libraries, honest gates when absent). Skip-gated differentials
+    (tests/test_zarrlite.py) validate against the real
     ``zarr``/``numcodecs`` packages when importable;
   - ``_ARRAY_DIMENSIONS`` attrs (the xarray convention the reference's
     stores carry, since they are written by ``Dataset.to_zarr``).
@@ -158,11 +163,12 @@ def decode_chunk(payload: bytes, chunks: tuple[int, ...], dt: np.dtype,
     elif comp is True or comp.get("id") == "zlib":
         raw = zlib.decompress(payload)
     elif comp.get("id") == "blosc":
-        if comp.get("cname", "blosclz") != "blosclz":
-            raise NotImplementedError(
-                f"zarrlite: blosc cname {comp.get('cname')!r} needs the "
-                "blosc library (blosclz decodes here)"
-            )
+        # The frame's own compressor-code byte is authoritative (the
+        # .zarray cname is informational): blosclite decodes blosclz
+        # from spec, zlib via stdlib, lz4/lz4hc (numcodecs' DEFAULT
+        # cname) and zstd via the system libraries, byte- AND
+        # bit-shuffle — so third-party blosc stores read here; snappy
+        # and unknown codes raise blosclite's honest gate (r10).
         from .blosclite import blosc_decode
 
         raw = blosc_decode(payload)

@@ -438,3 +438,104 @@ def test_real_zarr_reads_blosc_store(spark, tmp_path):
     g = zarr.open_group(path, mode="r")
     want = _dense(rows0, d0, "xco2")
     assert np.allclose(g["xco2"][:], want, equal_nan=True)
+
+
+def test_third_party_blosc_store_scan(spark, tmp_path):
+    """A store shaped the way THIRD-PARTY zarr writers produce it —
+    numcodecs' DEFAULT Blosc (cname='lz4', byte-shuffle) on one
+    variable, zstd + BIT-shuffle on another — reads through both
+    read_array and the engine's distributed per-chunk scan (r10:
+    blosclite dispatches on the frame's compressor code; lz4/zstd
+    payloads come from the real system libraries, bitshuffle decodes
+    from spec). Before r10 these stores were rejected at the cname gate."""
+    import struct
+
+    from oco3_data_transformer_spark.operators import syscodecs
+    from oco3_data_transformer_spark.sinks import blosclite as B
+    from oco3_data_transformer_spark.sinks.zarr_store import scan_zarr
+
+    if not (syscodecs.lz4_available() and syscodecs.zstd_available()):
+        pytest.skip("system liblz4/libzstd absent (probe logged)")
+
+    # forward bitshuffle for fixture-building only: inverting the
+    # decoder's own inverse would be circular, so use the independent
+    # scalar transcription of the published algorithm
+    def fwd_bitshuffle(raw: bytes, typesize: int) -> bytes:
+        nelem = (len(raw) // typesize) & ~7
+        nb = nelem * typesize
+        out = bytearray(nb)
+        rows = nelem // 8
+        for bb in range(typesize):
+            for j in range(8):
+                for t in range(rows):
+                    v = 0
+                    for m in range(8):
+                        v |= ((raw[(8 * t + m) * typesize + bb] >> j) & 1) << m
+                    out[(bb * 8 + j) * rows + t] = v
+        return bytes(out) + raw[nb:]
+
+    def frame(raw: bytes, typesize: int, codec: int, flags: int,
+              comp) -> bytes:
+        if flags & 0x4:
+            sh = fwd_bitshuffle(raw, typesize)
+        elif flags & 0x1:
+            sh = B._shuffle(raw, typesize)
+        else:
+            sh = raw
+        payload = comp(sh)
+        total = 16 + 4 + 4 + len(payload)
+        hdr = struct.pack("<BBBBIII", 2, 1, flags | (codec << 5),
+                          typesize, len(raw), len(raw), total)
+        return (hdr + struct.pack("<i", 20)
+                + struct.pack("<i", len(payload)) + payload)
+
+    root = str(tmp_path / "tp.zarr")
+    rng = np.random.default_rng(21)
+    shape, chunks = (2, 4, 5), (1, 4, 5)
+    a = rng.normal(size=shape)
+    a[0, 0, 0] = np.nan
+    b = rng.normal(size=shape)
+
+    def write_var(name, arr, comp_doc, codec, flags, comp):
+        adir = os.path.join(root, name)
+        os.makedirs(adir)
+        meta = {
+            "zarr_format": 2, "shape": list(shape), "chunks": list(chunks),
+            "dtype": "<f8", "compressor": comp_doc, "fill_value": "NaN",
+            "order": "C", "filters": None,
+        }
+        json.dump(meta, open(os.path.join(adir, ".zarray"), "w"))
+        for t in range(shape[0]):
+            raw = np.ascontiguousarray(arr[t:t + 1]).tobytes()
+            with open(os.path.join(adir, f"{t}.0.0"), "wb") as fh:
+                fh.write(frame(raw, 8, codec, flags, comp))
+
+    write_var(
+        "xco2", a,
+        {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1,
+         "blocksize": 0},
+        codec=1, flags=0x1, comp=syscodecs.lz4_compress,
+    )
+    write_var(
+        "xco2_uncert", b,
+        {"id": "blosc", "cname": "zstd", "clevel": 3, "shuffle": 2,
+         "blocksize": 0},
+        codec=4, flags=0x4, comp=syscodecs.zstd_compress,
+    )
+    # coordinate arrays (uncompressed int64 seconds / float64 axes)
+    Z.write_array(root, "time", np.array([1682899200, 1682985600],
+                                         dtype="<i8"), None)
+    Z.write_array(root, "lat", np.linspace(-4, 4, 4), None)
+    Z.write_array(root, "lon", np.linspace(-10, 10, 5), None)
+
+    got_a, _ = Z.read_array(root, "xco2")
+    got_b, _ = Z.read_array(root, "xco2_uncert")
+    assert np.allclose(got_a, a, equal_nan=True)
+    assert np.allclose(got_b, b, equal_nan=True)
+
+    back = scan_zarr(spark, root)
+    rows = back.filter(back.variable == "xco2").collect()
+    assert len(rows) == int(np.isfinite(a).sum())
+    by_key = {(r.time.day, r.lat_idx, r.lon_idx): r.value for r in rows}
+    assert by_key[(1, 1, 2)] == pytest.approx(a[0, 1, 2])
+    assert by_key[(2, 3, 4)] == pytest.approx(a[1, 3, 4])
