@@ -305,18 +305,56 @@ def _default_blocksize(nbytes: int, typesize: int) -> int:
     return bs - bs % typesize
 
 
+#: encodable cnames -> compressor code (decode handles more — see
+#: _stream_decompress; snappy stays decode-gated and is never encoded)
+_ENCODE_CNAMES = {"blosclz": 0, "lz4": 1, "zlib": 3, "zstd": 4}
+
+
+def _stream_compress(codec: int, stream: bytes, clevel: int) -> bytes | None:
+    """One sub-stream; None = incompressible, caller stores it raw
+    (exactly c-blosc's per-stream fallback)."""
+    if codec == 0:
+        return blosclz_compress(stream)
+    if codec == 1:
+        from ..operators import syscodecs
+
+        comp = syscodecs.lz4_compress(stream)
+    elif codec == 3:
+        import zlib
+
+        comp = zlib.compress(stream, min(9, max(1, clevel)))
+    elif codec == 4:
+        from ..operators import syscodecs
+
+        comp = syscodecs.zstd_compress(stream, level=min(19, max(1, clevel)))
+    else:  # pragma: no cover - guarded by _ENCODE_CNAMES
+        raise NotImplementedError(f"blosc: cannot encode compressor {codec}")
+    return comp if len(comp) < len(stream) else None
+
+
 def blosc_encode(
     raw: bytes,
     typesize: int,
     clevel: int = 9,
     shuffle: bool = True,
     blocksize: int | None = None,
+    cname: str = "blosclz",
 ) -> bytes:
-    """One blosc1 frame. ``clevel`` only gates the memcpy fallback
-    (clevel 0 = always stored), matching the Blosc API shape."""
+    """One blosc1 frame. ``clevel`` gates the memcpy fallback (clevel 0 =
+    always stored) and maps to the stream codec's own level, matching the
+    Blosc API shape. ``cname``: 'blosclz' (from spec — the reference's
+    codec, always available), 'zlib' (stdlib), or 'lz4'/'zstd' through
+    the system libraries (r10; NotImplementedError when the OS image
+    lacks them — probe first via operators.syscodecs)."""
     nbytes = len(raw)
     if nbytes == 0 or nbytes > 0xFFFFFFFF:
         raise ValueError("blosc_encode: empty/oversized buffer")
+    if cname not in _ENCODE_CNAMES:
+        raise NotImplementedError(
+            f"blosc: cname {cname!r} not encodable here "
+            f"({sorted(_ENCODE_CNAMES)} are)"
+        )
+    codec = _ENCODE_CNAMES[cname]
     if typesize < 1 or typesize > 255 or nbytes % typesize:
         typesize = 1  # c-blosc forces typesize 1 on non-multiples
     do_shuffle = shuffle and typesize > 1
@@ -333,19 +371,19 @@ def blosc_encode(
     bsize = blocksize or _default_blocksize(nbytes, typesize)
     bsize = max(typesize, bsize - bsize % typesize)
     nblocks = -(-nbytes // bsize)
-    flags = (_F_SHUFFLE if do_shuffle else 0)  # compressor code 0 = blosclz
+    flags = (_F_SHUFFLE if do_shuffle else 0) | (codec << 5)
     blocks: list[bytes] = []
     for j in range(nblocks):
         block = raw[j * bsize : (j + 1) * bsize]
         leftover = len(block) < bsize
         if do_shuffle:
             block = _shuffle(block, typesize)
-        nstreams = _split_streams(typesize, len(block), leftover)
+        nstreams = _split_streams(typesize, len(block), leftover, codec)
         neblock = len(block) // nstreams
         parts: list[bytes] = []
         for s in range(nstreams):
             stream = block[s * neblock : (s + 1) * neblock]
-            comp = blosclz_compress(stream)
+            comp = _stream_compress(codec, stream, clevel)
             if comp is None:
                 parts.append(struct.pack("<i", neblock) + stream)
             else:

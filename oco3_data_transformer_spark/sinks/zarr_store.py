@@ -329,9 +329,13 @@ def append_zarr(
     shape0 = meta0["shape"]
     lat_res, lon_res = int(shape0[1]), int(shape0[2])
     # follow the store's own chunk codec (a blosc store keeps getting
-    # blosc chunks, a zlib store zlib, an uncompressed store raw)
+    # blosc chunks — WITH its cname (r10: 'blosc:zstd' etc., previously
+    # a non-blosclz store would have been re-encoded as blosclz on
+    # append) — a zlib store zlib, an uncompressed store raw)
     comp0 = meta0.get("compressor")
     compressor = comp0["id"] if comp0 else None
+    if comp0 and compressor == "blosc" and comp0.get("cname", "blosclz") != "blosclz":
+        compressor = f"blosc:{comp0['cname']}"
     if comp0:
         level = int(comp0.get("level", comp0.get("clevel", level)))
     n_old = len(t_secs)

@@ -94,11 +94,16 @@ def compressor_meta(
         return None
     if compressor == "zlib":
         return {"id": "zlib", "level": int(level)}
-    if compressor == "blosc":
-        # the reference's exact codec config (ref writers/ZarrWriter.py:205;
-        # shuffle=1 is numcodecs' byte-shuffle default, blocksize 0 = auto)
+    if compressor == "blosc" or compressor.startswith("blosc:"):
+        # bare 'blosc' = the reference's exact codec config (ref
+        # writers/ZarrWriter.py:205; shuffle=1 is numcodecs' byte-shuffle
+        # default, blocksize 0 = auto); 'blosc:zstd' / 'blosc:lz4' /
+        # 'blosc:zlib' (r10) select the stream codec production zarr
+        # stores use — encoded via sinks/blosclite.py (system libraries
+        # for lz4/zstd, honest gate when absent)
+        cname = compressor.partition(":")[2] or "blosclz"
         return {
-            "id": "blosc", "cname": "blosclz", "clevel": int(level),
+            "id": "blosc", "cname": cname, "clevel": int(level),
             "shuffle": 1, "blocksize": 0,
         }
     raise ValueError(f"zarrlite: unknown compressor {compressor!r}")
@@ -147,10 +152,12 @@ def encode_chunk(
         return raw
     if compressor == "zlib":
         return zlib.compress(raw, level)
-    if compressor == "blosc":
+    if compressor == "blosc" or compressor.startswith("blosc:"):
         from .blosclite import blosc_encode
 
-        return blosc_encode(raw, block.dtype.itemsize, clevel=level)
+        cname = compressor.partition(":")[2] or "blosclz"
+        return blosc_encode(raw, block.dtype.itemsize, clevel=level,
+                            cname=cname)
     raise ValueError(f"zarrlite: unknown compressor {compressor!r}")
 
 

@@ -338,3 +338,49 @@ def test_numcodecs_blosc_interop():
     a = rng.integers(0, 5, 3000).astype(np.float64).tobytes()
     assert B.blosc_decode(bytes(codec.encode(a))) == a
     assert bytes(codec.decode(B.blosc_encode(a, 8))) == a
+
+
+@pytest.mark.parametrize("cname", ["zlib", "lz4", "zstd"])
+def test_encode_foreign_cnames_roundtrip(cname):
+    """r10 encode side: zlib via stdlib, lz4/zstd via the system
+    libraries — frames a real blosc build reads (codec code + single
+    stream per FORWARD_COMPAT), round-tripped through our own decoder
+    here and skip-gated against real blosc below."""
+    from oco3_data_transformer_spark.operators import syscodecs
+
+    if cname == "lz4" and not syscodecs.lz4_available():
+        pytest.skip("system liblz4 absent (probe logged)")
+    if cname == "zstd" and not syscodecs.zstd_available():
+        pytest.skip("system libzstd absent (probe logged)")
+    rng = np.random.default_rng(10)
+    for raw in (
+        np.repeat(rng.integers(0, 7, 900), 2).astype("<f8").tobytes(),
+        np.full(3000, np.nan).tobytes(),
+        bytes(rng.integers(0, 256, 777, dtype=np.uint8)),  # typesize 1
+    ):
+        for ts in (1, 8):
+            r = raw[: len(raw) // ts * ts]
+            f = B.blosc_encode(r, ts, cname=cname)
+            _, _, flags, *_ = struct.unpack_from("<BBBB", f, 0)
+            if not flags & 0x2:  # compressed frames carry the codec code
+                assert flags >> 5 == {"zlib": 3, "lz4": 1, "zstd": 4}[cname]
+                # FORWARD_COMPAT: non-blosclz frames never split
+                (csize0,) = struct.unpack_from("<i", f, 20)
+                assert csize0 > 0
+            assert B.blosc_decode(f) == r
+
+
+def test_encode_unknown_cname_gate():
+    with pytest.raises(NotImplementedError, match="snappy"):
+        B.blosc_encode(bytes(64), 8, cname="snappy")
+
+
+def test_real_blosc_decodes_our_foreign_cname_frames():
+    blosc = pytest.importorskip("blosc")
+    a = np.arange(4000, dtype=np.float64).tobytes()
+    for cname in ("zlib", "lz4", "zstd"):
+        try:
+            ours = B.blosc_encode(a, 8, cname=cname)
+        except NotImplementedError:
+            continue
+        assert blosc.decompress(ours) == a
