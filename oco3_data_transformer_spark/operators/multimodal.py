@@ -512,7 +512,14 @@ def decode_audio(codec: str, payload: bytes, channels: int) -> np.ndarray:
         return x.astype(np.float64) / float(1 << (bps - 1))
     raise NotImplementedError(
         f"codec {codec!r} needs an audio library not present in this "
-        "container; 'pcm16', 'wav' and 'flac' decode here"
+        "container; 'pcm16', 'wav' and 'flac' decode here. mp3 would "
+        "activate through a system mpg123/mad/ffmpeg library (the "
+        "syscodecs ctypes pattern that bound libwebp/liblz4/libzstd) — "
+        "syscodecs.probe_report() found none on this image (r10), and "
+        "a from-spec Layer III decoder is not honestly writable here: "
+        "ISO 11172-3's Huffman/scalefactor tables are published data "
+        "that cannot be re-derived and are not in-container to "
+        "transcribe"
     )
 
 
