@@ -55,24 +55,31 @@ _CMS_BUCKET_CASE = (
     """,
     doc="k-mins distinct-count sketch (Flajolet-Martin/Cohen lineage) over "
     "per-language 3-gram shingles, vs the exact count it replaces. The "
-    "sketch is ONE map-side-combined hash aggregate whose per-group state "
-    "is 64 int64 mins — min() combines on the map side and merges "
-    "associatively, so nothing key-proportional crosses the shuffle; exact "
-    "count(distinct) by contrast shuffles every distinct shingle (Spark "
-    "plans it as a second keyed exchange). The exact branch exists here "
-    "only to EXHIBIT the estimator error (rel_err ~ 1/sqrt(k) ~ 12.5% at "
-    "k=64) — the production path drops it, which is "
-    "the whole point at 100 TB. Estimates are bit-identical cross-engine: "
-    "integer min-sum formed exactly in int64, ONE double division.",
+    "production sketch (operators/sketch.py kmins_distinct, the streaming "
+    "sink's form) is ONE map-side-combined hash aggregate whose per-group "
+    "state is 64 int64 mins — nothing key-proportional crosses the "
+    "shuffle. THIS query also carries the exact count(distinct) branch "
+    "(error exhibit: rel_err ~ 1/sqrt(k) ~ 12.5% at k=64), which "
+    "unavoidably shuffles every distinct shingle — so here the sketch "
+    "rides that same distinct exchange instead of paying its own scan: "
+    "min over distinct (lang, shingle) pairs is identical to min over "
+    "occurrences, and the md5+64-permutation projection runs on distinct "
+    "rows only (r10: one tokenize pass and |distinct| hashings instead "
+    "of two passes and |occurrences| hashings; sf1 9.3 s -> 3.4 s). "
+    "Estimates are bit-identical cross-engine: integer min-sum formed "
+    "exactly in int64, ONE double division.",
 )
 def q106(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     sh = docs.select(
         "lang", F.explode(text.word_ngrams(F.col("text"), 3)).alias("shingle")
     )
-    est = sketch_ops.kmins_distinct(sh, ["lang"], F.col("shingle"))
-    exact = sh.groupBy("lang").agg(
-        F.count_distinct("shingle").alias("exact_distinct")
+    # Distinct (lang, shingle) pairs — ONE exchange shared by both branches
+    # (the exact branch needs it anyway; min-over-distinct == min-over-all).
+    pairs = sh.distinct()
+    est = sketch_ops.kmins_distinct(pairs, ["lang"], F.col("shingle"))
+    exact = pairs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
     )
     rel = F.round(
         F.abs(F.col("est_distinct") - F.col("exact_distinct"))
@@ -130,15 +137,25 @@ def q106(spark: SparkSession, sf: str) -> DataFrame:
 def q107(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     sh = docs.select(F.explode(text.word_ngrams(F.col("text"), 3)).alias("shingle"))
+    # ONE tokenize+explode pass and ONE shingle-keyed exchange feed the
+    # whole query (r10; was three passes + two keyed exchanges): the
+    # exact-count exhibit aggregate is computed first, and the grid
+    # (weighted build — sum of per-key counts == count over the raw
+    # stream), the candidate set, and the probe side all hang off it.
+    # The md5 row-hash runs once per DISTINCT shingle, not per occurrence.
+    exact = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("exact_cnt"))
     grid = sketch_ops.countmin_build(
-        sh, F.col("shingle"), depth=CMS_DEPTH, width=CMS_WIDTH
+        exact,
+        F.col("shingle"),
+        depth=CMS_DEPTH,
+        width=CMS_WIDTH,
+        weight_col=F.col("exact_cnt"),
     )
-    cand = sh.distinct()
+    cand = exact.select("shingle")
     est = sketch_ops.countmin_estimate(
         grid, cand, "shingle", depth=CMS_DEPTH, width=CMS_WIDTH
     )
     top = est.orderBy(F.col("est_cnt").desc(), "shingle").limit(CMS_TOPK)
-    exact = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("exact_cnt"))
     return exact.join(F.broadcast(top), "shingle").select(
         "shingle",
         "est_cnt",
@@ -330,7 +347,7 @@ def q110(spark: SparkSession, sf: str) -> DataFrame:
     books = sim_ops.pq_codebooks(
         emb, m=PQ_M, dsub=PQ_DSUB, n_codes=PQ_CODES
     )
-    enc = sim_ops.pq_encode(emb, books, dsub=PQ_DSUB, kernel="sql").select(
+    enc = sim_ops.pq_encode(emb, books, dsub=PQ_DSUB).select(
         "vec_id", "subspace", "code"
     )
     queries = emb.filter(F.col("vec_id") < 10)
@@ -373,10 +390,13 @@ _KM_UNION_MINS = ", ".join(f"min(__m{i}) AS __m{i}" for i in range(_KM_K))
     "per-day, per-source) sketches persisted once can answer any later "
     "cross-slice distinct/union/overlap question in milliseconds from "
     "k-vector state — the same merge the streaming sink "
-    "(streaming/sketch_stream.py) applies incrementally. One corpus-sized "
-    "exchange builds both half-sketches; the union fold is a second "
-    "aggregate over TWO rows; the exact branch (one keyed exchange) "
-    "exists only for the error column.",
+    "(streaming/sketch_stream.py) applies incrementally. The exact-overlap "
+    "exhibit branch needs a distinct pass regardless, so the half-sketches "
+    "ride that same distinct exchange (min over distinct pairs == min over "
+    "occurrences): one tokenize pass, md5 on |distinct| rows only (r10); "
+    "the union fold is a second aggregate over TWO rows. The production "
+    "sketch without the exhibit (kmins_sketch) stays the pure map-side "
+    "form.",
 )
 def q111(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
@@ -384,7 +404,13 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") % 2).alias("half"),
         F.explode(text.word_ngrams(F.col("text"), 3)).alias("shingle"),
     )
-    sk = sketch_ops.kmins_sketch(sh, ["half"], F.col("shingle"))
+    # Distinct (half, shingle) pairs — ONE exchange shared by the sketch
+    # and the exact-overlap branch (which needs a distinct pass anyway);
+    # min-over-distinct == min-over-all, so the md5 + 64-permutation
+    # projection runs on |distinct| rows instead of |occurrences| and the
+    # corpus is tokenized once instead of twice (r10).
+    pairs = sh.distinct()
+    sk = sketch_ops.kmins_sketch(pairs, ["half"], F.col("shingle"))
     union_sk = sk.groupBy().agg(
         *[F.min(f"__m{i}").alias(f"__m{i}") for i in range(_KM_K)]
     )
@@ -399,8 +425,8 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
         sketch_ops.kmins_estimate_col()
     ).withColumnRenamed("est_distinct", "est_union")
     ov = (
-        sh.groupBy("shingle")
-        .agg(F.count_distinct("half").alias("nh"))
+        pairs.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("nh"))
         .filter(F.col("nh") == 2)
         .agg(F.count(F.lit(1)).alias("exact_overlap"))
     )
@@ -648,9 +674,11 @@ def q115(spark: SparkSession, sf: str) -> DataFrame:
     cents = emb.groupBy(F.col("label").alias("cell")).agg(
         F.min_by("embedding", "vec_id").alias("centroid")
     )
-    assigned = sim_ops.ivf_assign(emb.select("vec_id", "embedding"), cents)
+    assigned = sim_ops.ivf_assign(
+        emb.select("vec_id", "embedding"), cents, drop_vec=True
+    )
     books = sim_ops.pq_codebooks(emb, m=PQ_M, dsub=PQ_DSUB, n_codes=PQ_CODES)
-    codes = sim_ops.pq_encode(emb, books, dsub=PQ_DSUB, kernel="sql").select(
+    codes = sim_ops.pq_encode(emb, books, dsub=PQ_DSUB).select(
         "vec_id", "subspace", "code"
     )
     queries = emb.filter(F.col("vec_id") < 10)
@@ -737,7 +765,7 @@ def q116(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load(spark, sf, "embeddings")
     books = sim_ops.pq_codebooks(emb, m=PQ_M, dsub=PQ_DSUB, n_codes=PQ_CODES)
-    codes = sim_ops.pq_encode(emb, books, dsub=PQ_DSUB, kernel="sql").select(
+    codes = sim_ops.pq_encode(emb, books, dsub=PQ_DSUB).select(
         "vec_id", "subspace", "code"
     )
     queries = emb.filter(F.col("vec_id") < 10)

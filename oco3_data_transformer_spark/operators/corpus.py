@@ -434,6 +434,16 @@ def bigram_lm_nll(
     that outgrows the 64 MB ceiling, drop the hints and the same plan
     becomes two shuffle joins keyed on the bigram/unigram — nothing else
     changes. V rides along as a one-row broadcast cross join.
+
+    r10: the scoring half emits (bg, w1) struct pairs straight from its
+    token array, dropping the per-bigram regex re-split of w1. A
+    single-pass TAGGED aggregate for the training half (unigrams+bigrams
+    through one explode into one (kind, value)-keyed aggregate) was built
+    and MEASURED WORSE (sf1 5.4 s -> 6.1 s): merging the near-unique
+    bigram key space into the unigram partial-aggregate hash table defeats
+    the map-side combine that makes the separate unigram pass cheap, and
+    the struct wrap/unwrap per element costs more than the second regex
+    tokenize it saves. The two-pass training form stands.
     """
     from ..functions import text as text_fns
 
@@ -450,9 +460,21 @@ def bigram_lm_nll(
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("vocab"))
 
-    sb = score.select(
-        id_col, F.explode(text_fns.word_ngrams(txt, 2)).alias("bg")
-    ).withColumn("w1", F.split("bg", " ").getItem(0))
+    bg_structs = F.when(
+        F.size("__t") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__t") - 2),
+            lambda i: F.struct(
+                F.array_join(F.slice("__t", i + 1, 2), " ").alias("bg"),
+                F.get("__t", i).alias("w1"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<bg:string,w1:string>>"))
+    sb = (
+        score.select(id_col, text_fns.tokens(txt).alias("__t"))
+        .select(id_col, F.explode(bg_structs).alias("e"))
+        .select(id_col, F.col("e.bg").alias("bg"), F.col("e.w1").alias("w1"))
+    )
     lp = F.log(
         (F.coalesce(F.col("c2"), F.lit(0)) + 1)
         / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("vocab"))

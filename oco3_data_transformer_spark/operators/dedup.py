@@ -1287,8 +1287,8 @@ def repeated_window_spans(
     wins = (
         toks.select("id", F.posexplode(wins_arr).alias("pos", "__w"))
         .select("id", "pos", F.xxhash64("__w").alias("__h"))
-        # Three consumers (counts, the hits join, totals) hang off this
-        # tokenize+window+hash pass, so it is re-derived up to 3x. That is
+        # Two consumers (counts, the hits join) hang off this
+        # tokenize+window+hash pass, so it is re-derived up to 2x. That is
         # the CORRECT trade, measured both ways at the 100x fixture
         # (PERF.md r7): a localCheckpoint here (the
         # prefix_filter_jaccard_pairs discipline) must MATERIALIZE the
@@ -1299,7 +1299,9 @@ def repeated_window_spans(
         # partial aggregate and never lands anywhere. Checkpointing wins
         # only when the materialized set is SMALL relative to the
         # recompute (the prefix-filter case); here it is the largest
-        # relation in the plan.
+        # relation in the plan. (r10: the third consumer — per-doc window
+        # TOTALS — no longer re-derives the pass at all: n_windows is a
+        # closed-form function of the token count, see ``base`` below.)
     )
     counts = wins.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
     dup = counts.filter(F.col("__c") >= min_count).select("__h")
@@ -1330,14 +1332,23 @@ def repeated_window_spans(
         F.sum(F.col("__p1") - F.col("__p0") + window).alias("covered_tokens"),
         F.sum("__nw").alias("n_dup_windows"),
     )
-    totals = wins.groupBy("id").agg(F.count(F.lit(1)).alias("n_windows"))
+    # n_windows is a pure function of the token count — max(n - window + 1,
+    # 0) — so the totals branch needs NO window strings/hashes at all (r10:
+    # previously a third full re-derivation of the tokenize+window+hash
+    # pass plus a groupBy existed just to count rows). ``base`` is also one
+    # row per input document, so it doubles as the left spine of the final
+    # join (docs without windows keep n_windows = 0).
+    base = toks.select(
+        "id",
+        F.when(n >= window, (n - window + 1).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("n_windows"),
+    )
     return (
-        df.select(F.col(id_col).alias("id"))
-        .join(totals, "id", "left")
-        .join(per_doc, "id", "left")
+        base.join(per_doc, "id", "left")
         .select(
             "id",
-            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            "n_windows",
             F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
             F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
             F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),

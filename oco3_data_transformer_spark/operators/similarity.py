@@ -246,10 +246,17 @@ def ivf_assign(
     cent_id: str = "cell",
     cent_vec: str = "centroid",
     kernel: str = "arrow",
+    drop_vec: bool = False,
 ) -> DataFrame:
     """Assign each corpus vector to its nearest centroid cell (broadcast
     centroids + per-vector argmax) — the IVF build step. Centroids typically
     come from a sampled k-means (or, as in the oracle tests, label means).
+
+    ``drop_vec=True`` omits ``vec_col`` from the output: callers that only
+    need the (id, cell) membership (e.g. IVF-PQ, which never touches raw
+    corpus vectors again) skip serializing the vector back across the
+    Arrow boundary — guide §4: pass only the columns the function needs,
+    in BOTH directions.
 
     ``kernel='arrow'`` (default): the centroid bank (sorted by cell id) is a
     Spark broadcast variable; each corpus partition computes one numpy
@@ -281,12 +288,17 @@ def ivf_assign(
         B = np.stack(cp[cent_vec].to_numpy()).astype(np.float64)
         b_norm = np.linalg.norm(B, axis=1)
         bank = corpus.sparkSession.sparkContext.broadcast((cells, B, b_norm))
+        out_fields = [
+            f
+            for f in corpus.schema.fields
+            if not (drop_vec and f.name == vec_col)
+        ]
         out_schema = ", ".join(
-            [f"{f.name} {f.dataType.simpleString()}" for f in corpus.schema.fields]
+            [f"{f.name} {f.dataType.simpleString()}" for f in out_fields]
             + [f"{cent_id} {centroids.schema[cent_id].dataType.simpleString()}"]
         )
 
-        def assign(batches, _vec=vec_col, _cell=cent_id):
+        def assign(batches, _vec=vec_col, _cell=cent_id, _drop=drop_vec):
             cells, B, b_norm = bank.value
             for pdf in batches:
                 if not len(pdf):
@@ -294,7 +306,7 @@ def ivf_assign(
                 V = np.stack(pdf[_vec].to_numpy()).astype(np.float64)
                 v_norm = np.linalg.norm(V, axis=1)
                 S = (V @ B.T) / np.outer(v_norm, b_norm)
-                out = pdf.copy()
+                out = pdf.drop(columns=[_vec]) if _drop else pdf.copy()
                 out[_cell] = cells[np.argmax(S, axis=1)]
                 yield out
 
@@ -313,7 +325,11 @@ def ivf_assign(
             / (F.col("__vn") * F.col("__cn")),
         )
     )
-    carry = [c for c in corpus.columns if c != id_col]
+    carry = [
+        c
+        for c in corpus.columns
+        if c != id_col and not (drop_vec and c == vec_col)
+    ]
     numeric = dict(centroids.dtypes).get(cent_id) in (
         "tinyint", "smallint", "int", "bigint", "float", "double",
     )
@@ -334,10 +350,13 @@ def ivf_assign(
             F.col("__best.__cell").alias(cent_id),
         )
     w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc(cent_id))
+    drops = ["__rk", "__cos", "__vn", "__cn", cent_vec]
+    if drop_vec:
+        drops.append(vec_col)
     return (
         scored.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
-        .drop("__rk", "__cos", "__vn", "__cn", cent_vec)
+        .drop(*drops)
     )
 
 

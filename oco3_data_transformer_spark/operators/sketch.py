@@ -127,7 +127,11 @@ def kmins_distinct_sql(
 
 
 def countmin_build(
-    df: DataFrame, key_col: Column, depth: int = 4, width: int = 2048
+    df: DataFrame,
+    key_col: Column,
+    depth: int = 4,
+    width: int = 2048,
+    weight_col: Column | None = None,
 ) -> DataFrame:
     """Build a count-min sketch table: ``(d, bucket, cnt)``, d*width rows max.
 
@@ -136,9 +140,16 @@ def countmin_build(
     shuffle is O(d*width) per partition — independent of corpus size. The
     d row-hashes reuse the committed MinHash permutations, so the oracle
     builds the identical grid.
+
+    ``weight_col``: build from PRE-AGGREGATED (key, count) rows — cnt
+    becomes ``sum(weight)`` instead of ``count(*)``, which is
+    value-identical to building from the raw stream but hashes each
+    distinct key once (r10: lets a caller that already owns a per-key
+    count aggregate feed the grid from that same exchange instead of
+    re-scanning the corpus).
     """
     base = hashing.portable_hash28(key_col)
-    rows = df.select(
+    cols = [
         F.explode(
             F.array(
                 *[
@@ -150,10 +161,14 @@ def countmin_build(
                 ]
             )
         ).alias("cell")
-    )
-    return rows.groupBy("cell.d", "cell.bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    ]
+    if weight_col is not None:
+        cols.append(weight_col.alias("__w"))
+    rows = df.select(*cols)
+    agg = (
+        F.sum("__w") if weight_col is not None else F.count(F.lit(1))
+    ).alias("cnt")
+    return rows.groupBy("cell.d", "cell.bucket").agg(agg)
 
 
 def countmin_estimate(

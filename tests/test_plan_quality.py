@@ -549,8 +549,13 @@ def test_ivfpq_routing_projection_and_code_probe(spark):
     plan = plan_of(spark, "q115_ivfpq_knn")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # cell join + lut probe
-    # encode argmin + the centroid min_by, both map-side-combining
-    assert plan.count("partial_min") == 2
+    # r10: encode is the zero-shuffle Arrow kernel (codes differential-
+    # tested identical to the relational argmin, which q109 still
+    # exhibits); the remaining map-side-combined min is the centroid
+    # min_by. The encode path must contribute NO exchange — its
+    # MapInPandas feeds the candidate join directly.
+    assert plan.count("partial_min") == 1
+    assert "MapInPandas" in plan
 
 
 def test_pagerank_q117_broadcast_regime_single_kernel(spark):
