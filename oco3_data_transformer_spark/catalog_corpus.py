@@ -1214,6 +1214,33 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
 
 RARE_DF_MIN = 2
 RARE_DF_MAX = 8
+
+
+def _rare_shingle_occurrences(spark: SparkSession, sf: str) -> DataFrame:
+    """(id, h) shingle occurrences restricted to rare shingles
+    (corpus df in [RARE_DF_MIN, RARE_DF_MAX]) — the shared front end of the
+    q119/q121/q123/q124 graph family.
+
+    r10: two lazy localCheckpoints dedupe the build subtrees. Without
+    them the tokenize+hash projection is planned THREE times (once under
+    the df aggregate, once per self-join side) and the rare-join twice —
+    measured as the dominant share of every graph query's build (q121:
+    14 s of 16.6 s before the edge work itself, OPTIMIZATION_r10.md).
+    With them: tokenize once (~40 MB materialized at sf1), df-filter join
+    once (~0.4 M rows), and both self-join sides read the checkpoint.
+    Results are identical — the checkpoints only pin WHERE the identical
+    plan is evaluated."""
+    docs = load(spark, sf, "documents")
+    sh = dedup_ops.hashed_shingle_table(
+        docs, "doc_id", "text", NGRAM_N
+    ).localCheckpoint(eager=False)
+    sdf = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    rare = sdf.filter(
+        (F.col("df") >= RARE_DF_MIN) & (F.col("df") <= RARE_DF_MAX)
+    ).select("h")
+    return sh.join(rare, "h").localCheckpoint(eager=False)
+
+
 _Q119_EDGES_SQL = f"""
     WITH {_SHINGLES_SQL},
     sdf AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),
@@ -1250,13 +1277,7 @@ from .operators.graph import triangle_counts_sql  # noqa: E402
     "triangles.",
 )
 def q119(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents")
-    sh = dedup_ops.hashed_shingle_table(docs, "doc_id", "text", NGRAM_N)
-    sdf = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    rare = sdf.filter(
-        (F.col("df") >= RARE_DF_MIN) & (F.col("df") <= RARE_DF_MAX)
-    ).select("h")
-    shr = sh.join(rare, "h")
+    shr = _rare_shingle_occurrences(spark, sf)
     a = shr.select(F.col("id").alias("id_a"), "h")
     b = shr.select(F.col("id").alias("id_b"), "h")
     edges = (
@@ -1372,13 +1393,7 @@ _Q121_WEDGES_SQL = f"""
     "oracle unrolls the identical rounds as CTEs.",
 )
 def q121(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents")
-    sh = dedup_ops.hashed_shingle_table(docs, "doc_id", "text", NGRAM_N)
-    sdf = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    rare = sdf.filter(
-        (F.col("df") >= RARE_DF_MIN) & (F.col("df") <= RARE_DF_MAX)
-    ).select("h")
-    shr = sh.join(rare, "h")
+    shr = _rare_shingle_occurrences(spark, sf)
     a = shr.select(F.col("id").alias("id_a"), "h")
     b = shr.select(F.col("id").alias("id_b"), "h")
     wedges = (
@@ -1426,13 +1441,7 @@ KCORE_ITERS = 4
     "CTEs, so membership AND induced degrees are hash-checked.",
 )
 def q123(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents")
-    sh = dedup_ops.hashed_shingle_table(docs, "doc_id", "text", NGRAM_N)
-    sdf = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    rare = sdf.filter(
-        (F.col("df") >= RARE_DF_MIN) & (F.col("df") <= RARE_DF_MAX)
-    ).select("h")
-    shr = sh.join(rare, "h")
+    shr = _rare_shingle_occurrences(spark, sf)
     a = shr.select(F.col("id").alias("id_a"), "h")
     b = shr.select(F.col("id").alias("id_b"), "h")
     edges = (
@@ -1482,12 +1491,7 @@ PPR_SEED_MAX = 10
 )
 def q124(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
-    sh = dedup_ops.hashed_shingle_table(docs, "doc_id", "text", NGRAM_N)
-    sdf = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    rare = sdf.filter(
-        (F.col("df") >= RARE_DF_MIN) & (F.col("df") <= RARE_DF_MAX)
-    ).select("h")
-    shr = sh.join(rare, "h")
+    shr = _rare_shingle_occurrences(spark, sf)
     a = shr.select(F.col("id").alias("id_a"), "h")
     b = shr.select(F.col("id").alias("id_b"), "h")
     wedges = (
@@ -1496,13 +1500,24 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # symmetrize via explode — one pass over the wedge aggregate; the
+    # pre-r10 self-union planned (and executed) it twice (same rows)
     wsym = wedges.select(
-        F.col("id_a").alias("a"), F.col("id_b").alias("b"), "n_common"
-    ).unionByName(
-        wedges.select(
-            F.col("id_b").alias("a"), F.col("id_a").alias("b"), "n_common"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("a"),
+                    F.col("id_b").alias("b"),
+                    F.col("n_common"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("a"),
+                    F.col("id_a").alias("b"),
+                    F.col("n_common"),
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.a", "__e.b", "__e.n_common")
     seeds = docs.filter(F.col("doc_id") < PPR_SEED_MAX).select(
         F.col("doc_id").alias("node")
     )

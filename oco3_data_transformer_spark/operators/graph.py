@@ -104,6 +104,7 @@ def pagerank(
     damping: float = 0.85,
     kernel: str = "auto",
     local_edge_limit: int = 2_000_000,
+    node_broadcast_limit: int = 4_000_000,
 ) -> DataFrame:
     """Weighted PageRank with uniform teleport and dangling-mass
     redistribution; returns ``(node, pagerank)``.
@@ -173,25 +174,37 @@ def pagerank(
     )
     nodes = _persist_bounded(nodes)
     n_nodes = nodes.count()  # control-plane scalar: sizes the teleport term
+    # node-sized rank vector: same per-round broadcast regime as
+    # personalized_pagerank (r10) — at <= node_broadcast_limit nodes the
+    # join probes probs' cached hash(__src) partitions in place instead of
+    # sort-merging (the checkpointed vector carries no stats)
+    bcast_ranks = n_nodes <= node_broadcast_limit
     out_w = e.groupBy("__src").agg(F.sum("__w").alias("__out_w"))
+    if bcast_ranks:
+        # out_w is node-sized too: broadcast it under the same gate so the
+        # one-time probs build reads cached e in place (no stats on the
+        # aggregate side otherwise forces a sort-merge of the edge table)
+        out_w = F.broadcast(out_w)
     # normalized transition probability per edge; reused every iteration.
-    # Checkpoint the build, then partition ONCE on the per-round join key
-    # and persist: InMemoryRelation keeps that partitioning, so the
-    # edge-sized side never crosses an exchange again — the GraphX
-    # partition-the-edges-once discipline (a bare checkpoint reports
-    # unknown partitioning and was re-shuffled EVERY round).
+    # Partition ONCE on the per-round join key and persist: the
+    # InMemoryRelation keeps that partitioning, so the edge-sized side
+    # never crosses an exchange again — the GraphX
+    # partition-the-edges-once discipline. (The pre-r10 extra
+    # localCheckpoint materialized the same rows twice — once into
+    # checkpoint storage, once into the cache; the persist alone is the
+    # reuse point.)
     probs = (
         e.join(out_w, "__src")
         .select("__src", "__dst", (F.col("__w") / F.col("__out_w")).alias("__p"))
-        .localCheckpoint(eager=False)
         .repartition("__src")
     )
     probs = _persist_bounded(probs)
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
     for i in range(iters):
+        r = F.broadcast(ranks) if bcast_ranks else ranks
         contrib = (
-            ranks.join(probs, ranks["node"] == probs["__src"])
+            r.join(probs, r["node"] == probs["__src"])
             .groupBy(F.col("__dst").alias("node"))
             .agg(F.sum(F.col("pr") * F.col("__p")).alias("__in"))
         )
@@ -415,6 +428,7 @@ def label_propagation(
     b_col: str,
     weight_col: str | None = None,
     iters: int = 4,
+    node_broadcast_limit: int = 4_000_000,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) over an
     undirected weighted edge table; returns ``(node, community)`` after a
@@ -430,14 +444,28 @@ def label_propagation(
     connected components over-merge (a single spurious edge glues two CC
     groups; LPA keeps them apart unless the bridge carries real weight).
 
-    Scale shape: each round is join(edges ⋈ labels on dst) →
-    groupBy(node, label) partial-agg → per-node argmax. The argmax is a
-    rank-1 window partitioned by node — WindowGroupLimit pushdown keeps
-    it k=1-bounded per sorted run — and the label vector (|nodes| rows,
-    never the edge table) is localCheckpoint'ed every round, the same
-    linear-plan-growth discipline as :func:`pagerank`. Integer weights
-    sum exactly, so the argmax is engine-portable with no float-order
-    caveats.
+    Scale shape: each round is join(edges ⋈ labels) → groupBy(node, label)
+    partial-agg → per-node argmax. The argmax is a rank-1 window
+    partitioned by node — WindowGroupLimit pushdown keeps it k=1-bounded
+    per sorted run — and the label vector (|nodes| rows, never the edge
+    table) is localCheckpoint'ed every round, the same linear-plan-growth
+    discipline as :func:`pagerank`. Integer weights sum exactly, so the
+    argmax is engine-portable with no float-order caveats.
+
+    r10 regime gate: the label vector is NODE-sized, and at
+    <= ``node_broadcast_limit`` nodes (a control-plane count over the
+    cached edge table — ~120 MB of broadcast at the 4M default) each
+    round joins it as an explicit broadcast against the edge table that
+    was hash-partitioned ONCE on the vote key. The whole round — BHJ
+    probe, (node, cand) aggregate, rank-1 window — then rides that one
+    partitioning with ZERO per-round exchanges and zero edge-sized sorts
+    (before: the checkpointed label vector has no stats, so with AQE off
+    — or before its runtime re-plan — every round paid a sort-merge join
+    that re-SORTED the edge table plus two more exchanges; measured sf1
+    build 17.3 s → see OPTIMIZATION_r10.md). Above the limit the
+    sort-merge shape stands unchanged (label vectors with hundreds of
+    millions of nodes must not be collected): identical math either way,
+    integer-exact, differential-tested.
     """
     w_expr = (
         F.col(weight_col).cast("long") if weight_col is not None else F.lit(1)
@@ -445,18 +473,32 @@ def label_propagation(
     half = edges.select(
         F.col(a_col).alias("__a"), F.col(b_col).alias("__b"), w_expr.alias("__w")
     ).filter(F.col("__a") != F.col("__b"))
-    # symmetrize: each undirected edge contributes to both endpoints' votes
-    # checkpoint, then partition once on the per-round join key (labels
-    # attach on __b) and persist: InMemoryRelation keeps the partitioning,
-    # so the edge-sized side never re-exchanges across rounds (pagerank)
+    # symmetrize: each undirected edge contributes to both endpoints' votes.
+    # explode(array(fwd, rev)) instead of a self-union — a UNION plans the
+    # (possibly expensive) upstream edge derivation TWICE, explode runs it
+    # once and emits both directions from the same pass (r10; measured: the
+    # q121 wedge aggregate was a 2x64-task duplicated subtree). Partition
+    # once on the VOTE key (__a — every round's aggregate and window group
+    # on it) and persist: InMemoryRelation keeps the partitioning, so the
+    # edge-sized side never re-exchanges across rounds (pagerank
+    # discipline); the one exchange doubles as the materialization point.
     e = (
-        half.unionByName(
-            half.select(
-                F.col("__b").alias("__a"), F.col("__a").alias("__b"), "__w"
-            )
+        half.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("__a"), F.col("__b"), F.col("__w")
+                    ),
+                    F.struct(
+                        F.col("__b").alias("__a"),
+                        F.col("__a").alias("__b"),
+                        F.col("__w"),
+                    ),
+                )
+            ).alias("__e")
         )
-        .localCheckpoint(eager=False)
-        .repartition("__b")
+        .select("__e.__a", "__e.__b", "__e.__w")
+        .repartition("__a")
     )
     e = _persist_bounded(e)  # referenced every round
     labels = (
@@ -464,14 +506,33 @@ def label_propagation(
         .distinct()
         .select("node", F.col("node").alias("community"))
     )
+    # control-plane probe (materializes the persist, like pagerank's
+    # e.count()): node count decides the per-round join regime
+    broadcast_labels = labels.count() <= node_broadcast_limit
     from pyspark.sql import Window
 
     for i in range(iters):
-        votes = (
-            e.join(labels, e["__b"] == labels["node"])
-            .groupBy(F.col("__a").alias("n"), F.col("community").alias("cand"))
-            .agg(F.sum("__w").alias("__wsum"))
-        )
+        # each symmetric edge delivers its far endpoint's label to its near
+        # one; because e is symmetric the vote multiset is identical whether
+        # labels attach on __b (grouping by __a) or on __a (grouping by __b).
+        # Broadcast regime: attach on __b so the aggregate AND the window
+        # ride e's hash(__a) partitioning — zero per-round exchanges.
+        # Sort-merge regime: attach on __a (e's partition key — the edge
+        # side never re-exchanges, mirroring the pre-r10 shape) and group
+        # by __b, exchanging only the partially-aggregated votes.
+        if broadcast_labels:
+            lab = F.broadcast(labels)
+            votes = (
+                e.join(lab, e["__b"] == lab["node"])
+                .groupBy(F.col("__a").alias("n"), F.col("community").alias("cand"))
+                .agg(F.sum("__w").alias("__wsum"))
+            )
+        else:
+            votes = (
+                e.join(labels, e["__a"] == labels["node"])
+                .groupBy(F.col("__b").alias("n"), F.col("community").alias("cand"))
+                .agg(F.sum("__w").alias("__wsum"))
+            )
         rank_w = Window.partitionBy("n").orderBy(
             F.col("__wsum").desc(), F.col("cand").asc()
         )
@@ -527,6 +588,7 @@ def k_core(
     b_col: str,
     k: int | None = None,
     iters: int = 4,
+    node_broadcast_limit: int = 4_000_000,
 ) -> DataFrame:
     """k-core membership after a FIXED number of peeling rounds: each
     round simultaneously removes every node whose degree within the
@@ -561,43 +623,76 @@ def k_core(
     Scale shape: the symmetrized edge table is materialized ONCE
     (localCheckpoint) and never rewritten; each round recomputes degrees
     as edges ⟕ alive-filter on both endpoints (two hash joins against
-    the |nodes|-row alive vector, which AQE broadcasts while it fits) →
-    groupBy(src) count. Only the alive vector — monotonically shrinking,
-    node-sized — is lineage-cut per round. Rewriting the edge table each
-    round (the textbook formulation) would shuffle edge-sized data per
-    iteration; filtering against the original is equivalent because
-    peeling is monotone (a removed node never returns).
+    the |nodes|-row alive vector) → groupBy(src) count. Only the alive
+    vector — monotonically shrinking, node-sized — is lineage-cut per
+    round. Rewriting the edge table each round (the textbook formulation)
+    would shuffle edge-sized data per iteration; filtering against the
+    original is equivalent because peeling is monotone (a removed node
+    never returns).
+
+    r10 regime gate: at <= ``node_broadcast_limit`` nodes (counted in the
+    same control-plane aggregate as the k calibration) the per-round
+    alive vector joins as an EXPLICIT broadcast on both endpoints, so the
+    degree recount — BHJ on __a, BHJ on __b, groupBy(__a) — rides the
+    edge table's one-time hash(__a) partitioning with zero per-round
+    exchanges. The checkpointed alive vector has no stats, so without the
+    hint (and with AQE's runtime re-plan unavailable or not yet fired)
+    each round planned sort-merge joins that re-sorted and re-exchanged
+    the edge table twice (measured sf1 build 20.7 s →
+    OPTIMIZATION_r10.md). Above the limit the shape is unchanged.
     """
     half = edges.select(
         F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
     ).filter(F.col("__a") != F.col("__b"))
-    # checkpoint, then partition once on __a (the degree groupBy key and
-    # the first alive filter's join key) and persist: the per-round joins
-    # broadcast the node-sized alive vector against the in-place edge
-    # table and the degree aggregate rides the same partitioning
+    # symmetrize via explode (ONE pass over the upstream edge derivation —
+    # a self-union plans it twice, r10), partition once on __a (the degree
+    # groupBy key and the first alive filter's join key), THEN dedupe:
+    # hash(__a) satisfies the (__a, __b) clustering requirement, so the
+    # distinct is exchange-free on top of the one repartition, and the
+    # persist materializes the already-partitioned, already-distinct table
+    # the per-round joins probe in place.
     e = (
-        half.unionByName(
-            half.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
+        half.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("__a"), F.col("__b")),
+                    F.struct(
+                        F.col("__b").alias("__a"), F.col("__a").alias("__b")
+                    ),
+                )
+            ).alias("__e")
         )
-        .distinct()
-        .localCheckpoint(eager=False)
+        .select("__e.__a", "__e.__b")
         .repartition("__a")
+        .dropDuplicates(["__a", "__b"])
     )
     e = _persist_bounded(e)
     # round-0 degrees (every node alive) double as the k calibration input
     deg = e.groupBy(F.col("__a").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+    # one control-plane row: optional k calibration + the node count that
+    # decides the per-round broadcast regime
+    stat_cols = [F.count(F.lit(1)).alias("n_nodes")]
     if k is None:
-        row = deg.select(
-            F.floor(F.expr("percentile(deg, 0.25)")).cast("long").alias("k")
-        ).collect()
-        k = int(row[0]["k"]) if row and row[0]["k"] is not None else 1
+        stat_cols.append(
+            F.floor(F.expr("percentile(deg, 0.25)")).cast("long").alias("q25")
+        )
+    stats = deg.select(*stat_cols).collect()[0]
+    n_nodes = int(stats["n_nodes"] or 0)
+    if k is None:
+        k = int(stats["q25"]) if stats["q25"] is not None else 1
+    bcast = n_nodes <= node_broadcast_limit
+
+    def _alive_side(av, col):
+        side = av.withColumnRenamed("node", col)
+        return F.broadcast(side) if bcast else side
+
     alive = deg.filter(F.col("deg") >= k).select("node")
     for i in range(1, iters):
         alive = alive.localCheckpoint(eager=True)
-        live = e.join(alive.withColumnRenamed("node", "__a"), "__a").join(
-            alive.withColumnRenamed("node", "__b"), "__b"
+        live = e.join(_alive_side(alive, "__a"), "__a").join(
+            _alive_side(alive, "__b"), "__b"
         )
         deg = live.groupBy(F.col("__a").alias("node")).agg(
             F.count(F.lit(1)).alias("deg")
@@ -606,8 +701,8 @@ def k_core(
     # survivors with their degree in the round-`iters` induced subgraph:
     # one more induced-degree pass over the final alive set
     alive = alive.localCheckpoint(eager=True)
-    live = e.join(alive.withColumnRenamed("node", "__a"), "__a").join(
-        alive.withColumnRenamed("node", "__b"), "__b"
+    live = e.join(_alive_side(alive, "__a"), "__a").join(
+        _alive_side(alive, "__b"), "__b"
     )
     return live.groupBy(F.col("__a").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -734,6 +829,7 @@ def personalized_pagerank(
     damping: float = 0.85,
     kernel: str = "auto",
     local_edge_limit: int = 2_000_000,
+    node_broadcast_limit: int = 4_000_000,
 ) -> DataFrame:
     """Personalized PageRank (random walk with restart): the teleport
     distribution is uniform over ``seeds`` (a DataFrame with a ``node``
@@ -786,25 +882,45 @@ def personalized_pagerank(
         .repartition("node")
     )
     nodes = _persist_bounded(nodes)
-    # |S ∩ graph|: teleport normalizes over seeds present in the graph
-    n_seeds = nodes.agg(F.sum("__is_seed")).collect()[0][0]
+    # |S ∩ graph| + node count in ONE control-plane row: teleport
+    # normalizes over seeds present in the graph; the node count decides
+    # the per-round broadcast regime (r10)
+    srow = nodes.agg(
+        F.sum("__is_seed").alias("ns"), F.count(F.lit(1)).alias("nn")
+    ).collect()[0]
+    n_seeds = srow["ns"]
     if not n_seeds:
         raise ValueError("personalized_pagerank: no seed appears in the graph")
+    # rank vector is node-sized: at <= node_broadcast_limit nodes each
+    # round joins it as an explicit broadcast against probs' one-time
+    # hash(__src) partitioning — the contribution stage then reads the
+    # cached edge partitions in place (no per-round re-sort/re-exchange
+    # of the edge-sized side, which the stat-less checkpointed rank
+    # vector otherwise forces into a sort-merge join); only the
+    # partially-aggregated node-sized contrib crosses an exchange. Above
+    # the limit the sort-merge shape stands. Float-sum order inside the
+    # per-node aggregate is partitioning-dependent either way; consumers
+    # round (the q124 contract absorbs < 1e-9 reorder noise at 6 dp).
+    bcast_ranks = int(srow["nn"] or 0) <= node_broadcast_limit
     t_expr = (F.col("__is_seed") / F.lit(float(n_seeds))).alias("__t")
     out_w = e.groupBy("__src").agg(F.sum("__w").alias("__out_w"))
-    # edge table checkpointed, then partitioned once on the per-round
-    # join key and persisted (see pagerank)
+    if bcast_ranks:
+        # node-sized under the same gate: the one-time probs build then
+        # reads cached e in place instead of sort-merging it (see pagerank)
+        out_w = F.broadcast(out_w)
+    # edge table partitioned once on the per-round join key and persisted
+    # (see pagerank — the persist alone is the reuse point, r10)
     probs = (
         e.join(out_w, "__src")
         .select("__src", "__dst", (F.col("__w") / F.col("__out_w")).alias("__p"))
-        .localCheckpoint(eager=False)
         .repartition("__src")
     )
     probs = _persist_bounded(probs)
     ranks = nodes.select("node", t_expr.alias("pr"))
     for i in range(iters):
+        r = F.broadcast(ranks) if bcast_ranks else ranks
         contrib = (
-            ranks.join(probs, ranks["node"] == probs["__src"])
+            r.join(probs, r["node"] == probs["__src"])
             .groupBy(F.col("__dst").alias("node"))
             .agg(F.sum(F.col("pr") * F.col("__p")).alias("__in"))
         )

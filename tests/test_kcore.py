@@ -71,3 +71,27 @@ def test_kcore_auto_k_is_lower_quartile(spark):
     assert set(auto) == {1, 2, 3, 4, 5, 6, 7, 8}
     hard = _run(spark, tri, k=2, iters=3)
     assert set(hard) == {1, 2, 3, 4, 5, 6}
+
+
+def test_kcore_regimes_identical(spark):
+    # r10: broadcast-alive regime vs sort-merge fallback (gate forced to 0)
+    # must peel identically and report identical induced degrees.
+    import random
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randint(0, 12), rng.randint(0, 12)) for _ in range(40)
+    ]
+    df = spark.createDataFrame(edges, "a long, b long")
+    from oco3_data_transformer_spark.operators.graph import k_core
+
+    got_b = {
+        (r["node"], r["deg"]) for r in k_core(df, "a", "b", iters=3).collect()
+    }
+    got_d = {
+        (r["node"], r["deg"])
+        for r in k_core(
+            df, "a", "b", iters=3, node_broadcast_limit=0
+        ).collect()
+    }
+    assert got_b == got_d

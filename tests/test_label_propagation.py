@@ -77,3 +77,29 @@ def test_lpa_labels_come_from_node_set(spark):
     got = _run(spark, edges, iters=4)
     assert set(got) == {1, 2, 3, 4, 5}
     assert set(got.values()) <= {1, 2, 3, 4, 5}
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_lpa_regimes_identical(spark, seed):
+    # r10: the broadcast-label regime (node count under the gate) and the
+    # sort-merge fallback (gate forced to 0, which also exercises the
+    # mirrored attach-on-__a/group-on-__b join) must produce bit-identical
+    # communities — integer votes, total tie-break order.
+    rng = random.Random(seed)
+    n = rng.randint(8, 14)
+    edges = []
+    for _ in range(n * 3):
+        a, b = rng.randint(0, n), rng.randint(0, n)
+        edges.append((a, b, rng.randint(1, 4)))
+    df = spark.createDataFrame(edges, "a long, b long, w long")
+    got_b = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, "a", "b", "w", iters=3).collect()
+    }
+    got_d = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            df, "a", "b", "w", iters=3, node_broadcast_limit=0
+        ).collect()
+    }
+    assert got_b == got_d

@@ -604,9 +604,13 @@ def test_pagerank_iteration_plan_and_lineage_cut(spark):
     assert "ExistingRDD" in plan  # lineage cut: plan starts at the vector
     # one iteration: contrib join (x2: scalar + left-join reference,
     # both off the checkpointed vector) + nodes left join -- bounded,
-    # NOT proportional to iters
+    # NOT proportional to iters. r10: the one-time probs build (edges
+    # joined to out_w) is persisted rather than checkpointed, so its
+    # joins are VISIBLE inside the InMemoryRelation block and count here
+    # (each physical join = 2 mentions in formatted mode); an unrolled
+    # 10-round chain would be ~60 mentions.
     n_joins = sum(plan.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
-    assert 0 < n_joins <= 8, f"unrolled join chain too deep: {n_joins}"
+    assert 0 < n_joins <= 14, f"unrolled join chain too deep: {n_joins}"
     assert "CartesianProduct" not in plan  # scalar join must broadcast
     assert plan.count("HashAggregate") >= 2  # contrib groupBy is partial+final
 
@@ -697,13 +701,21 @@ def test_q121_lpa_iteration_plan_bounded(spark):
     assert "ExistingRDD" in plan  # lineage cut on the label vector
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # ONE round's join (the broadcast label attach, 2 mentions in
+    # formatted mode) + the one-time cached edge build's joins, which are
+    # visible inside the InMemoryRelation block since r10 dropped the
+    # double-materializing checkpoint; an unrolled 4-round chain would be
+    # ~16+ mentions on the round joins alone
     n_joins = sum(
         plan.count(j)
         for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
     )
-    assert 0 < n_joins <= 4, f"unrolled join chain too deep: {n_joins}"
+    assert 0 < n_joins <= 8, f"unrolled join chain too deep: {n_joins}"
     # the argmax is rank-1: WindowGroupLimit keeps it k=1-bounded per run
     assert "WindowGroupLimit" in plan
+    # r10 broadcast regime: the per-round label attach is a broadcast
+    # hash join (zero per-round exchange of the edge side)
+    assert "BroadcastHashJoin" in plan
 
 
 def test_q122_prefix_join_plan_shape(spark):
@@ -759,7 +771,7 @@ def test_q123_kcore_final_plan_bounded(spark):
             "formatted"
         )
     )
-    assert "ExistingRDD" in plan  # edges + alive both lineage-cut
+    assert "ExistingRDD" in plan  # alive vector lineage-cut
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     n_joins = sum(
@@ -767,8 +779,12 @@ def test_q123_kcore_final_plan_bounded(spark):
         for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
     )
     # formatted mode prints each operator in the tree AND a detail block,
-    # so 2 physical joins count as 4 mentions
-    assert 0 < n_joins <= 4, f"final pass join count: {n_joins}"
+    # so 2 physical joins count as 4 mentions: the two per-pass alive
+    # attaches (4) + the one-time cached edge build's joins, visible
+    # inside the InMemoryRelation block since r10 (the build is persisted,
+    # not checkpointed). An unrolled 4-round peel would be ~16+ on the
+    # alive joins alone.
+    assert 0 < n_joins <= 10, f"final pass join count: {n_joins}"
     assert "partial_count" in plan  # degree agg map-side combines
 
 

@@ -82,3 +82,35 @@ def test_ppr_no_seed_in_graph_raises(spark):
     sd = spark.createDataFrame([("zz",)], "node string")
     with pytest.raises(ValueError):
         personalized_pagerank(e, "s", "d", "w", sd, iters=2)
+
+
+def test_ppr_distributed_regimes_close(spark):
+    # r10: broadcast-rank regime vs sort-merge fallback (gate forced to 0)
+    # on the distributed path (kernel='distributed') — float-sum order may
+    # differ with partitioning, so equality is to 1e-9 (the q124 contract
+    # rounds to 6 dp).
+    import random
+
+    rng = random.Random(3)
+    edges = [
+        (rng.randint(0, 10), rng.randint(0, 10), rng.randint(1, 3))
+        for _ in range(30)
+    ]
+    df = spark.createDataFrame(edges, "a long, b long, w long")
+    seeds = spark.createDataFrame([(0,), (1,)], "node long")
+    kw = dict(iters=4, kernel="distributed")
+    got_b = {
+        r["node"]: r["ppr"]
+        for r in personalized_pagerank(
+            df, "a", "b", "w", seeds, **kw
+        ).collect()
+    }
+    got_d = {
+        r["node"]: r["ppr"]
+        for r in personalized_pagerank(
+            df, "a", "b", "w", seeds, node_broadcast_limit=0, **kw
+        ).collect()
+    }
+    assert set(got_b) == set(got_d)
+    for k in got_b:
+        assert abs(got_b[k] - got_d[k]) < 1e-9
