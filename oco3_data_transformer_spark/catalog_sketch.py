@@ -61,11 +61,12 @@ _CMS_BUCKET_CASE = (
     "shuffle. THIS query also carries the exact count(distinct) branch "
     "(error exhibit: rel_err ~ 1/sqrt(k) ~ 12.5% at k=64), which "
     "unavoidably shuffles every distinct shingle — so here the sketch "
-    "rides that same distinct exchange instead of paying its own scan: "
-    "min over distinct (lang, shingle) pairs is identical to min over "
-    "occurrences, and the md5+64-permutation projection runs on distinct "
-    "rows only (r10: one tokenize pass and |distinct| hashings instead "
-    "of two passes and |occurrences| hashings; sf1 9.3 s -> 3.4 s). "
+    "mins and the exact count are computed in ONE aggregate over that "
+    "same distinct exchange: min over distinct (lang, shingle) pairs is "
+    "identical to min over occurrences, and the md5+64-permutation "
+    "projection runs on distinct rows only (r10: one tokenize pass and "
+    "|distinct| hashings instead of two passes and |occurrences| "
+    "hashings; sf1 14.7 s -> 5.6 s). "
     "Estimates are bit-identical cross-engine: integer min-sum formed "
     "exactly in int64, ONE double division.",
 )
@@ -74,21 +75,30 @@ def q106(spark: SparkSession, sf: str) -> DataFrame:
     sh = docs.select(
         "lang", F.explode(text.word_ngrams(F.col("text"), 3)).alias("shingle")
     )
-    # Distinct (lang, shingle) pairs — ONE exchange shared by both branches
-    # (the exact branch needs it anyway; min-over-distinct == min-over-all).
+    # Distinct (lang, shingle) pairs feed ONE aggregate computing BOTH the
+    # 64 sketch mins AND the exact distinct count (min-over-distinct ==
+    # min-over-all; count over distinct pairs == count(distinct)). A
+    # two-branch est-join-exact form plans the tokenize+explode+distinct
+    # subtree twice — static exchange reuse does not fire across the
+    # branches (checked: 0 ReusedExchange) — so the branches are merged
+    # into a single pass instead (r10).
     pairs = sh.distinct()
-    est = sketch_ops.kmins_distinct(pairs, ["lang"], F.col("shingle"))
-    exact = pairs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("exact_distinct")
+    base = hashing.portable_hash28(F.col("shingle"))
+    agg = pairs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("exact_distinct"),
+        *[
+            F.min(hashing.kmins_value(base, i)).alias(f"__m{i}")
+            for i in range(_KM_K)
+        ],
     )
     rel = F.round(
         F.abs(F.col("est_distinct") - F.col("exact_distinct"))
         / F.col("exact_distinct"),
         4,
     )
-    return est.join(exact, "lang").select(
-        "lang", "est_distinct", "exact_distinct", rel.alias("rel_err")
-    )
+    return agg.select(
+        "lang", sketch_ops.kmins_estimate_col(), "exact_distinct"
+    ).select("lang", "est_distinct", "exact_distinct", rel.alias("rel_err"))
 
 
 @register(
@@ -137,12 +147,16 @@ def q106(spark: SparkSession, sf: str) -> DataFrame:
 def q107(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     sh = docs.select(F.explode(text.word_ngrams(F.col("text"), 3)).alias("shingle"))
-    # ONE tokenize+explode pass and ONE shingle-keyed exchange feed the
-    # whole query (r10; was three passes + two keyed exchanges): the
-    # exact-count exhibit aggregate is computed first, and the grid
+    # The exact-count exhibit aggregate is computed first; the grid
     # (weighted build — sum of per-key counts == count over the raw
-    # stream), the candidate set, and the probe side all hang off it.
-    # The md5 row-hash runs once per DISTINCT shingle, not per occurrence.
+    # stream) and the probe both hang off it, and the probe CARRIES
+    # exact_cnt through the estimate so the result needs no third
+    # evaluation of the aggregate (r10; the committed before-plan shows
+    # the scan+explode+exchange+agg tree three times — static exchange
+    # reuse does not fire across the branches). The md5 row-hash runs
+    # once per DISTINCT shingle, not per occurrence; the probe's
+    # per-shingle min rides the exact aggregate's hash partitioning
+    # (broadcast join preserves it), adding no exchange.
     exact = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("exact_cnt"))
     grid = sketch_ops.countmin_build(
         exact,
@@ -151,16 +165,23 @@ def q107(spark: SparkSession, sf: str) -> DataFrame:
         width=CMS_WIDTH,
         weight_col=F.col("exact_cnt"),
     )
-    cand = exact.select("shingle")
     est = sketch_ops.countmin_estimate(
-        grid, cand, "shingle", depth=CMS_DEPTH, width=CMS_WIDTH
-    )
-    top = est.orderBy(F.col("est_cnt").desc(), "shingle").limit(CMS_TOPK)
-    return exact.join(F.broadcast(top), "shingle").select(
+        grid,
+        exact,
         "shingle",
-        "est_cnt",
-        "exact_cnt",
-        (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+        depth=CMS_DEPTH,
+        width=CMS_WIDTH,
+        carry=["exact_cnt"],
+    )
+    return (
+        est.orderBy(F.col("est_cnt").desc(), "shingle")
+        .limit(CMS_TOPK)
+        .select(
+            "shingle",
+            "est_cnt",
+            "exact_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+        )
     )
 
 
@@ -390,13 +411,15 @@ _KM_UNION_MINS = ", ".join(f"min(__m{i}) AS __m{i}" for i in range(_KM_K))
     "per-day, per-source) sketches persisted once can answer any later "
     "cross-slice distinct/union/overlap question in milliseconds from "
     "k-vector state — the same merge the streaming sink "
-    "(streaming/sketch_stream.py) applies incrementally. The exact-overlap "
-    "exhibit branch needs a distinct pass regardless, so the half-sketches "
-    "ride that same distinct exchange (min over distinct pairs == min over "
-    "occurrences): one tokenize pass, md5 on |distinct| rows only (r10); "
-    "the union fold is a second aggregate over TWO rows. The production "
-    "sketch without the exhibit (kmins_sketch) stays the pure map-side "
-    "form.",
+    "(streaming/sketch_stream.py) applies incrementally. Here the whole "
+    "query is ONE linear plan (r10): a shingle-keyed aggregate records "
+    "which halves each distinct shingle appears in, then one global "
+    "aggregate computes all three min-vectors (conditional mins for the "
+    "halves, unconditional for the union — exactly the elementwise "
+    "min-merge) plus the exact overlap; one tokenize pass, md5 on "
+    "|distinct| rows only, zero joins (sf1 13.2 s -> 4.4 s). The "
+    "production sketch without the exhibit (kmins_sketch) stays the pure "
+    "map-side form.",
 )
 def q111(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
@@ -404,45 +427,51 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") % 2).alias("half"),
         F.explode(text.word_ngrams(F.col("text"), 3)).alias("shingle"),
     )
-    # Distinct (half, shingle) pairs — ONE exchange shared by the sketch
-    # and the exact-overlap branch (which needs a distinct pass anyway);
-    # min-over-distinct == min-over-all, so the md5 + 64-permutation
-    # projection runs on |distinct| rows instead of |occurrences| and the
-    # corpus is tokenized once instead of twice (r10).
-    pairs = sh.distinct()
-    sk = sketch_ops.kmins_sketch(pairs, ["half"], F.col("shingle"))
-    union_sk = sk.groupBy().agg(
-        *[F.min(f"__m{i}").alias(f"__m{i}") for i in range(_KM_K)]
+    # ONE pass (r10): a shingle-keyed aggregate records which halves each
+    # distinct shingle appears in, then a single global aggregate computes
+    # all three 64-min vectors (even = min over shingles with has0, odd =
+    # has1, union = unconditional — elementwise min-merge of the half
+    # sketches IS the unconditional min) plus the exact overlap count
+    # (shingles present in both halves). Value-identical to the per-half
+    # sketch + min-merge + distinct-overlap form it replaces (min over
+    # distinct (half, shingle) pairs == min over occurrences), but the
+    # corpus is tokenized once, the md5 + 64-permutation projection runs
+    # on |distinct shingle| rows, and the three-branch plan (which planned
+    # the distinct subtree three times — 0 ReusedExchange) collapses to a
+    # linear one with ZERO joins.
+    per_sh = sh.groupBy("shingle").agg(
+        F.max(F.when(F.col("half") == 0, 1).otherwise(0)).alias("has0"),
+        F.max(F.when(F.col("half") == 1, 1).otherwise(0)).alias("has1"),
     )
-    est = sk.select("half", sketch_ops.kmins_estimate_col())
-    e0 = est.filter(F.col("half") == 0).select(
-        F.col("est_distinct").alias("est_even")
+    base = hashing.portable_hash28(F.col("shingle"))
+    hvals = [hashing.kmins_value(base, i) for i in range(_KM_K)]
+    glob = per_sh.agg(
+        *[
+            F.min(F.when(F.col("has0") == 1, hvals[i])).alias(f"__e{i}")
+            for i in range(_KM_K)
+        ],
+        *[
+            F.min(F.when(F.col("has1") == 1, hvals[i])).alias(f"__o{i}")
+            for i in range(_KM_K)
+        ],
+        *[F.min(hvals[i]).alias(f"__u{i}") for i in range(_KM_K)],
+        F.sum(
+            F.when((F.col("has0") == 1) & (F.col("has1") == 1), 1).otherwise(0)
+        ).alias("exact_overlap"),
     )
-    e1 = est.filter(F.col("half") == 1).select(
-        F.col("est_distinct").alias("est_odd")
-    )
-    eu = union_sk.select(
-        sketch_ops.kmins_estimate_col()
-    ).withColumnRenamed("est_distinct", "est_union")
-    ov = (
-        pairs.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("nh"))
-        .filter(F.col("nh") == 2)
-        .agg(F.count(F.lit(1)).alias("exact_overlap"))
-    )
-    return (
-        e0.crossJoin(e1)
-        .crossJoin(eu)
-        .crossJoin(ov)
-        .select(
-            "est_even",
-            "est_odd",
-            "est_union",
-            F.round(
-                F.col("est_even") + F.col("est_odd") - F.col("est_union"), 2
-            ).alias("est_overlap"),
-            "exact_overlap",
+
+    def _est(prefix: str) -> F.Column:
+        msum = sum(F.col(f"__{prefix}{i}") for i in range(_KM_K))
+        return F.round(
+            F.lit(float(_KM_K) * hashing.MINHASH_PRIME) / msum - 1, 2
         )
+
+    return glob.select(
+        _est("e").alias("est_even"),
+        _est("o").alias("est_odd"),
+        _est("u").alias("est_union"),
+        F.round(_est("e") + _est("o") - _est("u"), 2).alias("est_overlap"),
+        "exact_overlap",
     )
 
 

@@ -172,7 +172,12 @@ def countmin_build(
 
 
 def countmin_estimate(
-    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 2048
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Point-estimate frequencies for ``keys`` from a built sketch.
 
@@ -183,10 +188,17 @@ def countmin_estimate(
     The left join matters for keys OUTSIDE the sketched corpus: one empty
     cell proves a count of 0, so such probes estimate exactly 0 instead of
     inheriting collision mass from their non-empty cells.
+
+    ``carry``: extra ``keys`` columns (constant per key) passed through to
+    the output — a caller comparing estimates against per-key truth it
+    already owns rides this aggregate instead of re-joining ``keys``
+    afterwards, which would re-evaluate the keys subtree (r10).
     """
+    carry = carry or []
     base = hashing.portable_hash28(F.col(key_col))
     cells = keys.select(
         key_col,
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -198,11 +210,14 @@ def countmin_estimate(
                 ]
             )
         ).alias("cell"),
-    ).select(key_col, "cell.d", "cell.bucket")
+    ).select(key_col, *carry, "cell.d", "cell.bucket")
     return (
         cells.join(F.broadcast(sketch), ["d", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_cnt"))
+        .agg(
+            F.min(F.coalesce("cnt", F.lit(0))).alias("est_cnt"),
+            *[F.min(c).alias(c) for c in carry],
+        )
     )
 
 
