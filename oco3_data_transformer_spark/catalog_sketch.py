@@ -368,11 +368,13 @@ def q110(spark: SparkSession, sf: str) -> DataFrame:
     books = sim_ops.pq_codebooks(
         emb, m=PQ_M, dsub=PQ_DSUB, n_codes=PQ_CODES
     )
-    enc = sim_ops.pq_encode(emb, books, dsub=PQ_DSUB).select(
-        "vec_id", "subspace", "code"
-    )
+    # array layout (r10): one row per vector, ADC fold is row-local —
+    # no per-(query, vector) aggregate, m x fewer join rows
+    enc = sim_ops.pq_encode(emb, books, dsub=PQ_DSUB, layout="array")
     queries = emb.filter(F.col("vec_id") < 10)
-    out = sim_ops.pq_adc_knn(enc, books, queries, k=PQ_K, dsub=PQ_DSUB)
+    out = sim_ops.pq_adc_knn(
+        enc, books, queries, k=PQ_K, dsub=PQ_DSUB, n_codes=PQ_CODES
+    )
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
         F.round("adist", 6).alias("adist"),
@@ -794,12 +796,11 @@ def q116(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load(spark, sf, "embeddings")
     books = sim_ops.pq_codebooks(emb, m=PQ_M, dsub=PQ_DSUB, n_codes=PQ_CODES)
-    codes = sim_ops.pq_encode(emb, books, dsub=PQ_DSUB).select(
-        "vec_id", "subspace", "code"
-    )
+    # array layout (r10): row-local ADC fold, see q110
+    codes = sim_ops.pq_encode(emb, books, dsub=PQ_DSUB, layout="array")
     queries = emb.filter(F.col("vec_id") < 10)
     shortlist = sim_ops.pq_adc_knn(
-        codes, books, queries, k=SHORTLIST, dsub=PQ_DSUB
+        codes, books, queries, k=SHORTLIST, dsub=PQ_DSUB, n_codes=PQ_CODES
     ).select("query_id", "neighbor_id")
 
     q = queries.select(

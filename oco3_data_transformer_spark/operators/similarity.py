@@ -893,6 +893,7 @@ def pq_encode(
     vec_col: str = "embedding",
     dsub: int = 8,
     kernel: str = "arrow",
+    layout: str = "long",
 ) -> DataFrame:
     """Encode every vector: ``(id, subspace, code, dist)`` with ``dist``
     the squared-L2 quantization error of the chosen codeword.
@@ -910,8 +911,18 @@ def pq_encode(
     compare); this is the DuckDB-oracle-checkable reference the arrow
     kernel is differentially tested against
     (tests/test_sketch.py::test_pq_encode_kernels_agree).
+
+    ``layout='array'`` (arrow kernel only): ONE row per vector —
+    ``(id, codes array<int>)`` with ``codes[s]`` the subspace-``s`` code.
+    This is the serving layout ADC wants (r10): the per-vector fold over
+    subspaces becomes row-local array indexing, so a downstream ADC scan
+    needs NO per-(query, vector) aggregate at all — m times fewer rows
+    than the long layout, and the quantization-error column (which ADC
+    never reads) is not produced.
     """
     if kernel == "sql":
+        if layout != "long":
+            raise ValueError("layout='array' requires kernel='arrow'")
         sub = F.slice(
             F.col(vec_col), F.col("subspace") * dsub + 1, F.lit(dsub)
         )
@@ -936,10 +947,31 @@ def pq_encode(
         for s, g in bp.groupby("subspace")
     }
     b = corpus.sparkSession.sparkContext.broadcast(banks)
-    out_schema = (
-        f"{id_col} {corpus.schema[id_col].dataType.simpleString()}, "
-        "subspace int, code int, dist double"
-    )
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    if layout == "array":
+        def enc_arr(batches, _id=id_col, _vec=vec_col, _d=dsub):
+            _banks = b.value
+            subs = sorted(_banks)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf[_vec].to_numpy()).astype(np.float64)
+                cols = np.empty((len(pdf), len(subs)), dtype=np.int32)
+                for j, s in enumerate(subs):
+                    Xs = X[:, s * _d : (s + 1) * _d]
+                    C = _banks[s]
+                    d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                    cols[:, j] = np.argmin(d2, axis=1)
+                yield pd.DataFrame(
+                    {_id: pdf[_id].to_numpy(), "codes": list(cols)}
+                )
+
+        return corpus.select(id_col, vec_col).mapInPandas(
+            enc_arr, f"{id_col} {id_type}, codes array<int>"
+        )
+
+    out_schema = f"{id_col} {id_type}, subspace int, code int, dist double"
 
     def enc(batches, _id=id_col, _vec=vec_col, _d=dsub):
         _banks = b.value
@@ -974,17 +1006,24 @@ def pq_adc_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dsub: int = 8,
+    n_codes: int = 16,
 ) -> DataFrame:
     """Asymmetric-distance top-k from PQ codes: the query stays exact, the
     corpus is its codes. Approx dist(q, x) = sum_s ||q_s - codeword(x_s)||².
 
-    The per-query lookup table (|queries| * m * n_codes rows) broadcasts;
-    the code table — the only corpus-sized input — equi-joins it and
-    reduces to one row per (query, vector). The per-vector sum folds the
-    m subspace distances in SORTED subspace order (collect -> array_sort
-    -> left fold) so the double sum is bit-identical cross-engine — a
-    plain SUM would add in partition order and flip equal-distance ranks.
-    Top-k is one rank window per query, never a global sort.
+    ``codes`` may be the long layout ``(id, subspace, code)`` or the
+    array layout ``(id, codes)`` from ``pq_encode(layout='array')``
+    (detected by column name). Array layout is the serving shape (r10):
+    the per-query distance table collapses to ONE broadcast array of
+    m * n_codes doubles (ordered by (subspace, code) — ``n_codes`` must
+    match the books), and adist is a row-local fold over the code array
+    in ascending-subspace order — so the corpus never enters a
+    per-(query, vector) aggregate at all; the long layout pays that
+    aggregate on m rows per (query, vector) pair. Both fold in subspace
+    order, so adist is bit-identical between layouts and cross-engine —
+    a plain SUM would add in partition order and flip equal-distance
+    ranks. Top-k is one rank window per query (WindowGroupLimit prunes
+    to k per partition before the exchange), never a global sort.
     """
     qsub = F.slice(
         F.col(vec_col), F.col("subspace") * dsub + 1, F.lit(dsub)
@@ -999,18 +1038,45 @@ def pq_adc_knn(
             vector.l2sq(qsub, F.col("codeword")).alias("d"),
         )
     )
-    folded = (
-        codes.join(F.broadcast(lut), ["subspace", "code"])
-        .filter(F.col(id_col) != F.col("query_id"))
-        .groupBy("query_id", id_col)
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("subspace", "d"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["d"],
-            ).alias("adist")
+    if "codes" in codes.columns:
+        # (subspace, code) is unique per query, so the lexicographic
+        # array_sort orders the collected structs exactly by
+        # subspace * n_codes + code — element_at below inverts that.
+        lut_arr = lut.groupBy("query_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "code", "d"))),
+                lambda x: x["d"],
+            ).alias("__lut")
         )
-    )
+        adist = F.aggregate(
+            F.sequence(F.lit(1), F.size("codes")),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.element_at(
+                F.col("__lut"),
+                ((s - 1) * n_codes + F.element_at(F.col("codes"), s) + 1).cast(
+                    "int"
+                ),
+            ),
+        )
+        folded = (
+            codes.crossJoin(F.broadcast(lut_arr))
+            .filter(F.col(id_col) != F.col("query_id"))
+            .select("query_id", id_col, adist.alias("adist"))
+        )
+    else:
+        folded = (
+            codes.join(F.broadcast(lut), ["subspace", "code"])
+            .filter(F.col(id_col) != F.col("query_id"))
+            .groupBy("query_id", id_col)
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("subspace", "d"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["d"],
+                ).alias("adist")
+            )
+        )
     w = Window.partitionBy("query_id").orderBy("adist", id_col)
     return (
         folded.withColumn("rank", F.row_number().over(w))

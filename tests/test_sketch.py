@@ -177,6 +177,57 @@ def test_pq_encode_kernels_agree(spark):
         assert abs(a[key][1] - s[key][1]) < 1e-9, key
 
 
+def test_pq_encode_array_layout_matches_long(spark):
+    # layout='array' packs the same codes, one row per vector, codes[s]
+    # ordered by subspace
+    from oco3_data_transformer_spark.operators import similarity as sim
+
+    emb = _toy_embeddings(spark, n=60, dim=16)
+    books = sim.pq_codebooks(emb, m=4, dsub=4, n_codes=8)
+    long = {
+        (r.vec_id, r.subspace): r.code
+        for r in sim.pq_encode(emb, books, dsub=4).collect()
+    }
+    arr = {
+        r.vec_id: list(r.codes)
+        for r in sim.pq_encode(emb, books, dsub=4, layout="array").collect()
+    }
+    assert set(arr) == {v for v, _ in long}
+    for vec_id, codes in arr.items():
+        assert codes == [long[(vec_id, s)] for s in range(4)]
+
+
+def test_pq_adc_knn_layouts_bit_identical(spark):
+    # the array-layout row-local fold must reproduce the long layout's
+    # adist BIT-identically (same subspace fold order), hence same ranks
+    from oco3_data_transformer_spark.operators import similarity as sim
+
+    emb = _toy_embeddings(spark, n=60, dim=16)
+    books = sim.pq_codebooks(emb, m=4, dsub=4, n_codes=8)
+    queries = emb.filter(F.col("vec_id") < 5)
+    long_codes = sim.pq_encode(emb, books, dsub=4).select(
+        "vec_id", "subspace", "code"
+    )
+    arr_codes = sim.pq_encode(emb, books, dsub=4, layout="array")
+    a = sorted(
+        map(
+            tuple,
+            sim.pq_adc_knn(
+                long_codes, books, queries, k=4, dsub=4, n_codes=8
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            sim.pq_adc_knn(
+                arr_codes, books, queries, k=4, dsub=4, n_codes=8
+            ).collect(),
+        )
+    )
+    assert a == b  # exact equality including the double adist
+
+
 def test_histogram_sketch_bounded_and_merge_is_addition(spark):
     rows = [("g", float(i % 977)) for i in range(5000)]
     df = spark.createDataFrame(rows, "g string, v double")
