@@ -288,25 +288,47 @@ def pagerank_sql(
     return ",\n".join(parts)
 
 
-def triangle_counts(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
+def triangle_counts(
+    edges: DataFrame,
+    a_col: str,
+    b_col: str,
+    edge_broadcast_limit: int = 4_000_000,
+) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over an
     undirected edge table; returns ``(node, deg, n_tri, lcc)``.
 
-    Algorithm: compact-forward / degree-ordered wedge join (Latapy 2008;
+    Algorithm: compact-forward / degree-ordered orientation (Latapy 2008;
     the shape Spark GraphFrames and every distributed triangle counter
     use). Each undirected edge is ORIENTED from its lower-``(deg, id)``
-    endpoint to the higher one; wedges are pairs of out-edges sharing an
-    apex; a wedge (y, z) closes iff the oriented edge y→z exists. Every
-    triangle is found exactly once (at its minimum-rank apex).
+    endpoint to the higher one; a triangle (x, y, z) is found exactly
+    once at its minimum-rank apex x, as z ∈ N_out(x) ∩ N_out(y) for the
+    oriented edge x→y (equivalently: the wedge (y, z) at apex x closed
+    by the oriented edge y→z — the two formulations enumerate the
+    identical triple set because y→z exists iff rank(y) < rank(z), the
+    exact wedge-ordering predicate).
 
-    Why this survives 100 TB: the naive 3-way self-join explodes on hub
-    nodes (a degree-d hub contributes d² wedges). Degree orientation
-    caps every node's OUT-degree at O(sqrt(|E|)) — hubs become wedge
-    *destinations*, not apexes — so the wedge exchange is
-    O(Σ out_deg²) = O(|E|^1.5) worst-case instead of O(Σ deg²), and the
-    skew lands on the hash-partitioned JOIN KEY (apex id), which AQE
-    splits. All three joins shuffle on node ids; the edge table is never
-    replicated. No Python UDFs — the whole plan is codegen'd exchanges.
+    Two regimes (r10, guide §3.1/§2.3 — measured at the sf1 fixture:
+    1.9M edges, 40.8M wedges, 4.7M triangles; the wedge close-join
+    shuffled all 40.8M wedge rows on (y, z) and dominated the query at
+    8.3 s):
+
+    - ≤ ``edge_broadcast_limit`` edges: the out-adjacency lists (total
+      payload = exactly |E| ids, ~32 MB at the 4M default) BROADCAST and
+      join the oriented edge table twice; triangles fall out of a
+      row-local ``array_intersect`` + explode. Zero wedge
+      materialization, zero (y,z) exchange — the only shuffles left are
+      the adjacency groupBy and the per-node count.
+    - above the limit: the wedge join + close join, unchanged. The naive
+      3-way self-join explodes on hub nodes (a degree-d hub contributes
+      d² wedges). Degree orientation caps every node's OUT-degree at
+      O(sqrt(|E|)) — hubs become wedge *destinations*, not apexes — so
+      the wedge exchange is O(Σ out_deg²) = O(|E|^1.5) worst-case
+      instead of O(Σ deg²), and the skew lands on the hash-partitioned
+      JOIN KEY (apex id), which AQE splits. All three joins shuffle on
+      node ids; the edge table is never replicated.
+
+    Both regimes are codegen'd exchanges — no Python UDFs; regime
+    equivalence is pinned by ``test_triangle_regimes_identical``.
     """
     e = (
         edges.select(
@@ -344,18 +366,45 @@ def triangle_counts(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)  # referenced 3× (two wedge legs + close)
     )
-    e1 = oriented.select(
-        F.col("src").alias("x"), F.col("dst").alias("y"), F.col("__ddeg").alias("__dy")
-    )
-    e2 = oriented.select(
-        F.col("src").alias("x"), F.col("dst").alias("z"), F.col("__ddeg").alias("__dz")
-    )
-    wedges = e1.join(e2, "x").filter(
-        (F.col("__dy") < F.col("__dz"))
-        | ((F.col("__dy") == F.col("__dz")) & (F.col("y") < F.col("z")))
-    )
-    closing = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
-    tri = wedges.join(closing, ["y", "z"]).select("x", "y", "z")
+    # control-plane scalar (materializes the checkpoint the downstream
+    # plan reuses either way); picks the regime, never touches data rows
+    n_edges = oriented.count()
+    if n_edges <= edge_broadcast_limit:
+        adj = (
+            oriented.groupBy("src")
+            .agg(F.collect_list("dst").alias("__nbrs"))
+            .localCheckpoint(eager=False)  # evaluated once, broadcast twice
+        )
+        nx = F.broadcast(adj.select("src", F.col("__nbrs").alias("__nx")))
+        ny = F.broadcast(
+            adj.select(F.col("src").alias("dst"), F.col("__nbrs").alias("__ny"))
+        )
+        tri = (
+            oriented.join(nx, "src")  # src always has ≥1 out-edge: inner ok
+            .join(ny, "dst", "left")  # dst may have none → null → explode drops
+            .select(
+                F.col("src").alias("x"),
+                F.col("dst").alias("y"),
+                F.explode(F.array_intersect("__nx", "__ny")).alias("z"),
+            )
+        )
+    else:
+        e1 = oriented.select(
+            F.col("src").alias("x"),
+            F.col("dst").alias("y"),
+            F.col("__ddeg").alias("__dy"),
+        )
+        e2 = oriented.select(
+            F.col("src").alias("x"),
+            F.col("dst").alias("z"),
+            F.col("__ddeg").alias("__dz"),
+        )
+        wedges = e1.join(e2, "x").filter(
+            (F.col("__dy") < F.col("__dz"))
+            | ((F.col("__dy") == F.col("__dz")) & (F.col("y") < F.col("z")))
+        )
+        closing = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+        tri = wedges.join(closing, ["y", "z"]).select("x", "y", "z")
     per_node = (
         tri.select(
             F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")

@@ -330,3 +330,23 @@ def test_mutual_knn_query_splits_identical(spark, splits):
         ).collect()
     )
     assert got == want and want
+
+
+def test_triangle_regimes_identical(spark):
+    # r10: broadcast-adjacency array_intersect regime vs the wedge-join
+    # fallback (gate forced to 0) must count the identical triangles —
+    # the two formulations enumerate the same (apex, mid, top) triples
+    # because the oriented edge y->z exists iff rank(y) < rank(z), the
+    # wedge-ordering predicate.
+    rng = random.Random(13)
+    edges = [(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(400)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got_b = {
+        (r["node"], r["deg"], r["n_tri"], round(r["lcc"], 9))
+        for r in triangle_counts(df, "a", "b").collect()
+    }
+    got_w = {
+        (r["node"], r["deg"], r["n_tri"], round(r["lcc"], 9))
+        for r in triangle_counts(df, "a", "b", edge_broadcast_limit=0).collect()
+    }
+    assert got_b == got_w and got_b
