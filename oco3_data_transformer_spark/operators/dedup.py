@@ -132,8 +132,26 @@ def _join_cooccurrence_pairs(
     key: str = "shingle",
     hot_threshold: int | str | None = None,
     salt_buckets: int = 16,
+    carry_n: bool = False,
+    length_filter: float | None = None,
 ) -> DataFrame:
     """(id_a, id_b, n_common) via self-join on the key.
+
+    ``length_filter=t`` (requires ``carry_n``) drops matched rows whose
+    size ratio makes jacc >= t impossible (jacc <= min/max, so
+    t·max(n_a,n_b) <= min(n_a,n_b) is necessary — the AllPairs length
+    bound) BEFORE the pair exchange/aggregate; at the sf1 q31 leg this
+    cuts the 12.7M matched rows 24% for a row-local comparison. Results
+    are identical for any caller that applies a jacc >= t filter after.
+
+    ``carry_n=True`` additionally returns each side's per-doc key count
+    as ``n_a``/``n_b`` (r10): the count is a window over the already
+    id-partitioned shingle table (no extra exchange — only a +4-byte
+    column on the key-join payload), and it rides the pair aggregation
+    as two ``first()`` columns. Callers that need sizes for a
+    similarity/containment score then compute it ROW-LOCALLY instead of
+    sort-merge-joining the (pair-count-sized — 11.3M rows at the sf1
+    q31 leg) pair table against a sizes table twice.
 
     For *hot* keys (a stop-shingle shared by thousands of docs) the join
     spreads the k² pair work across k build rows, and AQE skew-join splits
@@ -156,8 +174,23 @@ def _join_cooccurrence_pairs(
     are identical to the unsalted join (tests/test_dedup_adversarial.py
     asserts equality on the adversarial corpus).
     """
-    a = sh.select(F.col("id").alias("id_a"), F.col(key))
-    b = sh.select(F.col("id").alias("id_b"), F.col(key))
+    pair_cols = ["id_a", "id_b"]
+    if carry_n:
+        from pyspark.sql import Window
+
+        shw = sh.withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("id"))
+        )
+        a = shw.select(
+            F.col("id").alias("id_a"), F.col(key), F.col("__n").alias("__n_a")
+        )
+        b = shw.select(
+            F.col("id").alias("id_b"), F.col(key), F.col("__n").alias("__n_b")
+        )
+        pair_cols = ["id_a", "id_b", "__n_a", "__n_b"]
+    else:
+        a = sh.select(F.col("id").alias("id_a"), F.col(key))
+        b = sh.select(F.col("id").alias("id_b"), F.col(key))
     if hot_threshold == "auto":
         # Control-plane probe: the sampled profile's hot-key set comes to
         # the driver (same motion as the k-means init; outlier-small by
@@ -179,7 +212,7 @@ def _join_cooccurrence_pairs(
         hot_threshold = None if not hot_rows else "auto-found"
         hot_key_values = [r[key] for r in hot_rows]
     if hot_threshold is None:
-        matched = a.join(b, [key]).select("id_a", "id_b")
+        matched = a.join(b, [key]).select(*pair_cols)
     else:
         from .joins import salted_join
 
@@ -201,15 +234,28 @@ def _join_cooccurrence_pairs(
             hot_b = b.join(F.broadcast(hot_keys), key, "left_semi")
         matched = (
             cold_a.join(cold_b, [key])
-            .select("id_a", "id_b")
+            .select(*pair_cols)
             .unionByName(
-                salted_join(hot_a, hot_b, key, salt_buckets).select("id_a", "id_b")
+                salted_join(hot_a, hot_b, key, salt_buckets).select(*pair_cols)
             )
         )
+    if length_filter is not None:
+        assert carry_n, "length_filter requires carry_n"
+        t = float(length_filter)
+        matched = matched.filter(
+            (F.col("__n_a") * t <= F.col("__n_b"))
+            & (F.col("__n_b") * t <= F.col("__n_a"))
+        )
+    aggs = [F.count(F.lit(1)).alias("n_common")]
+    if carry_n:
+        aggs += [
+            F.first("__n_a").alias("n_a"),
+            F.first("__n_b").alias("n_b"),
+        ]
     return (
         matched.filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(*aggs)
     )
 
 
@@ -240,31 +286,6 @@ def _cooccurrence_pairs(sh: DataFrame, key: str = "shingle") -> DataFrame:
     )
 
 
-def _jaccard_filter(
-    inter: DataFrame, sizes: DataFrame, threshold: float
-) -> DataFrame:
-    # No broadcast hints: ``sizes`` is one row per document — small at test
-    # scale (AQE still broadcasts it at runtime) but tens of GB for a 100 TB
-    # corpus, where a forced broadcast would OOM the driver.
-    out = (
-        inter.join(
-            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
-            "id_b",
-        )
-        .withColumn(
-            "jacc",
-            F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
-        .filter(F.col("jacc") >= threshold)
-    )
-    return out.select("id_a", "id_b", "jacc")
-
-
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -287,9 +308,25 @@ def ngram_jaccard_pairs(
     (VERDICT r04 item 7); pass an int for an explicit cutoff or ``None``
     to disable."""
     sh = hashed_shingle_table(df, id_col, text_col, n, partition_by_id=True)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = _join_cooccurrence_pairs(sh, key="h", hot_threshold=hot_shingle_threshold)
-    return _jaccard_filter(inter, sizes, threshold)
+    # sizes ride the pair join (carry_n) — the jacc score is row-local;
+    # no sizes table, no post-aggregation joins over the pair-count-sized
+    # inter table (r10: two SortMergeJoins of 11.3M rows gone at sf1)
+    inter = _join_cooccurrence_pairs(
+        sh,
+        key="h",
+        hot_threshold=hot_shingle_threshold,
+        carry_n=True,
+        length_filter=threshold,
+    )
+    return (
+        inter.withColumn(
+            "jacc",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jacc") >= threshold)
+        .select("id_a", "id_b", "jacc")
+    )
 
 
 def minhash_signatures(
@@ -1029,12 +1066,10 @@ def containment_pairs(
     so the asymmetry costs no extra join.
     """
     sh = hashed_shingle_table(df, id_col, text_col, n, partition_by_id=True)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = _join_cooccurrence_pairs(sh, key="h", hot_threshold=hot_shingle_threshold)
-    scored = inter.join(
-        sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
-    ).join(
-        sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b"
+    # sizes ride the pair join (carry_n, r10) — both containment
+    # directions score row-locally, no sizes joins over the pair table
+    scored = _join_cooccurrence_pairs(
+        sh, key="h", hot_threshold=hot_shingle_threshold, carry_n=True
     )
     a_in_b = scored.select(
         F.col("id_a").alias("id_sub"),
