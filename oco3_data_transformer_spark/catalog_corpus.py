@@ -1589,7 +1589,13 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q125(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
-    edges = sim_ops.mutual_knn(emb, "vec_id", "embedding", "label", k=MUTUAL_K)
+    # one checkpoint pins the kNN kernel to a single evaluation: the CC
+    # step materializes it eagerly anyway (its own round checkpoints),
+    # and the edge-profile branch below re-planned the whole block-matmul
+    # otherwise (r10 — measured 3.8 s/rep of pure recompute at sf1)
+    edges = sim_ops.mutual_knn(
+        emb, "vec_id", "embedding", "label", k=MUTUAL_K
+    ).localCheckpoint(eager=False)
     comp = dedup_ops.canonicalize_pairs_star(
         emb.select(F.col("vec_id").alias("id")),
         edges.select("id_a", "id_b"),
