@@ -160,9 +160,15 @@ def pagerank(
     if kernel == "local":
         return _pagerank_local(e, iters, damping)
     nodes = (
-        e.select(F.col("__src").alias("node"))
-        .unionByName(e.select(F.col("__dst").alias("node")))
-        .distinct()
+        # max(__has_out) over the tagged union == the old distinct, plus
+        # a dangling flag (r10): src rows tag 1, dst rows tag 0 — same
+        # exchange, and the flag lets each round's dangling-mass scalar
+        # read the NODE-sized rank vector instead of re-running the
+        # edge-sized contribution subtree (see the loop)
+        e.select(F.col("__src").alias("node"), F.lit(1).alias("__has_out"))
+        .unionByName(e.select(F.col("__dst").alias("node"), F.lit(0).alias("__has_out")))
+        .groupBy("node")
+        .agg(F.max("__has_out").alias("__has_out"))
         # referenced every iteration (left join) + by the initial vector.
         # checkpoint cuts the build lineage (keeps every printed plan one
         # round deep); the repartition+persist ON TOP re-attaches the
@@ -200,7 +206,7 @@ def pagerank(
     )
     probs = _persist_bounded(probs)
 
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
+    ranks = nodes.select("node", "__has_out", F.lit(1.0 / n_nodes).alias("pr"))
     for i in range(iters):
         r = F.broadcast(ranks) if bcast_ranks else ranks
         contrib = (
@@ -208,16 +214,23 @@ def pagerank(
             .groupBy(F.col("__dst").alias("node"))
             .agg(F.sum(F.col("pr") * F.col("__p")).alias("__in"))
         )
-        # dm = 1 - Σ contrib (mass conservation; see docstring). contrib is
-        # referenced twice (scalar + join) — both hang off the CHECKPOINTED
-        # rank vector, so the duplication is one bounded join, not a
-        # growing chain.
-        s = contrib.agg(F.coalesce(F.sum("__in"), F.lit(0.0)).alias("__s"))
+        # dm = 1 - Σ contrib (mass conservation; see docstring). Σ contrib
+        # telescopes to Σ pr over non-dangling nodes (each src's __p rows
+        # sum to 1), so the scalar reads the NODE-sized checkpointed rank
+        # vector via the __has_out flag — the pre-r10 form aggregated the
+        # contrib subtree itself, re-running the edge-sized join a second
+        # time every round.
+        s = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__has_out") == 1, F.col("pr"))), F.lit(0.0)
+            ).alias("__s")
+        )
         ranks = (
             nodes.join(contrib, "node", "left")
             .crossJoin(s)  # 1-row broadcast scalar, not data-proportional
             .select(
                 "node",
+                "__has_out",
                 (
                     F.lit((1.0 - damping) / n_nodes)
                     + F.lit(damping)
@@ -234,7 +247,7 @@ def pagerank(
             # on) — the GraphX cadence; see module docstring for why less
             # often is exponential
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return ranks.select("node", "pr")
 
 
 def pagerank_sql(
@@ -920,11 +933,19 @@ def personalized_pagerank(
     if kernel == "local":
         return _local_ppr_gated(e, seed_nodes, iters, damping)
     nodes = (
-        e.select(F.col("__src").alias("node"))
-        .unionByName(e.select(F.col("__dst").alias("node")))
-        .distinct()
+        # tagged union + max == distinct + dangling flag (r10, see
+        # pagerank): the flag lets the per-round dangling-mass scalar
+        # read the node-sized rank vector instead of the contrib subtree
+        e.select(F.col("__src").alias("node"), F.lit(1).alias("__has_out"))
+        .unionByName(e.select(F.col("__dst").alias("node"), F.lit(0).alias("__has_out")))
+        .groupBy("node")
+        .agg(F.max("__has_out").alias("__has_out"))
         .join(seed_nodes.withColumn("__is_seed", F.lit(1)), "node", "left")
-        .select("node", F.coalesce("__is_seed", F.lit(0)).alias("__is_seed"))
+        .select(
+            "node",
+            "__has_out",
+            F.coalesce("__is_seed", F.lit(0)).alias("__is_seed"),
+        )
         # checkpoint the build, re-attach node partitioning, persist
         # (see pagerank's nodes comment)
         .localCheckpoint(eager=False)
@@ -965,7 +986,7 @@ def personalized_pagerank(
         .repartition("__src")
     )
     probs = _persist_bounded(probs)
-    ranks = nodes.select("node", t_expr.alias("pr"))
+    ranks = nodes.select("node", "__has_out", t_expr.alias("pr"))
     for i in range(iters):
         r = F.broadcast(ranks) if bcast_ranks else ranks
         contrib = (
@@ -973,12 +994,20 @@ def personalized_pagerank(
             .groupBy(F.col("__dst").alias("node"))
             .agg(F.sum(F.col("pr") * F.col("__p")).alias("__in"))
         )
-        s = contrib.agg(F.coalesce(F.sum("__in"), F.lit(0.0)).alias("__s"))
+        # Σ contrib telescopes to Σ pr over non-dangling nodes — the
+        # scalar reads the checkpointed node-sized vector, not the
+        # edge-sized contrib subtree (r10, see pagerank)
+        s = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__has_out") == 1, F.col("pr"))), F.lit(0.0)
+            ).alias("__s")
+        )
         ranks = (
             nodes.join(contrib, "node", "left")
             .crossJoin(s)  # 1-row broadcast scalar
             .select(
                 "node",
+                "__has_out",
                 (
                     F.lit(1.0 - damping) * t_expr
                     + F.lit(damping)
