@@ -204,7 +204,11 @@ def q66(spark: SparkSession, sf: str) -> DataFrame:
     "bit-equal.",
 )
 def q67(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents")
+    # id-hash pre-exchange spreads both tokenize stages across all cores
+    # regardless of scan split count (r10; hashed_shingle_table idiom)
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
     uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tot = uni.agg(F.sum("c").cast("double").alias("t"))

@@ -238,7 +238,11 @@ _Q90_SQL = f"""
     "the corpus; the final top-k is a TakeOrdered, no full sort.",
 )
 def q90(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents")
+    # id-hash pre-exchange spreads the tokenize stage across all cores
+    # regardless of scan split count (r10; hashed_shingle_table idiom)
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     words = (
         docs.select(F.explode(text.tokens(F.col("text"))).alias("w"))
         .groupBy("w")

@@ -71,7 +71,15 @@ _CMS_BUCKET_CASE = (
     "exactly in int64, ONE double division.",
 )
 def q106(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents")
+    # pre-exchange doc-count rows on the unique id so the CPU-heavy
+    # tokenize/explode (and the partial distinct fused into its stage)
+    # spreads across all cores regardless of scan split count — the
+    # hashed_shingle_table discipline (r10: the 5.8 MB sf1 parquet file
+    # yields ~2 splits at the tuned 4 MB maxPartitionBytes, serializing
+    # a measured 3.4 s explode onto 2 cores)
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     sh = docs.select(
         "lang", F.explode(text.word_ngrams(F.col("text"), 3)).alias("shingle")
     )
@@ -145,7 +153,10 @@ def q106(spark: SparkSession, sf: str) -> DataFrame:
     "the identical grid and identical estimates.",
 )
 def q107(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents")
+    # id-hash pre-exchange spreads the tokenize stage (see q106)
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     sh = docs.select(F.explode(text.word_ngrams(F.col("text"), 3)).alias("shingle"))
     # The exact-count exhibit aggregate is computed first; the grid
     # (weighted build — sum of per-key counts == count over the raw
@@ -424,7 +435,10 @@ _KM_UNION_MINS = ", ".join(f"min(__m{i}) AS __m{i}" for i in range(_KM_K))
     "map-side form.",
 )
 def q111(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents")
+    # id-hash pre-exchange spreads the tokenize stage (see q106)
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     sh = docs.select(
         (F.col("doc_id") % 2).alias("half"),
         F.explode(text.word_ngrams(F.col("text"), 3)).alias("shingle"),

@@ -367,7 +367,11 @@ def bpe_train(
     from ..functions import text as text_fns
 
     vocab = (
-        docs.select(F.explode(text_fns.tokens(F.col(text_col))).alias("w"))
+        # round-robin pre-exchange: spreads the tokenize stage across all
+        # cores regardless of scan split count (r10; id column not in the
+        # operator contract here, and the vocab aggregate re-keys anyway)
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select(F.explode(text_fns.tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .withColumn("symbols", F.split("w", ""))
@@ -447,6 +451,14 @@ def bigram_lm_nll(
     """
     from ..functions import text as text_fns
 
+    # id-hash pre-exchange on both scans: the tokenize/ngram explodes
+    # (and the partial count aggregates fused into their stages) spread
+    # across all cores regardless of scan split count (r10 — the
+    # hashed_shingle_table discipline; bytes-based splitting serializes
+    # text CPU on small/packed files)
+    par = train.sparkSession.sparkContext.defaultParallelism
+    train = train.repartition(par, F.col(id_col))
+    score = score.repartition(par, F.col(id_col))
     txt = F.col(text_col)
     uni = (
         train.select(F.explode(text_fns.tokens(txt)).alias("w1"))

@@ -275,11 +275,12 @@ def test_quality_classifier_zero_shuffle_projection(spark):
 
 def test_bpe_pairs_takeordered_no_full_sort(spark):
     # global top-20 must be a TakeOrdered (per-partition heaps), and pair
-    # expansion must run over the collapsed vocabulary: exactly the word
-    # aggregate's exchange plus the pair aggregate's
+    # expansion must run over the collapsed vocabulary: exactly the
+    # tokenize-spreading doc-id pre-exchange (r10), the word aggregate's
+    # exchange, and the pair aggregate's
     plan = plan_of(spark, "q90_bpe_pair_stats")
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("hashpartitioning(") <= 2
+    assert plan.count("hashpartitioning(") <= 3
 
 
 def test_incremental_dedup_no_corpus_self_join(spark):
@@ -829,14 +830,30 @@ def test_q124_ppr_iteration_plan_bounded(spark):
 
 def test_q125_composition_plan(spark):
     """q125 (kNN -> components -> profile composed in one plan): the kNN
-    stage must be the grouped Arrow kernel, components hang off the
-    star-loop's checkpointed result, and no cartesian appears anywhere —
-    the composition preserves each stage's pinned shape."""
+    kernel is evaluated ONCE behind a checkpoint (r10 — the profile
+    branch used to replan the whole block matmul per action), components
+    hang off the star-loop's checkpointed result, and no cartesian
+    appears anywhere. The kNN kernel's own grouped-Arrow shape is pinned
+    on the un-checkpointed operator below."""
     plan = plan_of(spark, "q125_semantic_cluster_profile")
-    assert "FlatMapGroupsInPandas" in plan  # block-matmul kNN kernel
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "ExistingRDD" in plan  # star-CC result is lineage-cut
+    assert "ExistingRDD" in plan  # kNN edges + star-CC result lineage-cut
+    assert "FlatMapGroupsInPandas" not in plan  # kernel behind checkpoint
+
+    from oco3_data_transformer_spark.catalog import load
+    from oco3_data_transformer_spark.operators.similarity import mutual_knn
+
+    edges = mutual_knn(
+        load(spark, "/root/testdata/sf0.001", "embeddings"),
+        "vec_id", "embedding", "label", k=10,
+    )
+    kplan = edges._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "FlatMapGroupsInPandas" in kplan  # block-matmul kNN kernel
 
 
 def test_pagerank_edge_table_pre_partitioned_for_shuffle_joins(spark):
