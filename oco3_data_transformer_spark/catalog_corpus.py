@@ -1225,24 +1225,28 @@ def _rare_shingle_occurrences(spark: SparkSession, sf: str) -> DataFrame:
     (corpus df in [RARE_DF_MIN, RARE_DF_MAX]) — the shared front end of the
     q119/q121/q123/q124 graph family.
 
-    r10: two lazy localCheckpoints dedupe the build subtrees. Without
-    them the tokenize+hash projection is planned THREE times (once under
-    the df aggregate, once per self-join side) and the rare-join twice —
-    measured as the dominant share of every graph query's build (q121:
-    14 s of 16.6 s before the edge work itself, OPTIMIZATION_r10.md).
-    With them: tokenize once (~40 MB materialized at sf1), df-filter join
-    once (~0.4 M rows), and both self-join sides read the checkpoint.
-    Results are identical — the checkpoints only pin WHERE the identical
-    plan is evaluated."""
+    r10 (second pass): the df restriction is a WINDOW count over the
+    shingle-hash partition, not an aggregate⋈occurrences join — the
+    shingle table then has exactly ONE consumer, so the 2.6M-row
+    intermediate checkpoint that existed to dedupe the df-aggregate and
+    join-probe subtrees (6.5 s of every graph build at sf1: materialize
+    + write) disappears with the join. One exchange on h, one window
+    pass, and only the 0.67M rare-occurrence rows are checkpointed for
+    the downstream self-join sides. Window count over the h partition ==
+    the old groupBy(h) count joined back — results identical."""
     docs = load(spark, sf, "documents")
-    sh = dedup_ops.hashed_shingle_table(
-        docs, "doc_id", "text", NGRAM_N
-    ).localCheckpoint(eager=False)
-    sdf = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    rare = sdf.filter(
-        (F.col("df") >= RARE_DF_MIN) & (F.col("df") <= RARE_DF_MAX)
-    ).select("h")
-    return sh.join(rare, "h").localCheckpoint(eager=False)
+    from pyspark.sql import Window
+
+    sh = dedup_ops.hashed_shingle_table(docs, "doc_id", "text", NGRAM_N)
+    dfc = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    return (
+        sh.withColumn("__df", dfc)
+        .filter(
+            (F.col("__df") >= RARE_DF_MIN) & (F.col("__df") <= RARE_DF_MAX)
+        )
+        .select("id", "h")
+        .localCheckpoint(eager=False)
+    )
 
 
 _Q119_EDGES_SQL = f"""

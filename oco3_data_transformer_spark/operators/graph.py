@@ -53,6 +53,21 @@ def _persist_bounded(df: DataFrame) -> DataFrame:
     return df
 
 
+def _sess_width(df: DataFrame) -> int:
+    """Partition width for the one-time-partitioned edge tables whose
+    per-round aggregates run PARTITION-LOCALLY on that partitioning
+    (LPA votes, k-core degree counts): the session's full core count
+    (defaultParallelism), NOT spark.sql.shuffle.partitions — the tuned
+    exchange width for small inputs (18 at the sf1 fixture) would leave
+    a third of the cores idle across every round (r10; scale-adaptive
+    by construction — on a cluster defaultParallelism is the
+    executor-core total). Deliberately NOT applied to pagerank/PPR's
+    probs/nodes: their per-round contribution aggregates SHUFFLE
+    node-sized partials, which duplicate proportionally to the partial
+    width — measured net-negative (q124 9.3 → 12.4 s build)."""
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
 def _pagerank_local(e: DataFrame, iters: int, damping: float) -> DataFrame:
     """Broadcast-regime kernel: ALL power-iteration rounds inside one
     ``mapInPandas`` task over the (small) edge table — no per-round job
@@ -560,7 +575,7 @@ def label_propagation(
             ).alias("__e")
         )
         .select("__e.__a", "__e.__b", "__e.__w")
-        .repartition("__a")
+        .repartition(_sess_width(edges), "__a")
     )
     e = _persist_bounded(e)  # referenced every round
     labels = (
@@ -595,13 +610,18 @@ def label_propagation(
                 .groupBy(F.col("__b").alias("n"), F.col("community").alias("cand"))
                 .agg(F.sum("__w").alias("__wsum"))
             )
-        rank_w = Window.partitionBy("n").orderBy(
-            F.col("__wsum").desc(), F.col("cand").asc()
-        )
-        labels = (
-            votes.withColumn("__r", F.row_number().over(rank_w))
-            .filter(F.col("__r") == 1)
-            .select(F.col("n").alias("node"), F.col("cand").alias("community"))
+        # argmax as a hash aggregate, not a rank-1 window (r10): min_by
+        # over the (-wsum, cand) struct == row_number over (wsum desc,
+        # cand asc) == 1 — identical label, including ties — but a
+        # HashAggregate needs no per-partition sort of the vote table
+        # (the window sorted ~2M vote rows per round at sf1), and it
+        # still rides the hash(vote-key) partitioning exchange-free.
+        # Struct ordering is lexicographic and cand-type-agnostic; __wsum
+        # is always a long by construction.
+        labels = votes.groupBy(F.col("n").alias("node")).agg(
+            F.min_by(
+                "cand", F.struct((-F.col("__wsum")).alias("nw"), F.col("cand"))
+            ).alias("community")
         )
         if i + 1 < iters:
             # cut lineage on the |nodes|-row vector only (pagerank cadence)
@@ -725,7 +745,7 @@ def k_core(
             ).alias("__e")
         )
         .select("__e.__a", "__e.__b")
-        .repartition("__a")
+        .repartition(_sess_width(edges), "__a")
         .dropDuplicates(["__a", "__b"])
     )
     e = _persist_bounded(e)
