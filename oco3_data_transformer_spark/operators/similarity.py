@@ -588,29 +588,116 @@ def srp_lsh_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """LSH-bucketed cosine near-dup: candidates share >= 1 sign-bit band,
     then exact cosine verify. Deterministic end-to-end (fixed hyperplane
     bank), so the candidate set — and therefore the result — is
-    oracle-reproducible. At corpus scale the self-join is blocked on
+    oracle-reproducible. At corpus scale the pair work is blocked on
     (band, bucket): each vector meets only its 2^{-bits/band}-fraction
-    bucket peers instead of the whole corpus."""
+    bucket peers instead of the whole corpus.
+
+    ``kernel='arrow'`` (default, r10): each bucket's pair search is a
+    chunked numpy Gram product inside ``applyInPandas`` used as a
+    CONSERVATIVE pre-filter (``cos_np >= threshold - 1e-6``; the numpy
+    vs expression-fold summation discrepancy on 64-dim doubles is
+    ~1e-13, so no qualifying pair can be lost), and the surviving
+    candidates are re-scored with the same sequential expression-fold
+    cosine as before — the RESULT is bit-identical to the relational
+    form, including the 6-dp cos values the oracle hash-checks. The
+    pre-r10 bucket self-join expanded 51.5M pair rows at the sf1
+    fixture (16 buckets/band at these parameters) and fed every one
+    through an interpreted 64-dim fold: 80 s; the Gram kernel does the
+    same arithmetic as blocked matmuls (~6 Gflop) and only
+    near-threshold pairs reach the fold. Chunked row-blocks bound task
+    memory on skewed buckets.
+
+    ``kernel='sql'``: the original relational bucket self-join —
+    differential check (``test_srp_kernels_identical``)."""
     hp = srp_hyperplanes(n_bits, dim)
-    banded = srp_band_rows(df, hp, bands, id_col, vec_col)
-    cands = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     ).withColumn("nrm", vector.norm(F.col("vec")))
+    if kernel == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        id_t = df.schema[id_col].dataType.simpleString()
+        margin = float(threshold) - 1e-6
+
+        def bucket_prefilter(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["id"].to_numpy()
+            V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(V, axis=1)
+            nz = nrm == 0.0
+            if nz.any():
+                nrm = np.where(nz, 1.0, nrm)
+            U = V / nrm[:, None]
+            k = len(U)
+            out_a, out_b = [], []
+            # row-block chunking bounds the Gram block at ~chunk*k floats
+            chunk = max(1, min(k, 4_194_304 // max(k, 1) + 1))
+            for s in range(0, k, chunk):
+                e = min(s + chunk, k)
+                G = U[s:e] @ U.T  # (e-s, k)
+                ii, jj = np.nonzero(G >= margin)
+                gi = ii + s
+                keep = jj > gi  # upper triangle: each unordered pair once
+                gi, jj = gi[keep], jj[keep]
+                a, b = ids[gi], ids[jj]
+                lo = np.minimum(a, b)
+                hi = np.maximum(a, b)
+                out_a.append(lo)
+                out_b.append(hi)
+            if out_a:
+                return pd.DataFrame(
+                    {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+                )
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
+
+        # band rows carry the vector through the explode — no join back
+        # to the vector table, no id-keyed exchange; the 16 sign-bit dots
+        # stay the EXACT expression folds (a numpy sign could flip a
+        # boundary bucket vs the oracle's sequential fold)
+        per = n_bits // bands
+        bits = [
+            F.when(
+                vector.dot(F.col(vec_col), F.array(*[F.lit(x) for x in h]))
+                >= 0,
+                "1",
+            ).otherwise("0")
+            for h in hp
+        ]
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(*bits[b * per : (b + 1) * per]).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+        banded_v = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.explode(F.array(*band_structs)).alias("bb"),
+        ).select("id", "vec", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        cands = (
+            banded_v.groupBy("band", "bucket")
+            .applyInPandas(bucket_prefilter, f"id_a {id_t}, id_b {id_t}")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        banded = srp_band_rows(df, hp, bands, id_col, vec_col)
+        cands = (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
     out = (
         cands.join(
             vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),

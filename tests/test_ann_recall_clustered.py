@@ -63,3 +63,31 @@ def test_clustered_shortlist_rerank_dominates_direct_adc(spark):
     # deploy-regime level (measured 0.933 at 16 codewords; slack for any
     # future fixture tweak, still far above the 0.50 uniform worst case)
     assert r_rerank >= 0.85, f"clustered rerank recall {r_rerank}"
+
+
+def test_srp_kernels_identical(spark):
+    # r10: the arrow Gram pre-filter + exact fold re-score must equal the
+    # relational bucket self-join bit-exactly (the pre-filter margin
+    # guarantees no qualifying pair is lost; survivors are re-scored with
+    # the identical expression fold)
+    import numpy as np
+
+    from oco3_data_transformer_spark.operators.similarity import srp_lsh_pairs
+
+    rng = np.random.default_rng(3)
+    n = 300
+    base = rng.normal(size=(n, 64))
+    # plant near-dup pairs so the threshold filter has survivors
+    base[1] = base[0] + rng.normal(scale=0.01, size=64)
+    base[7] = base[6] + rng.normal(scale=0.05, size=64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def key(rows):
+        return {(r["id_a"], r["id_b"]): r["cos"] for r in rows}
+
+    arrow = key(srp_lsh_pairs(df, threshold=0.30).collect())
+    sql = key(srp_lsh_pairs(df, threshold=0.30, kernel="sql").collect())
+    assert arrow == sql and arrow
