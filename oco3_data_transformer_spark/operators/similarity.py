@@ -1010,13 +1010,23 @@ def pq_encode(
     if kernel == "sql":
         if layout != "long":
             raise ValueError("layout='array' requires kernel='arrow'")
-        sub = F.slice(
-            F.col(vec_col), F.col("subspace") * dsub + 1, F.lit(dsub)
+        # pre-explode each vector into its dsub-dim subspace slices ONCE,
+        # then an equi-join on subspace meets only that subspace's k
+        # codewords (r10): the k-way expansion rows carry an 8-dim slice
+        # instead of the full vector, and the slice expression runs once
+        # per (vec, subspace) instead of once per (vec, subspace, code).
+        # dist doubles are identical (same slice values, same fold).
+        nsub = (F.size(F.col(vec_col)) / F.lit(dsub)).cast("int")
+        slices = F.transform(
+            F.sequence(F.lit(0), nsub - F.lit(1)),
+            lambda s: F.slice(F.col(vec_col), s * dsub + 1, dsub),
         )
-        dist = vector.l2sq(sub, F.col("codeword"))
+        sub_rows = corpus.select(
+            id_col, F.posexplode(slices).alias("subspace", "__sub")
+        )
+        dist = vector.l2sq(F.col("__sub"), F.col("codeword"))
         return (
-            corpus.select(id_col, vec_col)
-            .crossJoin(F.broadcast(codebooks))
+            sub_rows.join(F.broadcast(codebooks), "subspace")
             .select(id_col, "subspace", "code", dist.alias("dist"))
             .groupBy(id_col, "subspace")
             .agg(F.min(F.struct("dist", "code")).alias("m"))
