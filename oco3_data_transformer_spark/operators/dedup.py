@@ -505,10 +505,66 @@ def simhash_fingerprints(
     return votes.select("id", fp.alias("simhash"))
 
 
+def _local_components(edges: DataFrame, a: str, b: str) -> DataFrame:
+    """Single-task min-root union-find over a (count-gated small) edge
+    list — the pagerank-local regime pattern: every round of label
+    propagation collapses into one ``mapInPandas`` task, no per-round
+    job submission or checkpoint (measured: the distributed loop paid
+    ~9 s of pure round coordination for a 2,560-edge dup graph at sf1).
+    Emits ``(id, canonical_id = component min)`` for edge-touched nodes
+    only; callers left-join onto the node set so isolated nodes stay
+    their own canonical. ``np.unique`` sorts ascending and unions keep
+    the smaller root index, so the root IS the component min for any
+    orderable id type (numeric or string — same ordering as ``F.min``).
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_t = edges.schema[a].dataType.simpleString()
+
+    def kern(batches, _a=a, _b=b):
+        frames = [p for p in batches if len(p)]
+        if not frames:
+            yield pd.DataFrame({"id": [], "canonical_id": []})
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        ua, ub = pdf[_a].to_numpy(), pdf[_b].to_numpy()
+        uniq, inv = np.unique(np.concatenate([ua, ub]), return_inverse=True)
+        parent = np.arange(len(uniq))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        m = len(ua)
+        for i in range(m):
+            ra, rb = find(inv[i]), find(inv[m + i])
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        roots = np.array([find(i) for i in range(len(uniq))])
+        yield pd.DataFrame({"id": uniq, "canonical_id": uniq[roots]})
+
+    return edges.coalesce(1).mapInPandas(
+        kern, f"id {id_t}, canonical_id {id_t}"
+    )
+
+
+# Edge-count gate for the single-task union-find regime: a python loop
+# over 500K edges is ~0.5 s — far under the distributed loop's per-round
+# job floor at that size; above it the relational rounds take over.
+CC_LOCAL_EDGE_LIMIT = 500_000
+
+
 def canonicalize_pairs(
     nodes: DataFrame,
     pairs: DataFrame,
     max_iters: int = 25,
+    local_edge_limit: int = CC_LOCAL_EDGE_LIMIT,
 ) -> DataFrame:
     """Duplicate-GROUP assignment from near-dup pairs: connected components
     by iterative min-label propagation. Returns (id, canonical_id) where
@@ -529,6 +585,13 @@ def canonicalize_pairs(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # regime gate (r10): the count materializes the checkpoint the loop
+    # would materialize anyway; small edge sets skip the round loop
+    if edges.count() <= local_edge_limit:
+        comp = _local_components(edges, "src", "dst")
+        return nodes.select("id").join(comp, "id", "left").select(
+            "id", F.coalesce("canonical_id", F.col("id")).alias("canonical_id")
+        )
     labels = nodes.select(F.col("id"), F.col("id").alias("label")).localCheckpoint(
         eager=False
     )
@@ -609,6 +672,7 @@ def canonicalize_pairs_star(
     nodes: DataFrame,
     pairs: DataFrame,
     max_iters: int = 50,
+    local_edge_limit: int = CC_LOCAL_EDGE_LIMIT,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -630,6 +694,13 @@ def canonicalize_pairs_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # regime gate (r10): count over the already-eager checkpoint; small
+    # edge sets skip the star rounds (same result, see _local_components)
+    if edges.count() <= local_edge_limit:
+        comp = _local_components(edges, "u", "v")
+        return nodes.select("id").join(comp, "id", "left").select(
+            "id", F.coalesce("canonical_id", F.col("id")).alias("canonical_id")
+        )
 
     def large_star(e: DataFrame) -> DataFrame:
         mins = e.groupBy("u").agg(F.min("v").alias("mv"))

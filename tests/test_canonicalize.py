@@ -89,3 +89,31 @@ def test_star_matches_label_on_random_graphs(spark, seed):
     label = _run(spark, n, edges, algo=canonicalize_pairs)
     assert star == truth
     assert label == truth
+
+
+def test_cc_regimes_identical(spark):
+    # r10: the single-task union-find regime must match the distributed
+    # rounds (gate forced to 0) exactly, for both operators, including
+    # isolated nodes and string ids
+    import random
+
+    from pyspark.sql import functions as F
+
+    from oco3_data_transformer_spark.operators.dedup import (
+        canonicalize_pairs,
+        canonicalize_pairs_star,
+    )
+
+    rng = random.Random(23)
+    pairs = [(f"d{rng.randint(0, 40)}", f"d{rng.randint(0, 40)}") for _ in range(60)]
+    nodes = spark.createDataFrame([(f"d{i}",) for i in range(60)], "id string")
+    pdf = spark.createDataFrame(pairs, "id_a string, id_b string").filter(
+        F.col("id_a") != F.col("id_b")
+    )
+    for op in (canonicalize_pairs, canonicalize_pairs_star):
+        local = {(r["id"], r["canonical_id"]) for r in op(nodes, pdf).collect()}
+        dist = {
+            (r["id"], r["canonical_id"])
+            for r in op(nodes, pdf, local_edge_limit=0).collect()
+        }
+        assert local == dist and local
