@@ -227,6 +227,35 @@ QUERY_GROUPS: dict[str, list[str]] = {
         "q02_filter_pushdown_revenue",
         "q10_broadcast_dim_join",
         "q20_climatology_monthly",
+        # optimization-round restructures (OPTIMIZATION_r10.md batches
+        # 5-11): triangle broadcast regime, array verifies, size carry,
+        # dangling-mass-from-ranks, tokenize spread, window-count front
+        # end, min_by argmax, SRP Gram pre-filter, pre-sliced PQ sql
+        # kernel, dense bloom bits, CC union-find regime
+        "q119_neardup_graph_triangles",
+        "q121_neardup_graph_communities",
+        "q122_prefix_filter_simjoin",
+        "q123_neardup_graph_kcore",
+        "q124_seed_expansion_ppr",
+        "q125_semantic_cluster_profile",
+        "q117_transition_pagerank",
+        "q31_ngram_jaccard_neardup",
+        "q96_containment_pairs",
+        "q106_kmins_distinct",
+        "q107_countmin_heavy",
+        "q108_bigram_perplexity",
+        "q111_sketch_setops",
+        "q67_pmi_bigrams",
+        "q90_bpe_pair_stats",
+        "q46_srp_lsh_neardup",
+        "q109_pq_encode",
+        "q114_bloom_semijoin",
+        "q45_dedup_groups",
+        "q51_dedup_filtered_corpus",
+        "q52_dedup_groups_star",
+        "q110_pq_adc_knn",
+        "q115_ivfpq_knn",
+        "q116_ann_recall",
     ],
     "graph": [
         "q117_transition_pagerank",
