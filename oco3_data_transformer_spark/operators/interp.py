@@ -169,11 +169,16 @@ def _triangulate(p: np.ndarray, init: tuple[int, int, int]) -> np.ndarray:
         dtype=np.int64,
     )
 
+    enc = INF + 1  # pair-code base: edges encode as lo*enc + hi, hi <= INF
     for i in order[3:]:
         q = p[i]
-        # incircle determinant, translated by q (CCW rows → >0 = inside)
+        # incircle determinant, translated by q (CCW rows → >0 = inside).
+        # lift as an elementwise x²+y² add (bit-identical to the axis
+        # reduce — two summands, same order) — the reduce dispatch was a
+        # measured ~20% of the loop (r10 micro-opt; arithmetic unchanged)
         T = p[tris] - q  # (k, 3, 2)
-        lift = (T * T).sum(-1)  # (k, 3)
+        T2 = T * T
+        lift = T2[:, :, 0] + T2[:, :, 1]  # (k, 3)
         ax, ay = T[:, 0, 0], T[:, 0, 1]
         bx, by = T[:, 1, 0], T[:, 1, 1]
         cx, cy = T[:, 2, 0], T[:, 2, 1]
@@ -192,19 +197,41 @@ def _triangulate(p: np.ndarray, init: tuple[int, int, int]) -> np.ndarray:
         bad_inf = ori > -_EPS_ORIENT
         if not (bad_fin.any() or bad_inf.any()):
             continue  # cannot happen on unique jittered input
-        fin_edges = tris[bad_fin][:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2)
+        # boundary = edges appearing exactly once in the cavity, found on
+        # int-encoded sorted pair codes instead of np.unique(axis=0)'s
+        # void-view sort (same multiset, and ascending code order IS the
+        # (lo, hi) lexicographic order np.unique produced — the boundary
+        # row order, hence the new-triangle order, is unchanged)
+        bt = tris[bad_fin]
         infs = inf_faces[bad_inf]
-        inf_edges = np.column_stack(
-            [infs.reshape(-1), np.full(2 * len(infs), INF, dtype=np.int64)]
+        ni = len(infs)
+        e0 = np.concatenate(
+            [bt[:, 0], bt[:, 1], bt[:, 2], infs[:, 0], infs.reshape(-1)]
         )
-        edges = np.sort(np.vstack([fin_edges, infs, inf_edges]), axis=1)
-        uniq, counts = np.unique(edges, axis=0, return_counts=True)
-        boundary = uniq[counts == 1]
+        e1 = np.concatenate(
+            [bt[:, 1], bt[:, 2], bt[:, 0], infs[:, 1],
+             np.full(2 * ni, INF, dtype=np.int64)]
+        )
+        code = np.minimum(e0, e1) * enc + np.maximum(e0, e1)
+        code.sort()
+        once = np.ones(len(code), dtype=bool)
+        neq = code[1:] != code[:-1]
+        once[1:] &= neq
+        once[:-1] &= neq
+        bcode = code[once]
+        blo = bcode // enc
+        bhi = bcode - blo * enc
         csum = csum + q
         n_in += 1
         cen = csum / n_in
-        fin_b = boundary[boundary[:, 1] != INF]
-        new = np.column_stack([np.full(len(fin_b), i, dtype=np.int64), fin_b])
+        fin_mask = bhi != INF
+        new = np.column_stack(
+            [
+                np.full(int(fin_mask.sum()), i, dtype=np.int64),
+                blo[fin_mask],
+                bhi[fin_mask],
+            ]
+        )
         # orient new triangles CCW (the incircle sign depends on it)
         U, V = p[new[:, 1]], p[new[:, 2]]
         cr = (U[:, 0] - q[0]) * (V[:, 1] - q[1]) - (U[:, 1] - q[1]) * (
@@ -213,9 +240,7 @@ def _triangulate(p: np.ndarray, init: tuple[int, int, int]) -> np.ndarray:
         flip = cr < 0
         new[flip, 1], new[flip, 2] = new[flip, 2], new[flip, 1].copy()
         tris = np.vstack([tris[~bad_fin], new])
-        new_inf = [
-            directed(i, int(u), cen) for u in boundary[boundary[:, 1] == INF][:, 0]
-        ]
+        new_inf = [directed(i, int(u), cen) for u in blo[~fin_mask]]
         inf_faces = (
             np.vstack([inf_faces[~bad_inf], np.asarray(new_inf, dtype=np.int64)])
             if new_inf
