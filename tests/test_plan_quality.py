@@ -718,8 +718,13 @@ def test_q121_lpa_iteration_plan_bounded(spark):
         for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
     )
     assert 0 < n_joins <= 8, f"unrolled join chain too deep: {n_joins}"
-    # the argmax is rank-1: WindowGroupLimit keeps it k=1-bounded per run
-    assert "WindowGroupLimit" in plan
+    # the argmax is a min_by AGGREGATE over the (-wsum, cand) struct
+    # (r10) — no rank window, no per-partition sort of the vote table;
+    # struct min_by buffers are not hash-aggregable so it plans as a
+    # SortAggregate (the q25 min_by precedent), still exchange-free on
+    # the vote-key partitioning
+    assert "min_by" in plan
+    assert "Window" not in plan
     # r10 broadcast regime: the per-round label attach is a broadcast
     # hash join (zero per-round exchange of the edge side)
     assert "BroadcastHashJoin" in plan
