@@ -463,7 +463,13 @@ _Q53_SQL = """
 )
 def q53(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").where(F.col("doc_id") % 20 == 11)
-    clips = mm.square_wave_audio(docs.select("doc_id"))
+    # id-hash pre-exchange: the clip encode+decode kernels are ~ms of
+    # python per row — spread them across all cores instead of the
+    # filtered scan's ~2 splits (r10; the tokenize-spread discipline)
+    ids = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    clips = mm.square_wave_audio(ids)
     feats = mm.audio_features(clips)
     amp = (F.lit(1000) + (F.col("item_id") % 10) * 500).cast("double") / F.lit(32768.0)
     per = feats.select(
@@ -514,6 +520,9 @@ def q132(spark: SparkSession, sf: str) -> DataFrame:
         load(spark, sf, "documents")
         .select(F.col("doc_id").cast("long").alias("doc_id"))
         .where(F.col("doc_id") % 20 == 3)
+        # id-hash pre-exchange: the per-image codec round-trips are ~ms
+        # of python each — spread across all cores, not ~2 scan splits
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
     )
 
     def run(batches):
