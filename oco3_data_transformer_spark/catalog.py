@@ -485,14 +485,21 @@ def q11(spark: SparkSession, sf: str) -> DataFrame:
     su = su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey).select(
         "s_suppkey", "s_acctbal", F.col("n_regionkey").alias("s_region")
     )
-    paired = cu.crossJoin(F.broadcast(su)).withColumn(
-        "dist", F.abs(F.col("c_acctbal") - F.col("s_acctbal"))
+    # r10: 1-D nearest is a sorted binary search, not a pair expansion —
+    # O(n log m) searchsorted kernel (regime-gated; the cross+rank-1
+    # reference shape remains nearest_value_1d's sql kernel / large-m
+    # regime). Winner contract identical: rank-1 over (dist, s_suppkey).
+    won = join_ops.nearest_value_1d(
+        cu,
+        su,
+        probe_key="c_custkey",
+        probe_val="c_acctbal",
+        value_key="s_suppkey",
+        value_val="s_acctbal",
+        carry=("s_region",),
     )
-    w = Window.partitionBy("c_custkey").orderBy("dist", "s_suppkey")
-    return (
-        paired.withColumn("rk", F.row_number().over(w))
-        .filter((F.col("rk") == 1) & (F.col("c_region") == F.col("s_region")))
-        .select("c_custkey", "s_suppkey", F.round("dist", 4).alias("dist"))
+    return won.filter(F.col("c_region") == F.col("s_region")).select(
+        "c_custkey", "s_suppkey", F.round("__dist", 4).alias("dist")
     )
 
 

@@ -53,6 +53,164 @@ def nearest_centroid(
     )
 
 
+# At or below this many DISTINCT values the 1-D nearest join runs as a
+# sorted binary-search kernel against driver-collected arrays (~24 B/value
+# → ~100 MB at the gate, the node_broadcast_limit sizing). Above it the
+# cross+rank-1 reference shape runs unchanged.
+VALUE_BROADCAST_LIMIT = 4_000_000
+
+
+def nearest_value_1d(
+    probes: DataFrame,
+    values: DataFrame,
+    probe_key: str,
+    probe_val: str,
+    value_key: str,
+    value_val: str,
+    carry: tuple[str, ...] = (),
+    kernel: str = "arrow",
+    value_broadcast_limit: int = VALUE_BROADCAST_LIMIT,
+) -> DataFrame:
+    """J2, 1-D scalar form: attach to each probe row the value-side row
+    whose ``value_val`` is nearest to ``probe_val`` — winner defined
+    exactly as the rank-1 window over (abs-dist asc, ``value_key`` asc),
+    the same argmin-first-index contract as :func:`nearest_centroid`.
+    Returns probes.* + winner's ``value_key`` + ``carry`` + raw ``__dist``.
+
+    ``kernel='arrow'`` (default): a 1-D nearest neighbor needs no pair
+    expansion — sort the distinct values once, ``np.searchsorted`` each
+    probe batch against the driver-collected (value, min-key, carry)
+    arrays, and compare the two bracketing candidates. O(n log m) with
+    zero joins and zero shuffles, vs the O(n·m) cross product. Winner
+    equivalence: group value rows by distinct ``value_val`` v — all share
+    dist d(v), so the group's lexicographic-min (d, key) carries the
+    group's min key (``min_by``); float dist d(v)=fl(|c−v|) is monotone
+    on each side of c, so the global argmin over (d, key) is decided
+    between the two bracketing distinct values — plus, in principle, a
+    contiguous run of further values whose REAL dists differ but whose
+    FLOAT dists collide (gap < 1 ulp of the magnitude); the kernel
+    checks the second neighbor on each side and falls back to an exact
+    scalar run-expansion for any row where it ties, so the selection is
+    exact for arbitrary doubles, not just well-spaced ones.
+
+    ``kernel='sql'``: the broadcast cross + rank-1 window reference shape
+    (kept as the differential-testing reference and as the regime above
+    ``value_broadcast_limit`` distinct values, where arrays must not
+    collect)."""
+    if kernel != "sql" and values.count() <= value_broadcast_limit:
+        return _nearest_value_1d_arrow(
+            probes, values, probe_val, value_key, value_val, carry
+        )
+    sel = values.select(value_key, value_val, *carry)
+    paired = probes.crossJoin(F.broadcast(sel)).withColumn(
+        "__dist", F.abs(F.col(probe_val) - F.col(value_val))
+    )
+    w = Window.partitionBy(probe_key).orderBy("__dist", value_key)
+    return (
+        paired.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", value_val)
+    )
+
+
+def _nearest_value_1d_arrow(
+    probes: DataFrame,
+    values: DataFrame,
+    probe_val: str,
+    value_key: str,
+    value_val: str,
+    carry: tuple[str, ...],
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    # Winner within each distinct value: all rows of the group share the
+    # same dist, so rank-1's (dist, key) tie-break reduces to min(key).
+    win = (
+        values.groupBy(value_val)
+        .agg(F.min_by(F.struct(value_key, *carry), F.col(value_key)).alias("__w"))
+        .select(value_val, "__w.*")
+        .toPandas()
+        .sort_values(value_val, kind="mergesort")
+    )
+    vals = win[value_val].to_numpy(dtype=np.float64)
+    keys = win[value_key].to_numpy()
+    carry_arrays = {c: win[c].to_numpy() for c in carry}
+    b = probes.sparkSession.sparkContext.broadcast((vals, keys, carry_arrays))
+
+    fields = [f"{f.name} {f.dataType.simpleString()}" for f in probes.schema.fields]
+    vschema = {f.name: f.dataType.simpleString() for f in values.schema.fields}
+    fields.append(f"{value_key} {vschema[value_key]}")
+    fields.extend(f"{c} {vschema[c]}" for c in carry)
+    fields.append("__dist double")
+    out_schema = ", ".join(fields)
+
+    def _winner_runs(c, vals, keys, j, d):
+        """Exact scalar fallback for a probe whose float dist ties beyond
+        the bracketing neighbor: expand the contiguous equal-dist runs on
+        both sides and return the min-key winner's INDEX (so carry columns
+        follow the same row)."""
+        best_i = j
+        i = j - 1
+        while i >= 0 and abs(c - vals[i]) == d:
+            if keys[i] < keys[best_i]:
+                best_i = i
+            i -= 1
+        i = j + 1
+        while i < len(vals) and abs(c - vals[i]) == d:
+            if keys[i] < keys[best_i]:
+                best_i = i
+            i += 1
+        return best_i
+
+    def kernel_fn(batches, _pv=probe_val, _vk=value_key, _carry=carry):
+        vals, keys, carry_arrays = b.value
+        n = len(vals)
+        if n == 0:  # empty value side: cross join semantics → no rows
+            return
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = pdf[_pv].to_numpy(dtype=np.float64)
+            idx = np.searchsorted(vals, c)
+            lo = np.clip(idx - 1, 0, n - 1)
+            hi = np.clip(idx, 0, n - 1)
+            d_lo = np.where(idx > 0, np.abs(c - vals[lo]), np.inf)
+            d_hi = np.where(idx < n, np.abs(c - vals[hi]), np.inf)
+            # NaN probes: every dist is NaN — SQL ordering treats NaN as
+            # equal, so rank-1 degrades to min(key) over ALL values.
+            nan_mask = np.isnan(c)
+            take_hi = (d_hi < d_lo) | ((d_hi == d_lo) & (keys[hi] < keys[lo]))
+            wi = np.where(take_hi, hi, lo)
+            dist = np.where(take_hi, d_hi, d_lo)
+            wkey = keys[wi]
+            # second-neighbor float-collision check (see docstring): only
+            # rows where the NEXT value out ties the winning dist need the
+            # exact run expansion.
+            lo2 = np.clip(wi - 1, 0, n - 1)
+            hi2 = np.clip(wi + 1, 0, n - 1)
+            coll = ((wi - 1 >= 0) & (np.abs(c - vals[lo2]) == dist)) | (
+                (wi + 1 < n) & (np.abs(c - vals[hi2]) == dist)
+            )
+            coll &= ~nan_mask
+            for r in np.flatnonzero(coll):
+                wi[r] = _winner_runs(c[r], vals, keys, int(wi[r]), dist[r])
+                wkey[r] = keys[wi[r]]
+            if nan_mask.any():
+                kmin = int(np.argmin(keys))
+                wi = np.where(nan_mask, kmin, wi)
+                wkey = np.where(nan_mask, keys[kmin], wkey)
+                dist = np.where(nan_mask, np.nan, dist)
+            out = pdf.copy()
+            out[_vk] = wkey
+            for cc in _carry:
+                out[cc] = carry_arrays[cc][wi]
+            out["__dist"] = dist
+            yield out
+
+    return probes.mapInPandas(kernel_fn, out_schema)
+
+
 def sequence_index_join(
     df: DataFrame,
     sequences: DataFrame,

@@ -180,3 +180,91 @@ def test_morton_key_matches_bit_interleave_reference(spark):
     # locality: any 4096-key block spans at most a 32x32 tile
     for (a, b), z in got.items():
         assert (z // 4096) == (ref(a, b) // 4096)
+
+
+def _nv1d_rows(df):
+    return sorted(
+        (r["pid"], r["vid"], r["tag"], r["__dist"])
+        for r in df.select("pid", "vid", "tag", "__dist").collect()
+    )
+
+
+def test_nearest_value_1d_regimes_identical(spark):
+    """r10: the searchsorted arrow kernel must pick the EXACT rank-1
+    (dist asc, key asc) winner the cross+rank-1 sql shape picks —
+    adversarial fixture: duplicate values (min-key carry), exact
+    cross-side equidistance, probe == value, negatives, probes beyond
+    both ends, and a NaN probe (SQL NaN ordering: all dists tie)."""
+    from oco3_data_transformer_spark.operators.joins import nearest_value_1d
+
+    values = spark.createDataFrame(
+        [
+            (7, 10.0, "a"),
+            (3, 10.0, "b"),   # duplicate value: key 3 must win, carrying "b"
+            (5, 20.0, "c"),
+            (9, -4.25, "d"),
+            (11, 0.0, "e"),
+            (2, 31.5, "f"),
+        ],
+        "vid long, v double, tag string",
+    )
+    probes = spark.createDataFrame(
+        [
+            (1, 15.0),        # exactly equidistant 10.0/20.0 → min key 3
+            (2, 10.0),        # exact hit, duplicate group → key 3
+            (3, -100.0),      # below every value
+            (4, 100.0),       # above every value
+            (5, 0.1),
+            (6, -2.125),      # equidistant -4.25/0.0 → min key 9
+            (7, float("nan")),  # NaN dists all tie → global min key 2
+        ],
+        "pid long, p double",
+    )
+    kw = dict(
+        probe_key="pid", probe_val="p", value_key="vid", value_val="v",
+        carry=("tag",),
+    )
+    arrow = nearest_value_1d(probes, values, **kw)
+    sql = nearest_value_1d(probes, values, kernel="sql", **kw)
+    got_a, got_s = _nv1d_rows(arrow), _nv1d_rows(sql)
+    import math
+
+    def canon(rows):
+        return [
+            (p, v, t, None if (d is not None and math.isnan(d)) else d)
+            for p, v, t, d in rows
+        ]
+
+    assert canon(got_a) == canon(got_s)
+    by_pid = {p: (v, t) for p, v, t, _ in got_a}
+    assert by_pid[1] == (3, "b")
+    assert by_pid[2] == (3, "b")
+    assert by_pid[6] == (9, "d")
+    assert by_pid[7] == (2, "f")
+
+
+def test_nearest_value_1d_regimes_identical_random(spark):
+    """Randomized differential: 2-decimal doubles (the acctbal shape) with
+    engineered collisions; kernel == sql bit-for-bit on winner AND dist."""
+    import random as _random
+
+    from oco3_data_transformer_spark.operators.joins import nearest_value_1d
+
+    rng = _random.Random(41)
+    vals = [(i, round(rng.uniform(-999.99, 9999.99), 2), f"t{i % 5}") for i in range(400)]
+    # force duplicate values so min-key grouping is exercised
+    vals += [(1000 + i, vals[i][1], "dup") for i in range(25)]
+    probes = [(j, round(rng.uniform(-1200.0, 10500.0), 2)) for j in range(3000)]
+    # probes that land exactly midway between two adjacent distinct values
+    sv = sorted({v for _, v, _ in vals})
+    for j, k in enumerate(range(0, len(sv) - 1, 37)):
+        probes.append((9000 + j, (sv[k] + sv[k + 1]) / 2.0))
+    vdf = spark.createDataFrame(vals, "vid long, v double, tag string")
+    pdf = spark.createDataFrame(probes, "pid long, p double")
+    kw = dict(
+        probe_key="pid", probe_val="p", value_key="vid", value_val="v",
+        carry=("tag",),
+    )
+    got_a = _nv1d_rows(nearest_value_1d(pdf, vdf, **kw))
+    got_s = _nv1d_rows(nearest_value_1d(pdf, vdf, kernel="sql", **kw))
+    assert got_a == got_s
