@@ -967,9 +967,11 @@ RWS_MIN = 2
     "tokens — the mass a span-excision pass would remove. Unlike q76's "
     "non-overlapping C4 segments, windows slide by 1 token, catching "
     "duplicates at ANY alignment (the suffix-array use case). Window "
-    "table is linear in corpus tokens, keyed by xxhash64 (the oracle "
-    "groups the window strings — identical aggregates absent 64-bit "
-    "collisions); only repeated hashes join back; zero Python UDFs.",
+    "table is linear in corpus tokens, keyed by xxhash64 over the "
+    "window's slice of per-token xxhash64 values (the oracle groups the "
+    "window strings — identical aggregates absent 64-bit collisions, the "
+    "same exactness class as the previous string keying); only repeated "
+    "hashes join back; zero Python UDFs.",
 )
 def q129(spark: SparkSession, sf: str) -> DataFrame:
     out = dedup_ops.repeated_window_spans(

@@ -1385,7 +1385,9 @@ def repeated_window_spans(
     duplication criterion.
 
     Scale shape: the window table is Σ doc_len rows (linear, the same
-    size class as the shingle table) keyed by an 8-byte xxhash64 — the
+    size class as the shingle table) keyed by an 8-byte xxhash64 over the
+    window's slice of per-token xxhash64 values (tokens hashed once per
+    doc, no window string materialized) — the
     occurrence count map-side combines, only hashes of REPEATED windows
     (rare by construction) join back (AQE-broadcast when small), and the
     span merge is one per-document window function over hit positions
@@ -1407,16 +1409,29 @@ def repeated_window_spans(
         F.col(id_col).alias("id"), text.tokens(F.col(text_col)).alias("__t")
     )
     n = F.size("__t")
+    # Window key = xxhash64 over the slice of PER-TOKEN xxhash64 values
+    # (r10): each token is hashed once per document instead of ``window``
+    # times, and no window STRING is ever materialized (the old keying
+    # built an array_join'd ~w·token_len string per position — the
+    # dominant projection cost of the pass, which two consumers pay).
+    # Token-boundary injectivity is preserved structurally: the array
+    # hash folds element count and order, so ["a","bc"] and ["ab","c"]
+    # key differently just as the " "-joined strings did. Exactness class
+    # is unchanged — equal windows always collide (hashing is
+    # deterministic), unequal windows collide only with 64-bit-hash
+    # probability, the same caveat the previous string keying documented.
+    toks = toks.withColumn(
+        "__th", F.transform("__t", lambda t: F.xxhash64(t))
+    )
     wins_arr = F.when(
         n >= window,
         F.transform(
             F.sequence(F.lit(0), n - window),
-            lambda i: F.array_join(F.slice("__t", i + 1, window), " "),
+            lambda i: F.xxhash64(F.slice("__th", i + 1, window)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     wins = (
-        toks.select("id", F.posexplode(wins_arr).alias("pos", "__w"))
-        .select("id", "pos", F.xxhash64("__w").alias("__h"))
+        toks.select("id", F.posexplode(wins_arr).alias("pos", "__h"))
         # Two consumers (counts, the hits join) hang off this
         # tokenize+window+hash pass, so it is re-derived up to 2x. That is
         # the CORRECT trade, measured both ways at the 100x fixture

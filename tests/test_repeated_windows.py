@@ -62,6 +62,37 @@ def test_short_doc_yields_zero_windows(spark):
     assert got[0]["n_windows"] == 0 and got[0]["n_spans"] == 0
 
 
+def test_token_boundaries_never_alias(spark):
+    # r10 keying regression pin: windows are keyed by xxhash64 over the
+    # slice of per-token hashes. The array hash folds element count and
+    # order, so token sequences that CONCATENATE identically (["ab","c"]
+    # vs ["a","bc"]) must still key apart — the injectivity the old
+    # " "-joined string keying had by construction.
+    docs = [
+        (0, "ab c ab c ab c"),    # windows of ["ab","c",...] repeat
+        (1, "a bc a bc a bc"),    # same concatenation, different tokens
+    ]
+    got = _run(spark, docs)
+    # each doc self-repeats its own windows, but docs 0 and 1 must not
+    # count each other's windows as duplicates: with W=4 each doc has 3
+    # windows, all internally duplicated (every window appears >= 2x
+    # within its own doc via the sliding repeat)
+    for d in (0, 1):
+        assert got[d]["n_windows"] == 3
+    # the real assertion: a doc whose windows only "match" the OTHER doc
+    # under concatenation-aliasing shows zero duplicated windows
+    docs2 = [
+        (0, "ab c xx yy zz qq"),
+        (1, "a bc xx yy zz qq"),
+    ]
+    got2 = _run(spark, docs2)
+    # shared suffix "xx yy zz qq" gives exactly 1 common window
+    # ["xx","yy","zz","qq"]; the aliasing prefixes must contribute none
+    for d in (0, 1):
+        assert got2[d]["n_dup_windows"] == 1
+        assert got2[d]["covered_tokens"] == W
+
+
 def test_no_python_udfs_in_plan(spark):
     df = spark.createDataFrame([(0, "a b c d e f")], "doc_id long, text string")
     out = repeated_window_spans(df, "doc_id", "text", window=W)
