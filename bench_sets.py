@@ -84,6 +84,18 @@ SF1_RATIO_GATE = 2.0
 # regime that inverts on shapes where algorithms, not constants,
 # dominate (q17 0.22x, q31 0.34x, q32 0.16x, q33 0.03x at 100x).
 SF1_GATE_EXEMPT = {
+    "q01_pricing_summary": "scan-bound engine floor (r10 decomposition, "
+    "OPTIMIZATION_r10.md batch 14): calm multi-rep probe puts the full "
+    "query at 0.291 s min of which the BARE 6-column scan+decode of the "
+    "same lineitem file is 0.251 s (86%) and the job floor 0.077 s — the "
+    "two hash aggregates add ~0.04 s. Scan time is FLAT across "
+    "maxPartitionBytes 1-8 MiB (0.194-0.206 s): decode/row-group-bound, "
+    "not parallelism-bound, so no configuration moves it and the plan "
+    "(scan -> partial -> final HashAggregate, pinned) is minimal. DuckDB "
+    "scans the same parquet ~1.8x faster per second — the q20 "
+    "constant-factor class; absolute time 0.29 s calm / 1.54 s at the "
+    "100x fixture (10x rows -> ~5x time, linear scan cost, no "
+    "scale-killer)",
     "q20_climatology_monthly": "scan-bound engine floor: the two-hash-"
     "aggregate day-pre-aggregate plan (no Expand, plan-pinned) reads 2 "
     "columns of orders and is 0.42 s absolute at sf1, 0.71 s at the 100x "
