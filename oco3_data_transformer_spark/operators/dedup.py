@@ -848,6 +848,7 @@ def minhash_estimate_pairs(
     n: int = 3,
     bands: int = 4,
     threshold: float = 0.5,
+    kernel: str = "carry",
 ) -> DataFrame:
     """MinHash ESTIMATE near-dup: LSH candidates scored by signature
     agreement alone — ``jacc_est = |{i : m_i(a) = m_i(b)}| / k`` — with no
@@ -860,7 +861,16 @@ def minhash_estimate_pairs(
     true Jaccard (each permutation minimum agrees with probability J), so
     the threshold keeps expected behavior while trading exactness for a
     document-length-independent shuffle. Use :func:`minhash_dedup` when
-    downstream needs the verified value."""
+    downstream needs the verified value.
+
+    ``kernel="carry"`` (default) carries the k-minima ARRAY through the
+    band-bucket pair expansion (the :func:`minhash_dedup` shape) and scores
+    each pair row-locally with a ``zip_with`` agreement fold — no candidate
+    join, and the signature aggregate is planned ONCE (the join form
+    planned the whole tokenize+signature subtree three times: candidates
+    plus both join sides; measured 14 Exchange / 32 HashAggregate at
+    sf0.1). ``kernel="join"`` keeps that relational form as the
+    differential-testing reference (``test_minhash_estimate_kernels_identical``)."""
     k = len(hashing.MINHASH_SEEDS)
     sh = hashed_shingle_table(df, id_col, text_col, n, with_h28=True)
     sig = sh.groupBy("id").agg(
@@ -869,18 +879,72 @@ def minhash_estimate_pairs(
             for i in range(k)
         ]
     )
-    cands = minhash_lsh_candidates(sig, bands)
-    a = sig.select(F.col("id").alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(k)])
-    b = sig.select(F.col("id").alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(k)])
-    agree = sum(
-        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(k)
+    if kernel == "join":
+        cands = minhash_lsh_candidates(sig, bands)
+        a = sig.select(F.col("id").alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(k)])
+        b = sig.select(F.col("id").alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(k)])
+        agree = sum(
+            (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(k)
+        )
+        return (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("jacc_est", agree / F.lit(k))
+            .filter(F.col("jacc_est") >= threshold)
+            .select("id_a", "id_b", "jacc_est")
+        )
+    if kernel != "carry":
+        raise ValueError(f"unknown kernel {kernel!r} (carry|join)")
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        member = [
+            F.col(f"m{i}").cast("string")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_cols.append(
+            F.concat_ws("|", F.lit(b), F.md5(F.concat_ws(",", *member)))
+        )
+    banded = sig.select(
+        F.struct(
+            F.col("id"), F.array(*[F.col(f"m{i}") for i in range(k)]).alias("ms")
+        ).alias("node"),
+        F.explode(F.array(*band_cols)).alias("bb"),
     )
+    grouped = banded.groupBy("bb").agg(
+        F.array_sort(F.collect_list("node")).alias("nodes")
+    )
+    agree = F.aggregate(
+        F.zip_with(F.col("p.a.ms"), F.col("p.b.ms"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    # score AT pair emission (duplicate band hits produce identical
+    # doubles), filter BEFORE the dedup exchange — sub-threshold pairs
+    # never shuffle, and the dedup keys three scalars (hash-aggregable)
+    # instead of dragging two k-long signature arrays through a
+    # SortAggregate
     return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("jacc_est", agree / F.lit(k))
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("nodes"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("nodes"), i + 2, F.size(F.col("nodes"))),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            (agree / F.lit(k)).alias("jacc_est"),
+        )
         .filter(F.col("jacc_est") >= threshold)
-        .select("id_a", "id_b", "jacc_est")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -256,6 +256,15 @@ QUERY_GROUPS: dict[str, list[str]] = {
         "q110_pq_adc_knn",
         "q115_ivfpq_knn",
         "q116_ann_recall",
+        # batches 12-14: gridding fan-out + Delaunay micro-opts, 1-D
+        # nearest binary-search kernel, token-hash window keying
+        "q41_grid_kernel",
+        "q42_oco3_pipeline",
+        "q44_oco3_global_raster",
+        "q126_grid_linear_kernel",
+        "q130_grid_cubic_kernel",
+        "q11_nearest_centroid_assoc",
+        "q129_repeated_window_spans",
     ],
     "graph": [
         "q117_transition_pagerank",

@@ -255,3 +255,27 @@ def test_auto_salting_no_argument(spark, corpus):
         ).collect()
     }
     assert auto == unsalted
+
+
+def test_minhash_estimate_kernels_identical(corpus):
+    """r10 q62 restructure: the array-carry estimate kernel (signature
+    minima ride the band-bucket pair expansion, zip_with agreement fold)
+    must return EXACTLY the join-form reference — same pairs, same
+    jacc_est doubles (both are exact small-int ratios over k) — on the
+    adversarial corpus where buckets are hot and duplicate mass is heavy."""
+    survivors = _survivors(corpus).localCheckpoint(eager=True)
+    join_form = {
+        (r.id_a, r.id_b, r.jacc_est)
+        for r in dedup.minhash_estimate_pairs(
+            survivors, "doc_id", "text", n=3, bands=8, threshold=0.7,
+            kernel="join",
+        ).collect()
+    }
+    carry = {
+        (r.id_a, r.id_b, r.jacc_est)
+        for r in dedup.minhash_estimate_pairs(
+            survivors, "doc_id", "text", n=3, bands=8, threshold=0.7,
+        ).collect()
+    }
+    assert carry == join_form
+    assert carry  # non-vacuous: the dup mass guarantees estimate pairs
