@@ -491,18 +491,22 @@ def simhash_fingerprints(
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(text.tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", hashing.portable_hash64(F.col("tok")))
+    # the per-bit vote aggregates and the fingerprint fold are built as
+    # SQL strings (one JVM-side parse each) instead of ~160 composed
+    # Column objects: the resolved expressions are identical, but the
+    # Py4J construction chatter drops from ~1.2 s to ~0.15 s per build
+    # (bench.py charges DataFrame construction as "build")
     votes = toks.groupBy("id").agg(
         *[
-            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
+            F.expr(f"sum(((shiftright(h, {j}) & 1) * 2) - 1)").alias(f"s{j}")
             for j in range(bits)
         ]
     )
-    fp: Column = F.lit(0).cast("long")
-    for j in range(bits):
-        fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return votes.select("id", fp.alias("simhash"))
+    fp_sql = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    return votes.select("id", F.expr(f"CAST(0 AS BIGINT) + {fp_sql}").alias("simhash"))
 
 
 def _local_components(edges: DataFrame, a: str, b: str) -> DataFrame:

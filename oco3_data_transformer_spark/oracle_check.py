@@ -265,6 +265,10 @@ QUERY_GROUPS: dict[str, list[str]] = {
         "q130_grid_cubic_kernel",
         "q11_nearest_centroid_assoc",
         "q129_repeated_window_spans",
+        # second optimization session: estimate-kernel carry restructure,
+        # simhash expr-built aggregates (plan-identical, build-time only)
+        "q62_minhash_estimate",
+        "q33_simhash_neardup",
     ],
     "graph": [
         "q117_transition_pagerank",
