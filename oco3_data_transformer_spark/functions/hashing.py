@@ -128,3 +128,20 @@ def kmins_value(base_hash: Column, seed_idx: int) -> Column:
 def kmins_value_sql(expr: str, seed_idx: int) -> str:
     a, b = KMINS_SEEDS[seed_idx]
     return f"(({expr}) * {a} + {b}) % {MINHASH_PRIME}"
+
+
+def portable_hash28_spark_sql(expr: str) -> str:
+    """Spark-SQL text parsing to the same expression tree as
+    :func:`portable_hash28`. Wide sketch aggregates (64-192 permutation
+    mins) build each aggregate with ONE JVM-side parse instead of ~10
+    Py4J round trips per composed Column — seconds of driver time per
+    DataFrame build (bench "build"); the resolved plan is identical."""
+    return f"CAST(conv(substring(md5({expr}), 1, 7), 16, 10) AS BIGINT)"
+
+
+def kmins_value_spark_sql(expr: str, seed_idx: int) -> str:
+    """Spark-SQL text for one k-mins permutation value (pre-min) — the
+    string twin of :func:`kmins_value` (explicit parens: SQL ``%`` binds
+    like ``*``, so the sum must be wrapped)."""
+    a, b = KMINS_SEEDS[seed_idx]
+    return f"((({expr}) * {a} + {b}) % {MINHASH_PRIME})"
