@@ -33,6 +33,17 @@ def _canon_cell(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "␀"
     if isinstance(v, float):
+        # 6-dp absolute canon below 1e9; above it that is FINER than one
+        # accumulated double ulp (ulp(2.8e11) ~ 6e-5, and a 60M-term
+        # parallel sum reorders low bits run-to-run in BOTH engines), so
+        # equality there demanded bit-identical accumulation order and
+        # held only by luck (q01 at the 100x fixture: spark
+        # 283913704431.00 vs duck ...30.99, 4e-14 relative). 12
+        # significant digits is the relative canon: mathematically-equal
+        # sums in any partition order agree, anything >= 1e-12 relative
+        # apart still fails.
+        if abs(v) >= 1e9:
+            return f"{v:.12g}"
         return f"{v:.6f}"
     if isinstance(v, pd.Timestamp):
         # pandas renders DATE columns from DuckDB as midnight datetime64 while

@@ -75,3 +75,21 @@ def test_harness_detects_mismatches(spark, duck):
             assert not res["match"], f"harness missed a {why} mismatch"
     finally:
         REGISTRY["q08_day_limit"] = good
+
+
+def test_float_canon_is_relative_past_double_resolution():
+    """r10: 6-dp absolute float canon demanded sub-ulp agreement on
+    1e11-magnitude parallel sums (q01 at the 100x fixture flaked on a
+    4e-14 relative accumulation-order difference). Above 1e9 the canon is
+    12 significant digits: mathematically-equal sums in any partition
+    order agree, >= 1e-9 relative differences still fail, and the 6-dp
+    absolute canon below the threshold is untouched."""
+    from oco3_data_transformer_spark.oracle_check import _canon_cell
+
+    a, b = 283913704431.0, 283913704430.98999  # observed q01 pair
+    assert _canon_cell(a) == _canon_cell(b)
+    assert _canon_cell(a) != _canon_cell(a * (1 + 1e-9))
+    # below the threshold nothing changed
+    assert _canon_cell(136761900.0) == "136761900.000000"
+    assert _canon_cell(0.05) == "0.050000"
+    assert _canon_cell(1.0000004) != _canon_cell(1.0000014)
