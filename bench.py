@@ -440,6 +440,22 @@ def main() -> int:
         "ratio": out.get("ratio"),
         "detail": "BENCH_DETAIL.json",
     }
+    # Driver contract (VERDICT r10 item 2): the one-line JSON must carry
+    # per-query seconds — the driver's PERF comparison matches names in
+    # "queries" and computed nothing (n_common: 0, geomean null) for two
+    # rounds while the numbers sat in # comment lines / BENCH_DETAIL.json.
+    # All sf0.1-benched sets are included (headline + detail legs), mins
+    # only, additions-only: every pre-existing field is unchanged. The
+    # line stays ~1.4 KB — well under the ~2.3 KB that truncated in r3.
+    per_query: dict[str, float] = dict(out.get("queries", {}))
+    for blk in ("round4_detail", "round5_detail", "round6_detail", "kernel_detail"):
+        per_query.update(out.get(blk, {}).get("queries", {}))
+    headline["queries"] = per_query
+    try:
+        tail_sf = os.path.basename(sf_dir.rstrip("/"))
+        headline["sf"] = float(tail_sf[2:]) if tail_sf.startswith("sf") else tail_sf
+    except ValueError:
+        headline["sf"] = sf_dir
     if "sf1" in out:
         headline["sf1_value"] = out["sf1"]["value"]
         headline["sf1_ratio"] = out["sf1"].get("ratio")
